@@ -1,0 +1,12 @@
+"""medical_ocr_service_ray — a Ray-Data-native extraction/data-processing engine.
+
+A from-scratch rebuild of the data-plane capabilities of
+``silviosotelo/medical-ocr-service`` (structural survey: SURVEY.md) as pure
+``ray.data.Dataset`` pipelines over Arrow batches: per-turn payload
+classification, routed main-content extraction (HTML boilerplate strip,
+PDF/layout reading-order recovery, plain-text normalization), field
+normalizers with span offsets, confidence scoring, keyed stable ordering,
+dedup families, ANN search, text analysis, and checkpoint/manifest resume.
+"""
+
+__version__ = "0.1.0"

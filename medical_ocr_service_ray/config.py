@@ -1,0 +1,25 @@
+"""Pipeline configuration (the reference's env-var knobs as a dataclass:
+WORKER_CONCURRENCY / BATCH_MAX_CONCURRENCY / MAX_FILE_SIZE_MB —
+src/services/job-queue.service.js:5, src/services/batch.service.js:13)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # rows per extraction batch: HTML/PDF parse is ~1-5 ms/row of Python work,
+    # so a few hundred rows amortizes batch overhead without huge task latency.
+    batch_size: int = 512
+    # actor-pool size for the stateful extraction stage; None = stateless tasks
+    # that autoscale to the cluster. (min, max) tuples also accepted by Ray.
+    extract_concurrency: int | tuple[int, int] | None = None
+    # hash buckets for the keyed ordering stage. At 100 TB choose
+    # total_bytes / ~1 GiB so one bucket fits comfortably in a task heap.
+    num_buckets: int = 32
+    # salt span for extraction-side partitioning of very long conversations
+    # (SURVEY.md §4.3.1): extraction itself is per-turn so salting is only
+    # needed if a future stage groups before the final ordering stage.
+    salt_span: int = 128
+    extractor_version_override: str | None = None
