@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 
-_PAGE_SPLIT_RE = re.compile(r"\f|^--- Page \d+ ---$\n?", re.MULTILINE)
+_PAGE_MARKER_RE = re.compile(r"^--- Page \d+ ---$")
 _PAGENUM_RE = re.compile(r"^\s*(?:Page \d+(?: of \d+)?|-?\s*\d+\s*-?)\s*$")
 _FIGURE_RE = re.compile(r"^\s*\[FIGURE[^\]]*\]\s*$")
 _TABLE_OPEN = "[TABLE]"
@@ -29,12 +29,20 @@ def _split_pages(text: str) -> list[list[str]]:
     if text.lstrip()[:5].lower().startswith("%pdf"):
         text = text.lstrip()
         text = text[text.find("\n") + 1 :] if "\n" in text else ""
-    pages = []
-    for chunk in _PAGE_SPLIT_RE.split(text):
-        lines = [ln.rstrip() for ln in chunk.split("\n")]
-        lines = [ln for ln in lines if ln.strip()]
-        if lines:
-            pages.append(lines)
+    pages: list[list[str]] = []
+    cur: list[str] = []
+    for chunk in text.split("\f"):
+        for raw in chunk.split("\n"):
+            if _PAGE_MARKER_RE.match(raw.strip()):
+                if cur:
+                    pages.append(cur)
+                    cur = []
+                continue
+            if raw.strip():
+                cur.append(raw.rstrip())
+        if cur:
+            pages.append(cur)
+            cur = []
     return pages
 
 
