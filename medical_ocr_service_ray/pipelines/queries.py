@@ -1,0 +1,819 @@
+"""Query/operator surface: Ray Data implementations + DuckDB oracle SQL.
+
+Each ``q*`` function takes ``sf_dir`` (a /root/testdata/sf* directory) and
+returns a Dataset / pandas DataFrame / pyarrow Table; ORACLE_SQL carries the
+ANSI-SQL equivalent the driver runs through DuckDB on the same tables.
+
+Float determinism policy (the driver hash-compares values): sums over
+2/4-decimal columns are computed on integer cents (round(x*100) etc.) so the
+accumulation is EXACT and order-independent, then converted back with the
+same division expression on both sides. Derived ratios use identical operand
+order in Ray and SQL. Counts/mins/maxes are integers. This mirrors the
+reference's own determinism choice (2-decimal rounding,
+src/services/pre-visacion.service.js:262).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from medical_ocr_service_ray.functions.textstats import (
+    LANG_MARKERS,
+    LANGS,
+    STOPWORDS,
+    sql_lang_score,
+    sql_occurrences,
+)
+from medical_ocr_service_ray.stages import text as text_stages
+from medical_ocr_service_ray.stages.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
+from medical_ocr_service_ray.stages.join import (
+    BroadcastMapper,
+    SemiAntiFilter,
+    put_key_set,
+    put_lookup_dict,
+)
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(series: pd.Series, scale: int = 100) -> pd.Series:
+    # np.rint (half-even) == SQL round() here: scaled decimals land near
+    # integers, never near .5
+    return np.rint(series * scale).astype("int64")
+
+
+# --------------------------------------------------------------------- q1
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate with per-batch partial pre-aggregation
+    (A1/A2/A7 pattern: partial-per-task then final reduce, SURVEY.md §2.5)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            cents_base=_cents(df.l_extendedprice),
+            disc100=_cents(1.0 - df.l_discount),
+            d100=_cents(df.l_discount),
+        )
+        df["cents_disc"] = df.cents_base * df.disc100
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_qty=("l_quantity", "sum"),
+            p_base=("cents_base", "sum"),
+            p_disc=("cents_disc", "sum"),
+            p_d100=("d100", "sum"),
+            p_n=("l_quantity", "size"),
+        )
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_base", alias_name="cents_base"),
+            Sum("p_disc", alias_name="cents_disc"),
+            Sum("p_d100", alias_name="sum_d100"),
+            Sum("p_n", alias_name="count_order"),
+        )
+    )
+    out = agg.to_pandas()
+    n = out.count_order.astype("int64")
+    out["sum_base_price"] = out.cents_base / 100.0
+    out["sum_disc_price"] = out.cents_disc / 10000.0
+    out["avg_qty"] = out.sum_qty / n
+    out["avg_price"] = (out.cents_base / 100.0) / n
+    out["avg_disc"] = (out.sum_d100 / 100.0) / n
+    out["count_order"] = n
+    return out[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price",
+         "avg_qty", "avg_price", "avg_disc", "count_order"]
+    ]
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+       CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+              * CAST(round((1.0-l_discount)*100, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
+       SUM(l_quantity) / COUNT(*) AS avg_qty,
+       (CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) / 100.0) / COUNT(*) AS avg_price,
+       (CAST(SUM(CAST(round(l_discount*100, 0) AS BIGINT)) AS BIGINT) / 100.0) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------- q2
+
+def q2_daily_events(sf_dir: str):
+    """Daily usage rollup incl. distinct users (usage.service.js:56-89, A6)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "day": df.ts.dt.strftime("%Y-%m-%d"),
+                    "user_id": df.user_id,
+                    "v4": _cents(df.value, 10000),
+                }
+            )
+            .groupby(["day", "user_id"], as_index=False)
+            .agg(p_n=("v4", "size"), p_v4=("v4", "sum"))
+        )
+
+    per_user = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["day", "user_id"])
+        .aggregate(Sum("p_n", alias_name="n"), Sum("p_v4", alias_name="v4"))
+        .to_pandas()  # small: days x users
+    )
+    out = per_user.groupby("day", as_index=False).agg(
+        n_events=("n", "sum"), v4=("v4", "sum"), n_users=("user_id", "size")
+    )
+    out["n_events"] = out.n_events.astype("int64")
+    out["sum_value"] = out.v4.astype("int64") / 10000.0
+    out["n_users"] = out.n_users.astype("int64")
+    return out[["day", "n_events", "sum_value", "n_users"]]
+
+
+_Q2_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*10000, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY day
+"""
+
+
+# --------------------------------------------------------------------- q3
+
+def q3_top_customers(sf_dir: str):
+    """Top-100 customers by order revenue: groupby -> sort/limit -> broadcast
+    name lookup (T3/T4 + J3: sort().limit() + broadcast dict)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.assign(cents=_cents(df.o_totalprice))
+            .groupby("o_custkey", as_index=False)
+            .agg(p_cents=("cents", "sum"))
+        )
+
+    top = (
+        orders.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("o_custkey")
+        .aggregate(Sum("p_cents", alias_name="cents"))
+        .sort(["cents", "o_custkey"], descending=[True, False])
+        .limit(100)
+        .to_pandas()
+    )
+    names = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    name_map = dict(zip(names["c_custkey"].to_pylist(), names["c_name"].to_pylist()))
+    top["c_name"] = top.o_custkey.map(name_map)
+    top["revenue"] = top.cents.astype("int64") / 100.0
+    return top[["o_custkey", "c_name", "revenue"]]
+
+
+_Q3_SQL = """
+SELECT o_custkey, c_name,
+       CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY o_custkey, c_name
+ORDER BY CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) DESC, o_custkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------- q4
+
+def q4_priority_counts(sf_dir: str):
+    """GROUP BY estado -> COUNT (job-queue stats A4/A5 analogue)."""
+    return (
+        _read(sf_dir, "orders", ["o_orderpriority"])
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+_Q4_SQL = "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority"
+
+
+# --------------------------------------------------------------------- q5
+
+def q5_region_rollup(sf_dir: str):
+    """Customer rollup to nation/region via broadcast dimension lookups
+    (J1-J6 pattern: small side via ray.put, no shuffle join)."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    r_name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    n_info = {
+        k: (n, r_name[r])
+        for k, n, r in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+    }
+
+    customers = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.assign(cents=_cents(df.c_acctbal))
+            .groupby("c_nationkey", as_index=False)
+            .agg(p_n=("cents", "size"), p_cents=("cents", "sum"))
+        )
+
+    agg = (
+        customers.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("c_nationkey")
+        .aggregate(Sum("p_n", alias_name="n_customers"), Sum("p_cents", alias_name="cents"))
+        .to_pandas()
+    )
+    agg["n_name"] = agg.c_nationkey.map(lambda k: n_info[k][0])
+    agg["r_name"] = agg.c_nationkey.map(lambda k: n_info[k][1])
+    agg["n_customers"] = agg.n_customers.astype("int64")
+    agg["total_acctbal"] = agg.cents.astype("int64") / 100.0
+    return agg[["r_name", "n_name", "n_customers", "total_acctbal"]]
+
+
+_Q5_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(round(c_acctbal*100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_acctbal
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------- q6
+
+def q6_high_value_purchases(sf_dir: str):
+    """Vectorized predicate filter + projection (M-filters; urgency-keyword
+    filter analogue, constants.js:113-120)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value", "ts"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(t["event_type"], pa.scalar("purchase")), pc.greater(t["value"], pa.scalar(100.0))
+        )
+        return t.filter(mask).select(["event_id", "user_id", "value", "ts"])
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_Q6_SQL = """
+SELECT event_id, user_id, value, ts FROM events
+WHERE event_type = 'purchase' AND value > 100.0
+"""
+
+
+# --------------------------------------------------------------------- q7
+
+def q7_exact_dedup_documents(sf_dir: str):
+    """Exact content dedup: sha256 hash-partition, keep min(doc_id) (D1)."""
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+_Q7_SQL = "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents GROUP BY text"
+
+
+# --------------------------------------------------------------------- q8
+
+def q8_latest_event_per_user(sf_dir: str):
+    """Last-writer-wins per key (D4: upsert-by-id => latest by (ts, id))."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value", "ts"])
+
+    def latest(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts", "descending"), ("event_id", "descending")]
+        )
+        return group.take(idx[:1]).select(["user_id", "event_id", "event_type", "value", "ts"])
+
+    return ds.groupby("user_id").map_groups(latest, batch_format="pyarrow")
+
+
+_Q8_SQL = """
+SELECT user_id, event_id, event_type, value, ts FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# --------------------------------------------------------------------- q9
+
+def q9_token_stats(sf_dir: str):
+    """Token counting over documents (text-analysis addition)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text_stages.token_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+_Q9_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS alpha_chars,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(floor(100.0 * length(regexp_replace(text, '\\s', '', 'g'))
+                 / length(string_split_regex(trim(text), '\\s+'))) AS BIGINT) END AS avg_token_len_x100
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------- q10
+
+def q10_lang_id(sf_dir: str):
+    """Marker-based language-ID heuristic (text-analysis addition)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text_stages.lang_id_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q10_sql() -> str:
+    scores = ",\n       ".join(f"{sql_lang_score('p', lang)} AS s_{lang}" for lang in LANGS)
+    zero = " AND ".join(f"s_{lang} = 0" for lang in LANGS)
+    cases = "\n            ".join(
+        "WHEN "
+        + " AND ".join(f"s_{lang} >= s_{o}" for o in LANGS if o != lang)
+        + f" THEN '{lang}'"
+        for lang in LANGS
+    )
+    return f"""
+WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+scores AS (SELECT doc_id, {scores} FROM padded)
+SELECT doc_id,
+       CASE WHEN {zero} THEN 'und'
+            {cases}
+            ELSE 'und' END AS lang_pred
+FROM scores
+"""
+
+
+# --------------------------------------------------------------------- q11
+
+def q11_quality(sf_dir: str):
+    """Integer quality-score heuristic (text-analysis addition)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text_stages.quality_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q11_sql() -> str:
+    stop = " + ".join(sql_occurrences("p", s) for s in STOPWORDS)
+    punct = " + ".join(sql_occurrences("text", c) for c in (".", ",", "!"))
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) END AS n_tokens
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_tokens, {stop} AS stop_hits, {punct} AS punct_count FROM base
+)
+SELECT doc_id, n_tokens, stop_hits, punct_count,
+       least(n_tokens, 200) * 2 + least(stop_hits * 10, 100) * 3 + least(punct_count * 5, 100) AS quality
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------- q12
+
+def q12_knn_quantized_dot(sf_dir: str):
+    """Top-10 by integer-quantized dot product vs the min-vec_id query vector:
+    exact integer arithmetic end-to-end => bit-reproducible by SQL (T1 knn
+    analogue of matching.service.js:44-47)."""
+    import ray
+
+    from medical_ocr_service_ray.stages.ann import QuantizedDot
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    min_idx = pc.index(emb["vec_id"], pc.min(emb["vec_id"]).as_py()).as_py()
+    query = np.asarray(emb["embedding"][min_idx].as_py(), dtype=np.float64)
+    query_ref = ray.put(query)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    scored = ds.map_batches(
+        QuantizedDot,
+        fn_constructor_kwargs={"query_ref": query_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return scored.sort(["dot_q", "vec_id"], descending=[True, False]).limit(10)
+
+
+_Q12_SQL = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS qv
+  FROM embeddings WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+)
+SELECT vec_id,
+       list_inner_product(list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)), q.qv) AS dot_q
+FROM embeddings, q
+ORDER BY dot_q DESC, vec_id
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------- q13/q14
+
+def q13_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs verified by true Jaccard
+    (shingle -> minhash -> band -> bucket groupby; non-SQL-expressible)."""
+    import ray
+
+    docs_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist())))
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(docs, texts_ref, threshold_x1000=500)
+
+
+def q14_simhash_pairs(sf_dir: str):
+    """SimHash hamming<=3 near-dup pairs (banded; non-SQL-expressible)."""
+    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
+
+
+# --------------------------------------------------------------------- q15
+
+_SHINGLE_THRESHOLD_X1000 = 200
+
+
+def q15_ngram_jaccard(sf_dir: str):
+    """Exact word-bigram Jaccard for same-source document pairs:
+    shingle explode -> (source, shingle) groupby -> pair counts -> integer
+    jaccard. The same-source restriction bounds the pair blowup (at 100 TB
+    the 'source' key is the co-location/bucketing key)."""
+    from medical_ocr_service_ray.functions.textstats import _NONWS_RE  # tokenizer shared
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        texts = t["text"].to_pylist()
+        o_id, o_src, o_sh = [], [], []
+        for d, s, txt in zip(ids, srcs, texts):
+            ws = _NONWS_RE.findall((txt or "").lower().strip())
+            for sh in set(f"{a} {b}" for a, b in zip(ws, ws[1:])):
+                o_id.append(d)
+                o_src.append(s)
+                o_sh.append(sh)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "source": pa.array(o_src, pa.string()),
+                "shingle": pa.array(o_sh, pa.string()),
+            }
+        )
+
+    sh = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    # per-doc distinct shingle counts (small result -> broadcast dict)
+    counts = sh.groupby("doc_id").aggregate(Count(alias_name="n_sh")).to_pandas()
+    n_sh = dict(zip(counts.doc_id, counts.n_sh))
+
+    def pairs_in_group(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group["doc_id"].to_pylist()))
+        a_o, b_o = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_o.append(ids[i])
+                b_o.append(ids[j])
+        return pa.table({"doc_a": pa.array(a_o, pa.int64()), "doc_b": pa.array(b_o, pa.int64())})
+
+    inter = (
+        sh.groupby(["source", "shingle"])
+        .map_groups(pairs_in_group, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="inter"))
+        .to_pandas()
+    )
+    na = inter.doc_a.map(n_sh).astype("int64")
+    nb = inter.doc_b.map(n_sh).astype("int64")
+    inter["jaccard_x1000"] = (1000 * inter.inter.astype("int64")) // (na + nb - inter.inter)
+    out = inter[inter.jaccard_x1000 >= _SHINGLE_THRESHOLD_X1000]
+    return out[["doc_a", "doc_b", "jaccard_x1000"]].reset_index(drop=True)
+
+
+_Q15_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, (1000 * i) // (ca.n_sh + cb.n_sh - i) AS jaccard_x1000
+FROM inter
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE (1000 * i) // (ca.n_sh + cb.n_sh - i) >= {_SHINGLE_THRESHOLD_X1000}
+"""
+
+
+# --------------------------------------------------------------------- q16/q17
+
+def q16_extract_transcripts(sf_dir: str):
+    """FLAGSHIP: the full extraction pipeline over the deterministic synthetic
+    transcript corpus sized to this sf (north rule; correctness gated by
+    pytest golden parity, not SQL — transcripts are not a DuckDB view)."""
+    from medical_ocr_service_ray.pipelines.extraction import run_extraction_pipeline
+    from medical_ocr_service_ray.synth import ensure_transcripts_for_sf
+
+    corpus = ensure_transcripts_for_sf(sf_dir)
+    ds = run_extraction_pipeline(corpus, ordered=True)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        n_spans = pc.list_value_length(t["spans"]).cast(pa.int32())
+        n_warnings = pc.list_value_length(t["warnings"]).cast(pa.int32())
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "role": t["role"],
+                "content_type": t["content_type"],
+                "extracted_text": t["extracted_text"],
+                "n_spans": n_spans,
+                "n_warnings": n_warnings,
+                "confidence": t["confidence"],
+                "text_sha256": t["text_sha256"],
+            }
+        )
+
+    return ds.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q17_conv_stats(sf_dir: str):
+    """Per-conversation rollup of extraction output (A2 analogue:
+    COUNT(items)/AVG(confianza) per header, pre-visacion.service.js:388-410)."""
+    ds = q16_extract_transcripts(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            conf100=np.rint(df.confidence.astype("float64") * 100).astype("int64"),
+            is_html=(df.content_type == "html").astype("int64"),
+            is_pdf=(df.content_type == "pdfish").astype("int64"),
+            is_plain=(df.content_type == "plain").astype("int64"),
+        )
+        return df.groupby("conv_id", as_index=False).agg(
+            p_n=("conf100", "size"),
+            p_conf=("conf100", "sum"),
+            p_html=("is_html", "sum"),
+            p_pdf=("is_pdf", "sum"),
+            p_plain=("is_plain", "sum"),
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("p_n", alias_name="n_turns"),
+            Sum("p_conf", alias_name="sum_conf100"),
+            Sum("p_html", alias_name="n_html"),
+            Sum("p_pdf", alias_name="n_pdfish"),
+            Sum("p_plain", alias_name="n_plain"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_confidence_x100"] = df.sum_conf100.astype("int64") // df.n_turns.astype("int64")
+        return df[["conv_id", "n_turns", "n_html", "n_pdfish", "n_plain", "avg_confidence_x100"]]
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+# --------------------------------------------------------------------- q18
+
+def q18_semi_anti_join(sf_dir: str):
+    """Semi + anti join via broadcast key set (J5/J7: set-membership filter,
+    anti-side capture)."""
+    import ray  # local import keeps module importable without a session
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+    rich = {
+        k
+        for k, b in zip(cust["c_custkey"].to_pylist(), cust["c_acctbal"].to_pylist())
+        if b > 5000.0
+    }
+    key_ref = ray.put(rich)
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    n_semi = orders.map_batches(
+        SemiAntiFilter,
+        fn_constructor_kwargs={"key_set_ref": key_ref, "key_col": "o_custkey", "anti": False},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).count()
+    n_anti = orders.map_batches(
+        SemiAntiFilter,
+        fn_constructor_kwargs={"key_set_ref": key_ref, "key_col": "o_custkey", "anti": True},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).count()
+    return pd.DataFrame({"n_semi": [n_semi], "n_anti": [n_anti]}).astype("int64")
+
+
+_Q18_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM orders WHERE o_custkey IN
+     (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)) AS n_semi,
+  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+     (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)) AS n_anti
+"""
+
+
+# --------------------------------------------------------------------- q19
+
+def q19_distinct_event_types(sf_dir: str):
+    """Distinct values (A10: COUNT(DISTINCT ...) family)."""
+    vals = sorted(_read(sf_dir, "events", ["event_type"]).unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+_Q19_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+# --------------------------------------------------------------------- q20
+
+def q20_fingerprints(sf_dir: str):
+    """Winnowing rolling-hash document fingerprints (non-SQL-expressible)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text_stages.fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --------------------------------------------------------------------- q21
+
+def q21_hourly_user_windows(sf_dir: str):
+    """Tumbling 1-hour window per user (streaming-shaped: event-time window
+    as groupby over (key, hour) — Ray Data has no watermarks, ordering comes
+    from the key, SURVEY.md §2.9)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "user_id": df.user_id,
+                    "hour": df.ts.dt.strftime("%Y-%m-%d %H"),
+                    "v4": _cents(df.value, 10000),
+                }
+            )
+            .groupby(["user_id", "hour"], as_index=False)
+            .agg(p_n=("v4", "size"), p_v4=("v4", "sum"))
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["user_id", "hour"])
+        .aggregate(Sum("p_n", alias_name="n_events"), Sum("p_v4", alias_name="v4"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_events"] = df.n_events.astype("int64")
+        df["sum_value"] = df.v4.astype("int64") / 10000.0
+        return df[["user_id", "hour", "n_events", "sum_value"]]
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+_Q21_SQL = """
+SELECT user_id, strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*10000, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value
+FROM events
+GROUP BY user_id, hour
+"""
+
+
+# --------------------------------------------------------------------- q22/q23
+
+def q22_ann_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-10 for 3 query vectors (float path; verified by
+    pytest vs in-process numpy, not SQL — float sum order is engine-specific)."""
+    from medical_ocr_service_ray.stages.ann import brute_force_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_pylist()
+    order = np.argsort(ids)[:3]
+    queries = np.stack(
+        [np.asarray(emb["embedding"][int(i)].as_py(), dtype=np.float64) for i in order]
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return brute_force_topk(ds, queries, k=10, metric="cosine")
+
+
+def q23_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cos >= 0.95) via same-label blocking +
+    in-group brute force (the label column is the IVF-coarse-bucket analogue)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def pairs(group: pa.Table) -> pa.Table:
+        from medical_ocr_service_ray.stages.ann import _stack_embeddings
+
+        emb = _stack_embeddings(group)
+        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        emb, ids = emb[order], ids[order]
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        unit = emb / norms[:, None]
+        sims = unit @ unit.T
+        a_o, b_o, s_o = [], [], []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= 0.95:
+                    a_o.append(int(ids[i]))
+                    b_o.append(int(ids[j]))
+                    s_o.append(float(np.floor(sims[i, j] * 1000)))
+        return pa.table(
+            {
+                "vec_a": pa.array(a_o, pa.int64()),
+                "vec_b": pa.array(b_o, pa.int64()),
+                "cos_x1000": pa.array(s_o, pa.float64()),
+            }
+        )
+
+    out = ds.groupby("label").map_groups(pairs, batch_format="pyarrow").to_pandas()
+    # stable schema even when no pair passes the threshold
+    if list(out.columns) != ["vec_a", "vec_b", "cos_x1000"]:
+        out = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                            "vec_b": pd.Series(dtype="int64"),
+                            "cos_x1000": pd.Series(dtype="float64")})
+    return out
+
+
+# ------------------------------------------------------------------ registry
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q2_daily_events": q2_daily_events,
+    "q3_top_customers": q3_top_customers,
+    "q4_priority_counts": q4_priority_counts,
+    "q5_region_rollup": q5_region_rollup,
+    "q6_high_value_purchases": q6_high_value_purchases,
+    "q7_exact_dedup_documents": q7_exact_dedup_documents,
+    "q8_latest_event_per_user": q8_latest_event_per_user,
+    "q9_token_stats": q9_token_stats,
+    "q10_lang_id": q10_lang_id,
+    "q11_quality": q11_quality,
+    "q12_knn_quantized_dot": q12_knn_quantized_dot,
+    "q13_minhash_pairs": q13_minhash_pairs,
+    "q14_simhash_pairs": q14_simhash_pairs,
+    "q15_ngram_jaccard": q15_ngram_jaccard,
+    "q16_extract_transcripts": q16_extract_transcripts,
+    "q17_conv_stats": q17_conv_stats,
+    "q18_semi_anti_join": q18_semi_anti_join,
+    "q19_distinct_event_types": q19_distinct_event_types,
+    "q20_fingerprints": q20_fingerprints,
+    "q21_hourly_user_windows": q21_hourly_user_windows,
+    "q22_ann_cosine_topk": q22_ann_cosine_topk,
+    "q23_embedding_neardup": q23_embedding_neardup,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": _Q1_SQL,
+    "q2_daily_events": _Q2_SQL,
+    "q3_top_customers": _Q3_SQL,
+    "q4_priority_counts": _Q4_SQL,
+    "q5_region_rollup": _Q5_SQL,
+    "q6_high_value_purchases": _Q6_SQL,
+    "q7_exact_dedup_documents": _Q7_SQL,
+    "q8_latest_event_per_user": _Q8_SQL,
+    "q9_token_stats": _Q9_SQL,
+    "q10_lang_id": _q10_sql(),
+    "q11_quality": _q11_sql(),
+    "q12_knn_quantized_dot": _Q12_SQL,
+    "q15_ngram_jaccard": _Q15_SQL,
+    "q18_semi_anti_join": _Q18_SQL,
+    "q19_distinct_event_types": _Q19_SQL,
+    "q21_hourly_user_windows": _Q21_SQL,
+    # q13/q14/q16/q17/q20/q22/q23: non-SQL-expressible (LSH banding, streaming
+    # extraction, rolling-hash, float knn) -> rows-only driver check + pytest
+    # oracles in tests/.
+}

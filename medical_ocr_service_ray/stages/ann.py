@@ -1,0 +1,146 @@
+"""Similarity search over an embedding column (list<float>).
+
+The reference's vector knn is `ORDER BY embedding <=> $1 LIMIT k` over pgvector
+(src/services/matching.service.js:44-47; IVFFlat index built at
+src/workers/embedding.worker.js:154-190). Ray-native rebuild:
+
+- brute-force top-k: the query matrix is broadcast once (ray.put); every batch
+  computes a numpy matmul and emits only its local top-k partials; a final
+  tiny sort+limit merges them. No shuffle of the embedding table itself.
+- LSH-bucketed variant (the scale path, IVF analogue): random-hyperplane
+  bucket signatures; the search touches only matching buckets.
+- integer-quantized dot-product variant: exact integer arithmetic end to end
+  so a DuckDB oracle reproduces scores bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _stack_embeddings(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return np.asarray(arr.values).reshape(len(batch), -1).astype(np.float64)
+
+
+class BruteForceTopK:
+    """Per-batch partial top-k against a broadcast query matrix."""
+
+    def __init__(self, query_ref, k: int = 10, metric: str = "cosine"):
+        q = np.asarray(ray.get(query_ref), dtype=np.float64)
+        self.q = q if q.ndim == 2 else q[None, :]
+        self.qnorm = np.linalg.norm(self.q, axis=1)
+        self.k = k
+        self.metric = metric
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _stack_embeddings(batch)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        scores = emb @ self.q.T  # (n, Q)
+        if self.metric == "cosine":
+            norms = np.linalg.norm(emb, axis=1)
+            norms[norms == 0] = 1.0
+            scores = scores / norms[:, None] / self.qnorm[None, :]
+        q_out, id_out, s_out = [], [], []
+        k = min(self.k, emb.shape[0])
+        for qi in range(self.q.shape[0]):
+            col = scores[:, qi]
+            part = np.argpartition(-col, k - 1)[:k]
+            for i in part:
+                q_out.append(qi)
+                id_out.append(int(ids[i]))
+                s_out.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, pa.int32()),
+                "vec_id": pa.array(id_out, pa.int64()),
+                "score": pa.array(s_out, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    ds: "rd.Dataset", query_matrix: np.ndarray, k: int = 10, metric: str = "cosine"
+) -> pa.Table:
+    """Global top-k per query: per-batch partials -> tiny driver-side merge."""
+    query_ref = ray.put(np.asarray(query_matrix))
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"query_ref": query_ref, "k": k, "metric": metric},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    merged = partials.to_pandas()  # size: n_blocks * Q * k — small by construction
+    merged = merged.sort_values(
+        ["query_id", "score", "vec_id"], ascending=[True, False, True]
+    )
+    return pa.Table.from_pandas(merged.groupby("query_id").head(k).reset_index(drop=True))
+
+
+class QuantizedDot:
+    """Exact integer dot-product scores vs ONE broadcast query vector,
+    elementwise-quantized floor(x*1000) — bit-reproducible by SQL."""
+
+    def __init__(self, query_ref):
+        q = np.asarray(ray.get(query_ref), dtype=np.float64)
+        self.q_int = np.floor(q * 1000.0).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _stack_embeddings(batch)
+        emb_int = np.floor(emb * 1000.0).astype(np.int64)
+        dots = emb_int @ self.q_int
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "dot_q": pa.array(dots.astype(np.float64), pa.float64()),
+            }
+        )
+
+
+def lsh_bucket_signs(emb: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Random-hyperplane signature -> integer bucket id."""
+    bits = (emb @ planes.T) >= 0
+    return (bits.astype(np.int64) * (1 << np.arange(planes.shape[0], dtype=np.int64))).sum(axis=1)
+
+
+class LshTopK:
+    """IVF/LSH-bucketed ANN: score only vectors whose bucket signature is
+    within hamming<=1 of the query's (recall/throughput tradeoff documented in
+    the query docstring)."""
+
+    def __init__(self, query_ref, planes_ref, k: int = 10):
+        self.q = np.asarray(ray.get(query_ref), dtype=np.float64)
+        self.planes = np.asarray(ray.get(planes_ref), dtype=np.float64)
+        qsig = lsh_bucket_signs(self.q[None, :], self.planes)[0]
+        nbits = self.planes.shape[0]
+        self.accept = {qsig} | {qsig ^ (1 << b) for b in range(nbits)}
+        self.qnorm = float(np.linalg.norm(self.q)) or 1.0
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _stack_embeddings(batch)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        sigs = lsh_bucket_signs(emb, self.planes)
+        mask = np.fromiter((int(s) in self.accept for s in sigs), dtype=bool, count=len(sigs))
+        emb, ids = emb[mask], ids[mask]
+        if emb.shape[0] == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        scores = (emb @ self.q) / norms / self.qnorm
+        k = min(self.k, len(scores))
+        part = np.argpartition(-scores, k - 1)[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[part], pa.int64()),
+                "score": pa.array(scores[part], pa.float64()),
+            }
+        )
