@@ -1,0 +1,146 @@
+"""Benchmark harness. Prints ONE JSON line with headline seconds + per-query
+timings. ``--scaling`` runs the identical job at two parallelism levels in
+fresh processes and reports throughput + scaling efficiency (the in-sandbox
+stand-in for the N vs 4N node criterion, BASELINE.md).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q2_daily_events",
+    "q3_top_customers",
+    "q7_exact_dedup_documents",
+    "q8_latest_event_per_user",
+    "q9_token_stats",
+    "q12_knn_quantized_dot",
+    "q15_ngram_jaccard",
+    "q21_hourly_user_windows",
+    "q22_ann_cosine_topk",
+]
+
+
+def _consume(res) -> int:
+    """Consume a query result without driver-side materialization of big data."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        total = 0
+        for batch in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            total += batch.num_rows
+        return total
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return len(res)
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from medical_ocr_service_ray.pipelines.extraction import run_extraction_pipeline
+    from medical_ocr_service_ray.pipelines.queries import QUERIES
+    from medical_ocr_service_ray.synth import ensure_transcripts_for_sf
+
+    # corpus generation is setup, not measured (cached across runs in /tmp)
+    corpus = ensure_transcripts_for_sf(sf_dir)
+
+    # warm the OS page cache so we measure compute + shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    n_turns = sum(pq.read_metadata(f).num_rows for f in sorted(corpus.glob("*.parquet")))
+    for f in sorted(corpus.glob("*.parquet")):
+        pq.read_table(f)
+
+    # ---- headline: full extraction pipeline, ordered, written to parquet ----
+    out_dir = Path("/tmp/mosr_bench_out") / sf_name
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    run_extraction_pipeline(corpus, output_dir=out_dir, ordered=True)
+    headline = time.time() - t0
+
+    # ---- representative query suite over the sf tables ----
+    query_secs: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(QUERIES[name](sf_dir))
+        query_secs[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "headline extraction wall-clock (synthetic transcripts sized to sf; "
+        "classify+route+extract+normalize+order+write)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Fresh-process runs at two parallelism levels (8 and 32 CPUs)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency, headline extraction, num_cpus 8 -> 32",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "turns_per_sec_8": lo["turns_per_sec"],
+        "turns_per_sec_32": hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "turns": lo["turns"],
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -38,9 +38,19 @@ def read_transcripts(input_dir: str | Path) -> "rd.Dataset":
 
 def extract_dataset(ds: "rd.Dataset", cfg: PipelineConfig | None = None) -> "rd.Dataset":
     cfg = cfg or PipelineConfig()
-    # actor pool (callable class): setup once per actor; autoscaling pool by
-    # default so the read/write stages are never starved.
-    concurrency = cfg.extract_concurrency if cfg.extract_concurrency is not None else (2, 16)
+    # actor pool (callable class): setup once per actor. Default pool size =
+    # cluster CPUs (read/write stages are cheap and interleave); an
+    # autoscaling (min,max) ramps too slowly for short jobs.
+    if cfg.extract_concurrency is not None:
+        concurrency = cfg.extract_concurrency
+    else:
+        import ray
+
+        total_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        # leave 2 CPUs for the read/write/shuffle stages: actors HOLD their
+        # CPU for their lifetime, so a pool of size == cluster CPUs deadlocks
+        # the upstream read.
+        concurrency = max(2, total_cpus - 2)
     return ds.map_batches(
         TurnExtractor,
         batch_format="pyarrow",

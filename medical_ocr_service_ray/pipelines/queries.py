@@ -22,7 +22,6 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
 
 from medical_ocr_service_ray.functions.textstats import (
     LANG_MARKERS,
@@ -32,6 +31,11 @@ from medical_ocr_service_ray.functions.textstats import (
     sql_occurrences,
 )
 from medical_ocr_service_ray.stages import text as text_stages
+from medical_ocr_service_ray.stages.aggregate import (
+    bucketed_combine,
+    driver_combine,
+    partial_then_combine,
+)
 from medical_ocr_service_ray.stages.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
 from medical_ocr_service_ray.stages.join import (
     BroadcastMapper,
@@ -78,29 +82,28 @@ def q1_pricing_summary(sf_dir: str):
         )
         return g
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("p_qty", alias_name="sum_qty"),
-            Sum("p_base", alias_name="cents_base"),
-            Sum("p_disc", alias_name="cents_disc"),
-            Sum("p_d100", alias_name="sum_d100"),
-            Sum("p_n", alias_name="count_order"),
+    def combine(partials: pd.DataFrame) -> pd.DataFrame:
+        out = partials.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("p_qty", "sum"),
+            cents_base=("p_base", "sum"),
+            cents_disc=("p_disc", "sum"),
+            sum_d100=("p_d100", "sum"),
+            count_order=("p_n", "sum"),
         )
-    )
-    out = agg.to_pandas()
-    n = out.count_order.astype("int64")
-    out["sum_base_price"] = out.cents_base / 100.0
-    out["sum_disc_price"] = out.cents_disc / 10000.0
-    out["avg_qty"] = out.sum_qty / n
-    out["avg_price"] = (out.cents_base / 100.0) / n
-    out["avg_disc"] = (out.sum_d100 / 100.0) / n
-    out["count_order"] = n
-    return out[
-        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price",
-         "avg_qty", "avg_price", "avg_disc", "count_order"]
-    ]
+        n = out.count_order.astype("int64")
+        out["sum_base_price"] = out.cents_base / 100.0
+        out["sum_disc_price"] = out.cents_disc / 10000.0
+        out["avg_qty"] = out.sum_qty / n
+        out["avg_price"] = (out.cents_base / 100.0) / n
+        out["avg_disc"] = (out.sum_d100 / 100.0) / n
+        out["count_order"] = n
+        return out[
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price",
+             "avg_qty", "avg_price", "avg_disc", "count_order"]
+        ]
+
+    # 6 groups total => partial rows are blocks x 6: driver combine is exact
+    return driver_combine(ds, partial, combine)
 
 
 _Q1_SQL = """
@@ -137,19 +140,20 @@ def q2_daily_events(sf_dir: str):
             .agg(p_n=("v4", "size"), p_v4=("v4", "sum"))
         )
 
-    per_user = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby(["day", "user_id"])
-        .aggregate(Sum("p_n", alias_name="n"), Sum("p_v4", alias_name="v4"))
-        .to_pandas()  # small: days x users
-    )
-    out = per_user.groupby("day", as_index=False).agg(
-        n_events=("n", "sum"), v4=("v4", "sum"), n_users=("user_id", "size")
-    )
-    out["n_events"] = out.n_events.astype("int64")
-    out["sum_value"] = out.v4.astype("int64") / 10000.0
-    out["n_users"] = out.n_users.astype("int64")
-    return out[["day", "n_events", "sum_value", "n_users"]]
+    def combine(partials: pd.DataFrame) -> pd.DataFrame:
+        per_user = partials.groupby(["day", "user_id"], as_index=False).agg(
+            n=("p_n", "sum"), v4=("p_v4", "sum")
+        )
+        out = per_user.groupby("day", as_index=False).agg(
+            n_events=("n", "sum"), v4=("v4", "sum"), n_users=("user_id", "size")
+        )
+        out["n_events"] = out.n_events.astype("int64")
+        out["sum_value"] = out.v4.astype("int64") / 10000.0
+        out["n_users"] = out.n_users.astype("int64")
+        return out[["day", "n_events", "sum_value", "n_users"]]
+
+    # bounded cardinality (days x users) => driver combine of per-batch partials
+    return driver_combine(ds, partial, combine)
 
 
 _Q2_SQL = """
@@ -176,13 +180,17 @@ def q3_top_customers(sf_dir: str):
             .agg(p_cents=("cents", "sum"))
         )
 
+    def combine_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(cents=("p_cents", "sum"))
+        # per-bucket top-100: global top-100 is within the union of bucket top-100s
+        return g.sort_values(["cents", "o_custkey"], ascending=[False, True]).head(100)
+
+    per_bucket = partial_then_combine(orders, partial, "o_custkey", combine_topk)
     top = (
-        orders.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("o_custkey")
-        .aggregate(Sum("p_cents", alias_name="cents"))
-        .sort(["cents", "o_custkey"], descending=[True, False])
-        .limit(100)
-        .to_pandas()
+        per_bucket.to_pandas()  # <= 16 buckets x 100 rows
+        .sort_values(["cents", "o_custkey"], ascending=[False, True])
+        .head(100)
+        .reset_index(drop=True)
     )
     names = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
     name_map = dict(zip(names["c_custkey"].to_pylist(), names["c_name"].to_pylist()))
@@ -205,11 +213,17 @@ LIMIT 100
 
 def q4_priority_counts(sf_dir: str):
     """GROUP BY estado -> COUNT (job-queue stats A4/A5 analogue)."""
-    return (
-        _read(sf_dir, "orders", ["o_orderpriority"])
-        .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_orders"))
-    )
+    ds = _read(sf_dir, "orders", ["o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False).agg(p_n=("o_orderpriority", "size"))
+
+    def combine(partials: pd.DataFrame) -> pd.DataFrame:
+        out = partials.groupby("o_orderpriority", as_index=False).agg(n_orders=("p_n", "sum"))
+        out["n_orders"] = out.n_orders.astype("int64")
+        return out
+
+    return driver_combine(ds, partial, combine)
 
 
 _Q4_SQL = "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority"
@@ -241,12 +255,12 @@ def q5_region_rollup(sf_dir: str):
             .agg(p_n=("cents", "size"), p_cents=("cents", "sum"))
         )
 
-    agg = (
-        customers.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("c_nationkey")
-        .aggregate(Sum("p_n", alias_name="n_customers"), Sum("p_cents", alias_name="cents"))
-        .to_pandas()
-    )
+    def combine(partials: pd.DataFrame) -> pd.DataFrame:
+        return partials.groupby("c_nationkey", as_index=False).agg(
+            n_customers=("p_n", "sum"), cents=("p_cents", "sum")
+        )
+
+    agg = driver_combine(customers, partial, combine)  # 25 nations
     agg["n_name"] = agg.c_nationkey.map(lambda k: n_info[k][0])
     agg["r_name"] = agg.c_nationkey.map(lambda k: n_info[k][1])
     agg["n_customers"] = agg.n_customers.astype("int64")
@@ -302,13 +316,17 @@ def q8_latest_event_per_user(sf_dir: str):
     """Last-writer-wins per key (D4: upsert-by-id => latest by (ts, id))."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value", "ts"])
 
-    def latest(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group, sort_keys=[("ts", "descending"), ("event_id", "descending")]
-        )
-        return group.take(idx[:1]).select(["user_id", "event_id", "event_type", "value", "ts"])
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch pre-reduce: at most one row per user per batch
+        df = df.sort_values(["user_id", "ts", "event_id"], ascending=[True, False, False])
+        return df.groupby("user_id", as_index=False).head(1)
 
-    return ds.groupby("user_id").map_groups(latest, batch_format="pyarrow")
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], ascending=[True, False, False])
+        out = df.groupby("user_id", as_index=False).head(1)
+        return out[["user_id", "event_id", "event_type", "value", "ts"]]
+
+    return partial_then_combine(ds, partial, "user_id", combine)
 
 
 _Q8_SQL = """
@@ -486,26 +504,25 @@ def q15_ngram_jaccard(sf_dir: str):
 
     sh = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    # per-doc distinct shingle counts (small result -> broadcast dict)
-    counts = sh.groupby("doc_id").aggregate(Count(alias_name="n_sh")).to_pandas()
+    # per-doc distinct shingle counts (bounded: one row per doc)
+    counts = driver_combine(
+        sh,
+        lambda df: df.groupby("doc_id", as_index=False).agg(p_n=("shingle", "size")),
+        lambda df: df.groupby("doc_id", as_index=False).agg(n_sh=("p_n", "sum")),
+    )
     n_sh = dict(zip(counts.doc_id, counts.n_sh))
 
-    def pairs_in_group(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        a_o, b_o = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_o.append(ids[i])
-                b_o.append(ids[j])
-        return pa.table({"doc_a": pa.array(a_o, pa.int64()), "doc_b": pa.array(b_o, pa.int64())})
+    def pairs_per_shingle(df: pd.DataFrame) -> pd.DataFrame:
+        from medical_ocr_service_ray.stages.dedup import _pairs_from_groups
 
-    inter = (
-        sh.groupby(["source", "shingle"])
-        .map_groups(pairs_in_group, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="inter"))
-        .to_pandas()
-    )
+        return _pairs_from_groups(df, ["source", "shingle"])
+
+    pair_rows = bucketed_combine(sh, "shingle", pairs_per_shingle, num_buckets=32)
+    inter = bucketed_combine(
+        pair_rows,
+        "doc_a",
+        lambda df: df.groupby(["doc_a", "doc_b"], as_index=False).size().rename(columns={"size": "inter"}),
+    ).to_pandas()
     na = inter.doc_a.map(n_sh).astype("int64")
     nb = inter.doc_b.map(n_sh).astype("int64")
     inter["jaccard_x1000"] = (1000 * inter.inter.astype("int64")) // (na + nb - inter.inter)
@@ -589,23 +606,19 @@ def q17_conv_stats(sf_dir: str):
             p_plain=("is_plain", "sum"),
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("conv_id")
-        .aggregate(
-            Sum("p_n", alias_name="n_turns"),
-            Sum("p_conf", alias_name="sum_conf100"),
-            Sum("p_html", alias_name="n_html"),
-            Sum("p_pdf", alias_name="n_pdfish"),
-            Sum("p_plain", alias_name="n_plain"),
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", as_index=False).agg(
+            n_turns=("p_n", "sum"),
+            sum_conf100=("p_conf", "sum"),
+            n_html=("p_html", "sum"),
+            n_pdfish=("p_pdf", "sum"),
+            n_plain=("p_plain", "sum"),
         )
-    )
+        g["avg_confidence_x100"] = g.sum_conf100.astype("int64") // g.n_turns.astype("int64")
+        return g[["conv_id", "n_turns", "n_html", "n_pdfish", "n_plain", "avg_confidence_x100"]]
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df["avg_confidence_x100"] = df.sum_conf100.astype("int64") // df.n_turns.astype("int64")
-        return df[["conv_id", "n_turns", "n_html", "n_pdfish", "n_plain", "avg_confidence_x100"]]
-
-    return agg.map_batches(finalize, batch_format="pandas")
+    # conv_id cardinality is unbounded at scale -> bucketed distributed combine
+    return partial_then_combine(ds, partial, "conv_id", combine, num_buckets=16)
 
 
 # --------------------------------------------------------------------- q18
@@ -688,18 +701,15 @@ def q21_hourly_user_windows(sf_dir: str):
             .agg(p_n=("v4", "size"), p_v4=("v4", "sum"))
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby(["user_id", "hour"])
-        .aggregate(Sum("p_n", alias_name="n_events"), Sum("p_v4", alias_name="v4"))
-    )
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "hour"], as_index=False).agg(
+            n_events=("p_n", "sum"), v4=("p_v4", "sum")
+        )
+        g["n_events"] = g.n_events.astype("int64")
+        g["sum_value"] = g.v4.astype("int64") / 10000.0
+        return g[["user_id", "hour", "n_events", "sum_value"]]
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df["n_events"] = df.n_events.astype("int64")
-        df["sum_value"] = df.v4.astype("int64") / 10000.0
-        return df[["user_id", "hour", "n_events", "sum_value"]]
-
-    return agg.map_batches(finalize, batch_format="pandas")
+    return partial_then_combine(ds, partial, "user_id", combine, num_buckets=16)
 
 
 _Q21_SQL = """

@@ -1,0 +1,88 @@
+"""Aggregation helpers: partial pre-aggregation + bucketed vectorized combine.
+
+Ray's built-in ``groupby().aggregate()`` accumulates per row in Python — fine
+for narrow cases, pathological for many groups (~650 rows/s observed). The
+scalable pattern used across this engine instead:
+
+1. **partial**: inside ``map_batches`` do a vectorized pandas groupby per
+   batch, emitting one row per (key, batch) — shrinks data by the batch/key
+   ratio BEFORE any shuffle (SURVEY.md §2.5 A7, metrics partial-aggregation).
+2. **combine**: add an int bucket column (hash of the first key), shuffle once
+   on that bucket (few distinct values => cheap sort shuffle), and run ONE
+   vectorized pandas groupby per bucket via ``map_groups``.
+
+Bucket count bounds per-task memory: at 100 TB choose
+``num_buckets ~ partial_bytes / 1 GiB``. Rows with equal first key share a
+bucket, so grouping by the full key inside a bucket is complete.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Callable
+
+import pandas as pd
+
+import ray.data as rd
+
+
+def bucket_of(series: pd.Series, num_buckets: int) -> pd.Series:
+    """Deterministic bucket id (crc32 for strings, modulo for ints) — stable
+    across processes, unlike Python's salted hash()."""
+    if series.dtype.kind in "iu":
+        return (series.astype("int64") % num_buckets).astype("int32")
+    return (
+        series.astype(str)
+        .map(lambda x: zlib.crc32(x.encode()) % num_buckets)
+        .astype("int32")
+    )
+
+
+def bucketed_combine(
+    ds: "rd.Dataset",
+    first_key: str,
+    combine_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = 16,
+) -> "rd.Dataset":
+    """Shuffle once on hash(first_key) % num_buckets, then run ``combine_fn``
+    (a vectorized pandas reduction) once per bucket."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = bucket_of(df[first_key], num_buckets)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return combine_fn(df.drop(columns="__bucket"))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def partial_then_combine(
+    ds: "rd.Dataset",
+    partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    first_key: str,
+    combine_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = 16,
+    batch_size: int = 65536,
+) -> "rd.Dataset":
+    """The full pattern: per-batch partial -> bucketed vectorized combine."""
+    partials = ds.map_batches(partial_fn, batch_format="pandas", batch_size=batch_size)
+    return bucketed_combine(partials, first_key, combine_fn, num_buckets)
+
+
+def driver_combine(
+    ds: "rd.Dataset",
+    partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    combine_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    batch_size: int = 65536,
+) -> pd.DataFrame:
+    """Partial per batch, final combine on the driver. ONLY for provably
+    bounded key cardinality (dashboards / manifest roll-ups: partial output is
+    blocks x cardinality rows, all tiny)."""
+    partials = ds.map_batches(partial_fn, batch_format="pandas", batch_size=batch_size)
+    return combine_fn(partials.to_pandas())

@@ -13,7 +13,6 @@ from __future__ import annotations
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Count, Min
 
 from medical_ocr_service_ray.functions.hashing import (
     minhash_params,
@@ -34,16 +33,31 @@ def add_sha_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def exact_dedup(ds: "rd.Dataset", id_col: str = "doc_id", text_col: str = "text") -> "rd.Dataset":
-    """Hash-partition on content hash, keep min(id) per group + dup_count.
-    Pure aggregate (no map_groups) so Ray pre-combines per block before the
-    shuffle — the partial-aggregation pattern for 100 TB inputs."""
+    """Hash-partition on content hash, keep min(id) per group + dup_count:
+    per-batch partial (min,count per sha) BEFORE the shuffle, then a bucketed
+    vectorized combine (the 100 TB partial-aggregation pattern)."""
+    import pandas as pd
+
+    from medical_ocr_service_ray.stages.aggregate import partial_then_combine
+
     hashed = ds.map_batches(
         lambda t: add_sha_batch(t, text_col), batch_format="pyarrow", zero_copy_batch=True
     ).select_columns(["text_sha256", id_col])
-    agg = hashed.groupby("text_sha256").aggregate(
-        Min(id_col, alias_name=id_col), Count(alias_name="dup_count")
-    )
-    return agg.select_columns([id_col, "dup_count"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("text_sha256", as_index=False).agg(
+            p_min=(id_col, "min"), p_n=(id_col, "size")
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text_sha256", as_index=False).agg(
+            **{id_col: ("p_min", "min"), "dup_count": ("p_n", "sum")}
+        )
+        g[id_col] = g[id_col].astype("int64")
+        g["dup_count"] = g.dup_count.astype("int64")
+        return g[[id_col, "dup_count"]]
+
+    return partial_then_combine(hashed, partial, "text_sha256", combine, num_buckets=16)
 
 
 # ---------------------------------------------------------------- MinHash LSH
@@ -80,15 +94,18 @@ class MinHashSignatures:
         )
 
 
-def _emit_pairs(group: pa.Table) -> pa.Table:
-    """All (a<b) pairs within one LSH bucket."""
-    ids = sorted(set(group["doc_id"].to_pylist()))
+def _pairs_from_groups(df, group_cols: list[str]):
+    """All (a<b) doc pairs within each group of a bucket's DataFrame."""
+    import pandas as pd
+
     a_out, b_out = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
-    return pa.table({"doc_a": pa.array(a_out, pa.int64()), "doc_b": pa.array(b_out, pa.int64())})
+    for _, g in df.groupby(group_cols, sort=False):
+        ids = sorted(set(g["doc_id"]))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+    return pd.DataFrame({"doc_a": pd.array(a_out, "int64"), "doc_b": pd.array(b_out, "int64")})
 
 
 class JaccardVerifier:
@@ -136,17 +153,23 @@ def minhash_lsh_pairs(
 ) -> "rd.Dataset":
     """shingle -> minhash -> band -> bucket-groupby -> candidate pairs ->
     dedupe pairs -> verify true Jaccard. Returns (doc_a, doc_b, jaccard_x1000)."""
+    from medical_ocr_service_ray.stages.aggregate import bucketed_combine
+
     banded = docs.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    candidates = banded.groupby(["band_id", "band_key"]).map_groups(
-        _emit_pairs, batch_format="pyarrow"
+    candidates = bucketed_combine(
+        banded, "band_key", lambda df: _pairs_from_groups(df, ["band_id", "band_key"])
     )
     # a pair can surface from several bands: dedupe before the (expensive) verify
-    unique_pairs = candidates.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nbands"))
+    unique_pairs = bucketed_combine(
+        candidates,
+        "doc_a",
+        lambda df: df.groupby(["doc_a", "doc_b"], as_index=False).size().rename(columns={"size": "nbands"}),
+    )
     return unique_pairs.map_batches(
         JaccardVerifier,
         fn_constructor_kwargs={
@@ -196,25 +219,34 @@ def simhash_pairs(docs: "rd.Dataset", max_hamming: int = 3) -> "rd.Dataset":
             }
         )
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        rows = sorted(set(zip(group["doc_id"].to_pylist(), group["simhash"].to_pylist())))
+    def pairs_in_buckets(df) -> "pd.DataFrame":
+        import pandas as pd
+
         a_o, b_o, d_o = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                dist = bin(rows[i][1] ^ rows[j][1]).count("1")
-                if dist <= max_hamming:
-                    a_o.append(rows[i][0])
-                    b_o.append(rows[j][0])
-                    d_o.append(dist)
-        return pa.table(
+        for _, g in df.groupby(["band_id", "band_key"], sort=False):
+            rows = sorted(set(zip(g["doc_id"], g["simhash"])))
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    dist = bin(rows[i][1] ^ rows[j][1]).count("1")
+                    if dist <= max_hamming:
+                        a_o.append(rows[i][0])
+                        b_o.append(rows[j][0])
+                        d_o.append(dist)
+        return pd.DataFrame(
             {
-                "doc_a": pa.array(a_o, pa.int64()),
-                "doc_b": pa.array(b_o, pa.int64()),
-                "hamming": pa.array(d_o, pa.int64()),
+                "doc_a": pd.array(a_o, "int64"),
+                "doc_b": pd.array(b_o, "int64"),
+                "hamming": pd.array(d_o, "int64"),
             }
         )
 
-    cands = sigs.map_batches(explode_bands, batch_format="pyarrow").groupby(
-        ["band_id", "band_key"]
-    ).map_groups(pairs_in_bucket, batch_format="pyarrow")
-    return cands.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    from medical_ocr_service_ray.stages.aggregate import bucketed_combine
+
+    cands = bucketed_combine(
+        sigs.map_batches(explode_bands, batch_format="pyarrow"), "band_key", pairs_in_buckets
+    )
+    return bucketed_combine(
+        cands,
+        "doc_a",
+        lambda df: df.groupby(["doc_a", "doc_b"], as_index=False).agg(hamming=("hamming", "min")),
+    )

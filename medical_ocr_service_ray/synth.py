@@ -192,6 +192,57 @@ def generate_conversation(seed: int, conv_idx: int) -> list[dict]:
     return rows
 
 
+def _rows_to_table(rows: list[dict], perm: np.ndarray) -> pa.Table:
+    return pa.table(
+        {
+            "conv_id": pa.array([rows[i]["conv_id"] for i in perm], pa.string()),
+            "turn_idx": pa.array([rows[i]["turn_idx"] for i in perm], pa.int32()),
+            "role": pa.array([rows[i]["role"] for i in perm], pa.string()),
+            "text": pa.array([rows[i]["text"] for i in perm], pa.string()),
+            "tool": pa.array([rows[i]["tool"] for i in perm], pa.string()),
+            "ts": pa.array([rows[i]["ts"] for i in perm], pa.timestamp("us")),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+
+
+def generate_transcripts_parallel(
+    out_dir: str | Path, n_turns: int, seed: int = 42, n_files: int = 32
+) -> Path:
+    """Parallel corpus generation with Ray tasks (bench-scale corpora only;
+    same per-conversation content as the serial path — conversations are keyed
+    on (seed, conv_idx) — but a different physical file layout). Requires an
+    initialized Ray session."""
+    import ray
+
+    out = Path(out_dir)
+    marker = out / "_SUCCESS"
+    if marker.exists():
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+
+    # count conversations needed (turn counts are the first RNG draws per conv)
+    total = 0
+    n_convs = 0
+    while total < n_turns:
+        total += _conv_turn_count(_conv_rng(seed, n_convs))
+        n_convs += 1
+
+    @ray.remote
+    def gen_file(file_idx: int) -> int:
+        rows: list[dict] = []
+        for conv_idx in range(file_idx, n_convs, n_files):
+            rows.extend(generate_conversation(seed, conv_idx))
+        perm = np.random.default_rng((seed, file_idx)).permutation(len(rows))
+        table = _rows_to_table(rows, perm)
+        pq.write_table(table, out / f"transcripts-{file_idx:05d}.parquet", row_group_size=16384)
+        return table.num_rows
+
+    written = sum(ray.get([gen_file.remote(f) for f in range(n_files)]))
+    marker.write_text(f"rows={written}\n")
+    return out
+
+
 def generate_transcripts(
     out_dir: str | Path,
     n_turns: int,
@@ -205,6 +256,11 @@ def generate_transcripts(
     marker = out / "_SUCCESS"
     if marker.exists() and not overwrite:
         return out
+    if n_turns >= 200_000:
+        import ray
+
+        if ray.is_initialized():
+            return generate_transcripts_parallel(out, n_turns, seed=seed, n_files=max(n_files, 32))
     out.mkdir(parents=True, exist_ok=True)
     rows: list[dict] = []
     conv_idx = 0
