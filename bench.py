@@ -65,6 +65,10 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # fixed object store: ray sizes it from *available* memory, so a
+        # second fresh-process run (page cache now full) would get a smaller
+        # store and spill — skewing the two-parallelism comparison.
+        object_store_memory=16 * 1024**3,
     )
     from ray.data import DataContext
 
@@ -72,7 +76,7 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
-    from medical_ocr_service_ray.pipelines.extraction import run_extraction_pipeline
+    from medical_ocr_service_ray.pipelines.extraction import run_extraction_fs_bucketed
     from medical_ocr_service_ray.pipelines.queries import QUERIES
     from medical_ocr_service_ray.synth import ensure_transcripts_for_sf
 
@@ -90,7 +94,7 @@ def run_bench() -> dict:
     out_dir = Path("/tmp/mosr_bench_out") / sf_name
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
-    run_extraction_pipeline(corpus, output_dir=out_dir, ordered=True)
+    run_extraction_fs_bucketed(corpus, out_dir)
     headline = time.time() - t0
 
     # ---- representative query suite over the sf tables ----
@@ -100,10 +104,21 @@ def run_bench() -> dict:
         _consume(QUERIES[name](sf_dir))
         query_secs[name] = round(time.time() - t0, 3)
 
+    # extraction stage alone (the north-rule "turns/sec extracted" compute,
+    # no ordering shuffle / durable write): count() executes without pulling
+    # batches to the driver
+    from medical_ocr_service_ray.pipelines.extraction import extract_dataset, read_transcripts
+
+    t0 = time.time()
+    extract_dataset(read_transcripts(corpus)).count()
+    extract_only = time.time() - t0
+
     result = {
         "metric": "headline extraction wall-clock (synthetic transcripts sized to sf; "
         "classify+route+extract+normalize+order+write)",
         "value": round(headline, 3),
+        "extract_only_sec": round(extract_only, 3),
+        "extract_only_turns_per_sec": round(n_turns / extract_only, 1),
         "unit": "sec",
         "queries": query_secs,
         "sf": sf,
@@ -127,6 +142,7 @@ def run_scaling() -> dict:
 
     lo, hi = run(8), run(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
+    eff_extract = (lo["extract_only_sec"] / hi["extract_only_sec"]) / (32 / 8)
     return {
         "metric": "scaling efficiency, headline extraction, num_cpus 8 -> 32",
         "sec_8": lo["value"],
@@ -134,6 +150,9 @@ def run_scaling() -> dict:
         "turns_per_sec_8": lo["turns_per_sec"],
         "turns_per_sec_32": hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "extract_only_sec_8": lo["extract_only_sec"],
+        "extract_only_sec_32": hi["extract_only_sec"],
+        "extract_scaling_efficiency": round(eff_extract, 3),
         "turns": lo["turns"],
         "sf": lo["sf"],
     }

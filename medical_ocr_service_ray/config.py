@@ -16,8 +16,10 @@ class PipelineConfig:
     # that autoscale to the cluster. (min, max) tuples also accepted by Ray.
     extract_concurrency: int | tuple[int, int] | None = None
     # hash buckets for the keyed ordering stage. At 100 TB choose
-    # total_bytes / ~1 GiB so one bucket fits comfortably in a task heap.
-    num_buckets: int = 32
+    # total_bytes / ~1 GiB so one bucket fits comfortably in a task heap;
+    # here sized for shuffle parallelism at 32 CPUs (measured best at 64
+    # with block coalescing; >64 explodes the partitioned-write file count).
+    num_buckets: int = 64
     # salt span for extraction-side partitioning of very long conversations
     # (SURVEY.md §4.3.1): extraction itself is per-turn so salting is only
     # needed if a future stage groups before the final ordering stage.
