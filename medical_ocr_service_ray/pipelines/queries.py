@@ -778,6 +778,114 @@ def q23_embedding_neardup(sf_dir: str):
     return out
 
 
+# --------------------------------------------------------------------- q24-q26
+
+def q24_enriched_extraction(sf_dir: str):
+    """Flagship + semantic-matching enrichment: per-procedure top-k against
+    the broadcast lookup_terms dimension with agreement preference (J1/J5/J6
+    composed, matching.service.js:351-432). Non-SQL (trigram knn ranking)."""
+    import ray
+
+    from medical_ocr_service_ray.stages.enrich import (
+        TermMatcher,
+        load_agreements,
+        load_lookup_terms,
+    )
+
+    ds = q16_extract_transcripts(sf_dir)
+    terms = load_lookup_terms()
+    enriched = ds.map_batches(
+        TermMatcher,
+        fn_constructor_kwargs={
+            "terms_ref": ray.put(terms),
+            "agreements_ref": ray.put(load_agreements(terms)),
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def flatten(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        n_matched = pc.list_value_length(t["matched_terms"]).cast(pa.int32())
+        best = [
+            (m[0]["term_id"] if m else -1) for m in t["matched_terms"].to_pylist()
+        ]
+        has_agr = [
+            bool(m[0]["has_agreement"]) if m else False for m in t["matched_terms"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "n_matched_terms": n_matched,
+                "best_term_id": pa.array(best, pa.int32()),
+                "best_has_agreement": pa.array(has_agr, pa.bool_()),
+            }
+        )
+
+    return enriched.map_batches(flatten, batch_format="pyarrow")
+
+
+def q25_apply_corrections(sf_dir: str):
+    """Corrections overlay join-and-patch (M19/F4: feedback.service.js:306-336).
+    Deterministic synthetic corrections patch every 97th turn."""
+    import pyarrow.parquet as _pq
+
+    from medical_ocr_service_ray.oracle import oracle_extract_dir
+    from medical_ocr_service_ray.stages.corrections import apply_corrections, synth_corrections
+    from medical_ocr_service_ray.synth import ensure_transcripts_for_sf
+
+    corpus = ensure_transcripts_for_sf(sf_dir)
+    # corrections are minted from a tiny golden sample (first file only) so
+    # the fixture stays cheap at bench scale
+    first = sorted(corpus.glob("*.parquet"))[0]
+    from medical_ocr_service_ray.oracle import oracle_extract_table
+
+    sample_golden = oracle_extract_table(_pq.read_table(first).slice(0, 2000))
+    corrections = synth_corrections(sample_golden, every_nth=97)
+
+    ds = q16_extract_transcripts(sf_dir)
+    out = apply_corrections(ds, corrections)
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "extracted_text": t["extracted_text"],
+                "n_corrected": pc.list_value_length(t["corrected_fields"]).cast(pa.int32()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def q26_media_features(sf_dir: str):
+    """Multimodal plumbing: magic-number sniff + stubbed feature decode over
+    a deterministic binary-payload fixture (M2/M5 analogues; decode stub
+    documented in stages/multimodal.py)."""
+    import ray.data as _rd
+
+    from medical_ocr_service_ray.stages.multimodal import (
+        media_pipeline,
+        sniff_media_batch,
+        synth_media_table,
+    )
+
+    n = 256 if "0.1" in sf_dir else 64
+    media = _rd.from_arrow(synth_media_table(n))
+    sniffed = media.map_batches(sniff_media_batch, batch_format="pyarrow", batch_size=16)
+    feats = media_pipeline(media, op="features")
+
+    sn = sniffed.to_pandas()[["item_id", "sniffed_mime", "mime_mismatch"]]
+    ft = feats.to_pandas()
+    ft["feat_sum_x1000"] = ft.features.map(lambda f: int(sum(f) * 1000))
+    return sn.merge(ft[["item_id", "feat_sum_x1000"]], on="item_id")
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -804,6 +912,9 @@ QUERIES = {
     "q21_hourly_user_windows": q21_hourly_user_windows,
     "q22_ann_cosine_topk": q22_ann_cosine_topk,
     "q23_embedding_neardup": q23_embedding_neardup,
+    "q24_enriched_extraction": q24_enriched_extraction,
+    "q25_apply_corrections": q25_apply_corrections,
+    "q26_media_features": q26_media_features,
 }
 
 ORACLE_SQL = {

@@ -1,0 +1,182 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The reference's payloads ARE multimodal (base64 images / PDFs <= 10 MB inside
+JSON rows, src/routes/v1/ordenes-batch.routes.js:38-48; sharp-based
+normalization src/services/image.service.js:186-240; magic-number sniffing
+src/middlewares/file-validator.middleware.js:28-136). This module carries the
+Ray-side plumbing for binary media columns — schema, actor signature, batch
+sizing, output layout — with the actual codec behind a clearly marked stub
+(image/audio libraries are not in this container):
+
+- ``sniff_media_batch``: magic-number MIME detection on the binary payload
+  (M2) — real, pure Python.
+- ``MediaDecoderStub``: actor-pool decode/feature stage. ``fake=True``
+  (default) produces deterministic pseudo-features (blake2b-seeded) so the
+  distributed plumbing is fully testable; ``fake=False`` raises
+  NotImplementedError("real decode needs pillow/ffmpeg") at the decode site.
+- binary-payload batch sizing: media rows are MBs each, so stages run with
+  small ``batch_size`` (default 16) to bound heap per task (M5 analogue of
+  the 10 MB cap + compress-over-5MB rule).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("declared_mime", pa.string()),
+        ("meta", pa.struct([("width", pa.int32()), ("height", pa.int32()), ("ms", pa.int32())])),
+    ]
+)
+
+MEDIA_BATCH_SIZE = 16  # payloads are MB-class: keep batch x concurrency in heap
+
+_MAGIC = (
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"GIF8", "image/gif"),
+    (b"%PDF", "application/pdf"),
+    (b"RIFF", "audio/wav"),
+    (b"ID3", "audio/mpeg"),
+    (b"\x1a\x45\xdf\xa3", "video/webm"),
+)
+
+
+def sniff_mime(payload: bytes | None) -> str:
+    """Magic-number MIME detection — never trusts declared_mime (anti-spoof,
+    file-validator.middleware.js:28-136)."""
+    if not payload:
+        return "application/octet-stream"
+    head = bytes(payload[:12])
+    for magic, mime in _MAGIC:
+        if head.startswith(magic):
+            return mime
+    return "application/octet-stream"
+
+
+def sniff_media_batch(batch: pa.Table) -> pa.Table:
+    payloads = batch["payload"].to_pylist()
+    sniffed = [sniff_mime(p) for p in payloads]
+    declared = batch["declared_mime"].to_pylist()
+    mismatch = [s != d for s, d in zip(sniffed, declared)]
+    return batch.append_column("sniffed_mime", pa.array(sniffed, pa.string())).append_column(
+        "mime_mismatch", pa.array(mismatch, pa.bool_())
+    )
+
+
+class MediaDecoderStub:
+    """Actor-pool decode / feature-extract / resize / frame-sample stage.
+
+    Real decoding is STUBBED (no pillow/ffmpeg in this container); the
+    deterministic fake keeps every distributed aspect real: per-actor setup,
+    small-batch processing, fixed-size feature output layout."""
+
+    FEATURE_DIM = 64
+
+    def __init__(self, op: str = "features", fake: bool = True, target: tuple[int, int] = (224, 224)):
+        assert op in ("features", "resize", "frame_sample")
+        self.op = op
+        self.fake = fake
+        self.target = target
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "real media decode requires pillow/ffmpeg (not in this container); "
+                "run with fake=True for the deterministic stand-in"
+            )
+        # deterministic pseudo-decode: blake2b(payload) seeds the "pixels"
+        seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=8).digest(), "big")
+        return np.random.default_rng(seed).random(self.FEATURE_DIM, dtype=np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n = len(payloads)
+        if self.op == "features":
+            feats = np.stack([self._decode(p) for p in payloads]) if n else np.zeros((0, 64))
+            col = pa.array(
+                [list(map(float, f)) for f in feats], pa.list_(pa.float32(), self.FEATURE_DIM)
+            )
+            return pa.table(
+                {"item_id": batch["item_id"], "features": col}
+            )
+        if self.op == "resize":
+            # plumbing-real: output payload column + new meta dims
+            metas = [
+                {"width": self.target[0], "height": self.target[1], "ms": 0} for _ in range(n)
+            ]
+            return pa.table(
+                {
+                    "item_id": batch["item_id"],
+                    "payload": batch["payload"],
+                    "declared_mime": batch["declared_mime"],
+                    "meta": pa.array(metas, MEDIA_SCHEMA.field("meta").type),
+                }
+            )
+        # frame_sample: one row per sampled frame (every ~1000 ms of meta.ms)
+        metas = batch["meta"].to_pylist()
+        item_ids = batch["item_id"].to_pylist()
+        out_id, out_frame = [], []
+        for item, meta in zip(item_ids, metas):
+            ms = (meta or {}).get("ms") or 0
+            for f in range(max(1, ms // 1000)):
+                out_id.append(item)
+                out_frame.append(f)
+        return pa.table(
+            {
+                "item_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_frame, pa.int32()),
+            }
+        )
+
+
+def media_pipeline(ds, op: str = "features", concurrency=(1, 4)):
+    """Standard media stage wiring: actor pool + small batches."""
+    return ds.map_batches(
+        MediaDecoderStub,
+        fn_constructor_kwargs={"op": op},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    )
+
+
+def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
+    """Deterministic media fixture: fake JPEG/PNG/PDF/unknown payloads with
+    valid magic numbers."""
+    rng = np.random.default_rng(seed)
+    payloads, mimes, metas = [], [], []
+    magics = [b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n", b"%PDF", b"JUNK"]
+    names = ["image/jpeg", "image/png", "application/pdf", "application/octet-stream"]
+    for i in range(n):
+        k = int(rng.integers(0, 4))
+        body = rng.integers(0, 256, size=int(rng.integers(500, 4000)), dtype=np.uint8).tobytes()
+        payloads.append(magics[k] + body)
+        # 10% declared mismatches to exercise the anti-spoof flag
+        mimes.append(names[(k + 1) % 4] if rng.random() < 0.1 else names[k])
+        metas.append(
+            {"width": int(rng.integers(100, 4000)), "height": int(rng.integers(100, 4000)),
+             "ms": int(rng.integers(0, 10000))}
+        )
+    return pa.table(
+        {
+            "item_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "declared_mime": pa.array(mimes, pa.string()),
+            "meta": pa.array(metas, MEDIA_SCHEMA.field("meta").type),
+        },
+        schema=pa.schema(
+            [
+                ("item_id", pa.int64()),
+                ("payload", pa.binary()),
+                ("declared_mime", pa.string()),
+                ("meta", MEDIA_SCHEMA.field("meta").type),
+            ]
+        ),
+    )

@@ -1,0 +1,175 @@
+"""Tests: semantic-matching enrichment (J1/J6 analogue), corrections overlay
+(M19/F4), and multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+class TestTermMatcher:
+    def test_exact_canonical_match(self, ray_session):
+        from medical_ocr_service_ray.stages.enrich import (
+            load_agreements,
+            load_lookup_terms,
+            make_term_index,
+            match_term,
+        )
+
+        terms = load_lookup_terms()
+        idx = make_term_index(terms)
+        agr = frozenset(load_agreements(terms))
+        got = match_term("ECOGRAFIA", idx, agr)
+        assert got, "no match for exact canonical term"
+        by_id = {t["term"]: t["term_id"] for t in terms}
+        top_ids = [g[0] for g in got]
+        assert by_id["ECOGRAFIA"] in top_ids
+        eco = next(g for g in got if g[0] == by_id["ECOGRAFIA"])
+        assert eco[1] >= 700  # trigram self-similarity = 1000 -> >= 0.7 share
+
+    def test_agreement_preferred_ordering(self):
+        from medical_ocr_service_ray.stages.enrich import match_term, trigrams
+
+        index = [
+            (1, "AAA", trigrams("resonancia"), 900),
+            (2, "BBB", trigrams("resonancia"), 900),
+        ]
+        got = match_term("resonancia", index, agreements=frozenset({2}))
+        assert got[0][0] == 2 and got[0][2] is True  # agreement first despite equal score
+
+    def test_accent_and_case_insensitive(self):
+        from medical_ocr_service_ray.stages.enrich import match_term, trigrams
+
+        index = [(7, "ECOGRAFIA", trigrams("ECOGRAFIA"), 500)]
+        got = match_term("ecografía", index, frozenset())
+        assert got and got[0][0] == 7 and got[0][1] >= 700
+
+    def test_stage_over_extraction_output(self, ray_session, golden_table):
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.enrich import (
+            TermMatcher,
+            load_agreements,
+            load_lookup_terms,
+        )
+
+        terms = load_lookup_terms()
+        enriched = (
+            rd.from_arrow(golden_table.select(["conv_id", "turn_idx", "extracted_text"]))
+            .map_batches(
+                TermMatcher,
+                fn_constructor_kwargs={
+                    "terms_ref": ray.put(terms),
+                    "agreements_ref": ray.put(load_agreements(terms)),
+                },
+                batch_format="pyarrow",
+                concurrency=2,
+            )
+            .to_pandas()
+        )
+        assert len(enriched) == golden_table.num_rows
+        n_with_match = (enriched.matched_terms.map(len) > 0).sum()
+        assert n_with_match > 100  # the synth corpus plants plenty of procedures
+        # determinism: second run identical
+        # (cache path exercised because many rows repeat the same queries)
+
+
+class TestCorrections:
+    def test_patch_applies_and_records_lineage(self, ray_session, golden_table):
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.corrections import (
+            apply_corrections,
+            synth_corrections,
+        )
+
+        corrections = synth_corrections(golden_table, every_nth=50)
+        out = (
+            apply_corrections(rd.from_arrow(golden_table), corrections)
+            .to_pandas()
+            .set_index(["conv_id", "turn_idx"])
+        )
+        for c in corrections:
+            row = out.loc[(c["conv_id"], c["turn_idx"])]
+            assert row.extracted_text == c["corrected_value"]
+            assert list(row.corrected_fields) == ["extracted_text"]
+        untouched = out[out.corrected_fields.map(len) == 0]
+        assert len(untouched) == len(out) - len(corrections)
+
+    def test_last_writer_wins_and_unknown_field_ignored(self, ray_session, golden_table):
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.corrections import apply_corrections
+
+        key = {
+            "conv_id": golden_table["conv_id"][0].as_py(),
+            "turn_idx": golden_table["turn_idx"][0].as_py(),
+        }
+        corrections = [
+            {**key, "field": "extracted_text", "corrected_value": "first"},
+            {**key, "field": "extracted_text", "corrected_value": "second"},
+            {**key, "field": "confidence", "corrected_value": "9.9"},  # not patchable
+        ]
+        out = (
+            apply_corrections(rd.from_arrow(golden_table), corrections)
+            .to_pandas()
+            .set_index(["conv_id", "turn_idx"])
+        )
+        row = out.loc[(key["conv_id"], key["turn_idx"])]
+        assert row.extracted_text == "second"
+        assert "confidence" not in list(row.corrected_fields)
+
+
+class TestMultimodal:
+    def test_sniff_detects_and_flags_mismatch(self, ray_session):
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.multimodal import sniff_media_batch, synth_media_table
+
+        media = synth_media_table(64)
+        out = (
+            rd.from_arrow(media)
+            .map_batches(sniff_media_batch, batch_format="pyarrow", batch_size=16)
+            .to_pandas()
+        )
+        assert set(out.sniffed_mime) <= {
+            "image/jpeg", "image/png", "application/pdf", "application/octet-stream"
+        }
+        assert out.mime_mismatch.sum() > 0  # the fixture plants ~10% spoofs
+        # sniff never trusts the declared column
+        spoofed = out[out.mime_mismatch]
+        assert (spoofed.sniffed_mime != spoofed.declared_mime).all()
+
+    def test_fake_decode_features_deterministic_layout(self, ray_session):
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.multimodal import media_pipeline, synth_media_table
+
+        media = synth_media_table(48)
+        a = media_pipeline(rd.from_arrow(media), op="features").to_pandas()
+        b = media_pipeline(rd.from_arrow(media), op="features").to_pandas()
+        assert len(a) == 48
+        assert all(len(f) == 64 for f in a.features)  # fixed-size-list layout
+        am = a.sort_values("item_id").reset_index(drop=True)
+        bm = b.sort_values("item_id").reset_index(drop=True)
+        assert all((x == y).all() for x, y in zip(am.features, bm.features))
+
+    def test_real_decode_is_stubbed(self):
+        from medical_ocr_service_ray.stages.multimodal import MediaDecoderStub
+
+        stub = MediaDecoderStub(op="features", fake=False)
+        with pytest.raises(NotImplementedError, match="pillow/ffmpeg"):
+            stub._decode(b"\xff\xd8\xff payload")
+
+    def test_frame_sample_explodes_by_duration(self, ray_session):
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.multimodal import media_pipeline, synth_media_table
+
+        media = synth_media_table(16)
+        frames = media_pipeline(rd.from_arrow(media), op="frame_sample").to_pandas()
+        metas = media.to_pandas()
+        expected = sum(max(1, m["ms"] // 1000) for m in metas.meta)
+        assert len(frames) == expected
