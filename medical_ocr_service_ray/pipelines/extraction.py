@@ -119,15 +119,25 @@ def run_extraction_fs_bucketed(
     resumes at bucket granularity — see state/manifest.py), the final files
     are the sorted, dedupable unit the north rule requires, and the tail cost
     beyond raw extraction is a cheap local sort per bucket."""
+    import os
+
     import ray
 
     cfg = cfg or PipelineConfig()
     out = Path(output_dir)
-    tmp = out.parent / (out.name + ".stage1")
+    # the stage-1 intermediate is EPHEMERAL shuffle data (rebuilt on retry):
+    # place it on fast scratch (tmpfs) when available — the durable,
+    # checkpointed variant of this pipeline is state/manifest.py, which keeps
+    # its intermediates next to the output on purpose.
+    scratch = os.environ.get("MOSR_SCRATCH")
+    if scratch is None and Path("/dev/shm").is_dir():
+        scratch = "/dev/shm/mosr_scratch"
+    tmp = (Path(scratch) if scratch else out.parent) / (out.name + ".stage1")
     if tmp.exists():
         import shutil
 
         shutil.rmtree(tmp)
+    tmp.parent.mkdir(parents=True, exist_ok=True)
     out.mkdir(parents=True, exist_ok=True)
 
     ds = extract_dataset(read_transcripts(input_dir), cfg)
