@@ -58,6 +58,11 @@ def extract_dataset(ds: "rd.Dataset", cfg: PipelineConfig | None = None) -> "rd.
         zero_copy_batch=True,
         fn_constructor_kwargs={"extractor_version": cfg.extractor_version_override},
         concurrency=concurrency,
+        # transient-failure retry budget (the reference's 3-attempt job retry,
+        # job-queue.service.js:217-238): dead actors restart, in-flight batches
+        # retry; per-ROW errors never raise (captured as error rows instead)
+        max_restarts=2,
+        max_task_retries=3,
     )
 
 

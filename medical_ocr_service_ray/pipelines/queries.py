@@ -886,6 +886,113 @@ def q26_media_features(sf_dir: str):
     return sn.merge(ft[["item_id", "feat_sum_x1000"]], on="item_id")
 
 
+# --------------------------------------------------------------------- q27/q28
+
+def q27_assemble_conversations(sf_dir: str):
+    """Per-conversation ordered document assembly (T7 invariant + M12 text
+    builder analogue). Non-SQL (depends on extraction output)."""
+    from medical_ocr_service_ray.pipelines.assemble import assemble_conversations
+    from medical_ocr_service_ray.pipelines.extraction import extract_dataset, read_transcripts
+    from medical_ocr_service_ray.synth import ensure_transcripts_for_sf
+
+    corpus = ensure_transcripts_for_sf(sf_dir)
+    return assemble_conversations(extract_dataset(read_transcripts(corpus)))
+
+
+def q28_sessionize_events(sf_dir: str):
+    """Gap-based (30 min) session windows per user over the events stream
+    (streaming-shaped §2.9; SQL oracle via LAG + running session counter)."""
+    from medical_ocr_service_ray.pipelines.assemble import sessionize_events
+
+    return sessionize_events(_read(sf_dir, "events", ["event_id", "user_id", "ts"]))
+
+
+_Q28_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM numbered GROUP BY user_id, session_idx
+"""
+
+
+# --------------------------------------------------------------------- q29
+
+def q29_join_revenue_by_priority(sf_dir: str):
+    """Large-large hash join (lineitem x orders on orderkey), the one join
+    class the reference never needed (its joins are all broadcast lookups,
+    SURVEY.md §2.4). Scale discipline: lineitem is pre-aggregated to one row
+    per orderkey BEFORE the join shuffle (combiner-first), then Ray's
+    hash-partitioned Dataset.join co-locates the two keyed sides; the final
+    5-group rollup is a driver combine. Portable fallback when Dataset.join
+    is unavailable: bucket both sides on crc32(key) % B and merge matching
+    buckets pairwise inside map_groups."""
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df.l_extendedprice) * _cents(1.0 - df.l_discount)
+        return (
+            pd.DataFrame({"l_orderkey": df.l_orderkey, "c": cents})
+            .groupby("l_orderkey", as_index=False)
+            .agg(p_c=("c", "sum"))
+        )
+
+    rev = partial_then_combine(
+        line,
+        partial,
+        "l_orderkey",
+        lambda df: df.groupby("l_orderkey", as_index=False).agg(rev4=("p_c", "sum")),
+        num_buckets=16,
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = rev.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def roll_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            p_n=("rev4", "size"), p_rev=("rev4", "sum")
+        )
+
+    def roll_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("p_n", "sum"), rev4=("p_rev", "sum")
+        )
+        g["n_orders"] = g.n_orders.astype("int64")
+        g["revenue"] = g.rev4.astype("int64") / 10000.0
+        return g[["o_orderpriority", "n_orders", "revenue"]]
+
+    return driver_combine(joined, roll_partial, roll_combine)
+
+
+_Q29_SQL = """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+                * CAST(round((1.0-l_discount)*100, 0) AS BIGINT)) AS BIGINT) AS rev4
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders, CAST(SUM(rev4) AS BIGINT) / 10000.0 AS revenue
+FROM rev JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -915,6 +1022,9 @@ QUERIES = {
     "q24_enriched_extraction": q24_enriched_extraction,
     "q25_apply_corrections": q25_apply_corrections,
     "q26_media_features": q26_media_features,
+    "q27_assemble_conversations": q27_assemble_conversations,
+    "q28_sessionize_events": q28_sessionize_events,
+    "q29_join_revenue_by_priority": q29_join_revenue_by_priority,
 }
 
 ORACLE_SQL = {
@@ -934,6 +1044,8 @@ ORACLE_SQL = {
     "q18_semi_anti_join": _Q18_SQL,
     "q19_distinct_event_types": _Q19_SQL,
     "q21_hourly_user_windows": _Q21_SQL,
+    "q28_sessionize_events": _Q28_SQL,
+    "q29_join_revenue_by_priority": _Q29_SQL,
     # q13/q14/q16/q17/q20/q22/q23: non-SQL-expressible (LSH banding, streaming
     # extraction, rolling-hash, float knn) -> rows-only driver check + pytest
     # oracles in tests/.

@@ -1,0 +1,110 @@
+"""Conversation assembly golden test + an in-pytest SQL-vs-Ray gate so the
+`python -m pytest -x -q` north gate also covers the DuckDB-oracle queries
+(the driver runs the same comparison at sf0.01; this runs it at sf0.001)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# fast, deterministic subset that exercises every aggregate/join/window family
+GATED = [
+    "q1_pricing_summary",
+    "q2_daily_events",
+    "q3_top_customers",
+    "q5_region_rollup",
+    "q7_exact_dedup_documents",
+    "q8_latest_event_per_user",
+    "q9_token_stats",
+    "q10_lang_id",
+    "q12_knn_quantized_dot",
+    "q15_ngram_jaccard",
+    "q21_hourly_user_windows",
+    "q28_sessionize_events",
+    "q29_join_revenue_by_priority",
+]
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", GATED)
+def test_query_matches_duckdb_oracle(ray_session, duck, name):
+    from medical_ocr_service_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    got = _norm(_to_pandas(QUERIES[name](SF_DIR)))
+    exp = _norm(duck.execute(ORACLE_SQL[name]).df())
+    assert list(got.columns) == list(exp.columns), f"{name}: column mismatch"
+    assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
+    for c in got.columns:
+        a, b = got[c].values, exp[c].values
+        eq = (a == b) | (pd.isna(a) & pd.isna(b))
+        assert eq.all(), f"{name}: value mismatch in {c} at {(~eq).nonzero()[0][:5]}"
+
+
+class TestAssembleConversations:
+    def test_matches_oracle_assembly(self, ray_session, unit_corpus, golden_table):
+        import ray.data as rd
+
+        from medical_ocr_service_ray.pipelines.assemble import assemble_conversations
+
+        got = (
+            assemble_conversations(rd.from_arrow(golden_table))
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        # oracle: plain pandas over the golden table (already turn-sorted)
+        gdf = golden_table.select(["conv_id", "turn_idx", "role", "extracted_text"]).to_pandas()
+        gdf = gdf.sort_values(["conv_id", "turn_idx"])
+        lines = gdf.role.str.upper() + ": " + gdf.extracted_text
+        exp = (
+            pd.DataFrame({"conv_id": gdf.conv_id, "line": lines})
+            .groupby("conv_id", as_index=False)
+            .agg(n_turns=("line", "size"), document=("line", "\n".join))
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp)
+        assert (got.conv_id.values == exp.conv_id.values).all()
+        assert (got.n_turns.values == exp.n_turns.values).all()
+        assert (got.document.values == exp.document.values).all()
+        assert (got.doc_chars.values == exp.document.str.len().values).all()
+
+    def test_turn_order_is_logical_not_physical(self, ray_session, golden_table):
+        """Reversing the physical row order changes nothing (T7)."""
+        import ray.data as rd
+
+        from medical_ocr_service_ray.pipelines.assemble import assemble_conversations
+
+        reversed_tbl = golden_table.take(list(range(golden_table.num_rows - 1, -1, -1)))
+        a = assemble_conversations(rd.from_arrow(golden_table)).to_pandas()
+        b = assemble_conversations(rd.from_arrow(reversed_tbl)).to_pandas()
+        a = a.sort_values("conv_id").reset_index(drop=True)
+        b = b.sort_values("conv_id").reset_index(drop=True)
+        assert (a.document.values == b.document.values).all()
