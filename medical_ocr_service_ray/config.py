@@ -25,3 +25,7 @@ class PipelineConfig:
     # needed if a future stage groups before the final ordering stage.
     salt_span: int = 128
     extractor_version_override: str | None = None
+    # idempotency pre-step (D1): collapse duplicated (conv_id, turn_idx) rows
+    # to one output row in the ordering stage. Off by default (golden parity
+    # assumes 1:1 input/output).
+    dedup_turns: bool = False

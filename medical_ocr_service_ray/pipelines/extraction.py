@@ -24,6 +24,7 @@ from medical_ocr_service_ray.config import PipelineConfig
 from medical_ocr_service_ray.stages.extract import (
     TurnExtractor,
     add_bucket_column,
+    dedup_turns_in_bucket,
     sort_group_by_turn,
 )
 
@@ -85,7 +86,8 @@ def finalize_ordered(ds: "rd.Dataset", cfg: PipelineConfig | None = None) -> "rd
     ds = ds.map_batches(
         lambda t: add_bucket_column(t, nb), batch_format="pyarrow", zero_copy_batch=True
     )
-    return ds.groupby("bucket").map_groups(sort_group_by_turn, batch_format="pyarrow")
+    group_fn = dedup_turns_in_bucket if cfg.dedup_turns else sort_group_by_turn
+    return ds.groupby("bucket").map_groups(group_fn, batch_format="pyarrow")
 
 
 def run_extraction_pipeline(

@@ -993,6 +993,18 @@ GROUP BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------- q30
+
+def q30_dedup_clusters(sf_dir: str):
+    """Near-dup clusters: MinHash-LSH verified pairs -> connected components
+    -> (doc_id, cluster_id, cluster_size). Non-SQL (iterative component
+    labeling); pytest oracle in tests/test_dedup_oracle.py."""
+    from medical_ocr_service_ray.stages.dedup import dedup_clusters
+
+    pairs = q13_minhash_pairs(sf_dir).to_pandas()
+    return dedup_clusters(pairs)
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1025,6 +1037,7 @@ QUERIES = {
     "q27_assemble_conversations": q27_assemble_conversations,
     "q28_sessionize_events": q28_sessionize_events,
     "q29_join_revenue_by_priority": q29_join_revenue_by_priority,
+    "q30_dedup_clusters": q30_dedup_clusters,
 }
 
 ORACLE_SQL = {

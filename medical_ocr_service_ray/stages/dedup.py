@@ -182,6 +182,52 @@ def minhash_lsh_pairs(
     )
 
 
+# ------------------------------------------------------- cluster components
+
+def dedup_clusters(pairs_df, id_cols: tuple[str, str] = ("doc_a", "doc_b")):
+    """Connected components over verified near-dup pairs -> (doc_id,
+    cluster_id = min doc_id in component, cluster_size).
+
+    Driver-side union-find: the candidate-pair graph is provably small
+    relative to the corpus (pairs already passed LSH banding + Jaccard
+    verification). Scale path when pairs outgrow one machine: iterate
+    min-label propagation — each round, every edge sends min(label) to both
+    endpoints via the bucketed combine, until a fixpoint (guide pattern);
+    the per-round primitive is exactly ``stages/aggregate.bucketed_combine``.
+    """
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-root union keeps cluster_id = min(doc_id) deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    a_col, b_col = id_cols
+    for a, b in zip(pairs_df[a_col], pairs_df[b_col]):
+        union(int(a), int(b))
+    members: dict[int, list[int]] = {}
+    for node in list(parent):
+        members.setdefault(find(node), []).append(node)
+    rows = []
+    for root, nodes in members.items():
+        for n in nodes:
+            rows.append((n, root, len(nodes)))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id", "cluster_size"]).astype("int64")
+
+
 # ------------------------------------------------------------------- SimHash
 
 def simhash_batch(batch: pa.Table) -> pa.Table:

@@ -95,3 +95,25 @@ def sort_group_by_turn(group: pa.Table) -> pa.Table:
     """Stable per-key ordering inside one bucket (north-rule T7 invariant:
     details ordered by item — pre-visacion.service.js:337)."""
     return group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def dedup_turns_in_bucket(group: pa.Table) -> pa.Table:
+    """Idempotency pre-step (D1 analogue: UNIQUE(archivo_hash) + upsert,
+    database/schema_matching.sql:131): duplicated input rows — same
+    (conv_id, turn_idx, text_sha256) — collapse to one output row. Keeps the
+    first occurrence in (conv_id, turn_idx) order; duplicates of the same
+    turn with DIFFERENT content are also collapsed to the first by key
+    (last-writer-wins is a policy choice; first-wins is deterministic here
+    because content is identical in the idempotency case)."""
+    group = group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    conv = group["conv_id"].to_pylist()
+    turn = group["turn_idx"].to_pylist()
+    keep = []
+    prev = None
+    for i, key in enumerate(zip(conv, turn)):
+        if key != prev:
+            keep.append(i)
+            prev = key
+    if len(keep) == len(conv):
+        return group
+    return group.take(keep)
