@@ -9,9 +9,10 @@ from dataclasses import dataclass
 
 @dataclass(frozen=True)
 class PipelineConfig:
-    # rows per extraction batch: HTML/PDF parse is ~1-5 ms/row of Python work,
-    # so a few hundred rows amortizes batch overhead without huge task latency.
-    batch_size: int = 512
+    # rows per extraction batch: HTML/PDF parse is ~0.5-1 ms/row of Python
+    # work; 1024 measured best (512: -7% from task overhead, 2048: -5% from
+    # imbalance at the tail).
+    batch_size: int = 1024
     # actor-pool size for the stateful extraction stage; None = stateless tasks
     # that autoscale to the cluster. (min, max) tuples also accepted by Ray.
     extract_concurrency: int | tuple[int, int] | None = None
