@@ -24,7 +24,6 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from medical_ocr_service_ray.functions.textstats import (
-    LANG_MARKERS,
     LANGS,
     STOPWORDS,
     sql_lang_score,
@@ -37,12 +36,7 @@ from medical_ocr_service_ray.stages.aggregate import (
     partial_then_combine,
 )
 from medical_ocr_service_ray.stages.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
-from medical_ocr_service_ray.stages.join import (
-    BroadcastMapper,
-    SemiAntiFilter,
-    put_key_set,
-    put_lookup_dict,
-)
+from medical_ocr_service_ray.stages.join import SemiAntiFilter
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "rd.Dataset":
@@ -832,7 +826,6 @@ def q25_apply_corrections(sf_dir: str):
     Deterministic synthetic corrections patch every 97th turn."""
     import pyarrow.parquet as _pq
 
-    from medical_ocr_service_ray.oracle import oracle_extract_dir
     from medical_ocr_service_ray.stages.corrections import apply_corrections, synth_corrections
     from medical_ocr_service_ray.synth import ensure_transcripts_for_sf
 
