@@ -33,8 +33,9 @@ def read_transcripts(input_dir: str | Path) -> "rd.Dataset":
     files = sorted(str(p) for p in Path(input_dir).glob("*.parquet"))
     if not files:
         raise FileNotFoundError(f"no parquet files under {input_dir}")
-    # prune at the read: extraction needs exactly these columns
-    return rd.read_parquet(files, columns=["conv_id", "turn_idx", "role", "text", "ts"])
+    # prune at the read: extraction needs exactly these columns (ts/tool are
+    # not consumed by any extraction stage and never leave storage)
+    return rd.read_parquet(files, columns=["conv_id", "turn_idx", "role", "text"])
 
 
 def extract_dataset(ds: "rd.Dataset", cfg: PipelineConfig | None = None) -> "rd.Dataset":

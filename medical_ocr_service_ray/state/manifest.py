@@ -126,7 +126,7 @@ def run_resumable_extraction(
             shutil.rmtree(tmp_dir)  # leftover from a crash mid-write
         t0 = time.time()
         n_rows = pq.read_metadata(f).num_rows
-        ds = rd.read_parquet(str(f), columns=["conv_id", "turn_idx", "role", "text", "ts"])
+        ds = rd.read_parquet(str(f), columns=["conv_id", "turn_idx", "role", "text"])
         ds = extract_dataset(ds, cfg)
         ds = ds.map_batches(
             lambda t: add_bucket_column(t, nb), batch_format="pyarrow", zero_copy_batch=True
