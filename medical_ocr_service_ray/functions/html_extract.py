@@ -173,7 +173,22 @@ def _render(node: _Node) -> str:
 
     def flush() -> None:
         if buf:
-            line = _WS_RE.sub(" ", "".join(buf)).strip()
+            joined = "".join(buf)
+            # fast path: most lines need no collapsing — C-level scans beat
+            # the regex sub. Non-ASCII goes through the regex (\s covers
+            # unicode whitespace like \xa0 from &nbsp;).
+            if (
+                not joined.isascii()
+                or "  " in joined
+                or "\t" in joined
+                or "\n" in joined
+                or "\r" in joined
+                or "\f" in joined
+                or "\v" in joined
+            ):
+                line = _WS_RE.sub(" ", joined).strip()
+            else:
+                line = joined.strip()
             if line:
                 lines.append(line)
             buf.clear()

@@ -18,10 +18,14 @@ def extract_plain(text: str) -> tuple[str, list[str]]:
     """Return (clean_text, warnings): control chars stripped, each line
     whitespace-collapsed and trimmed, empty lines dropped."""
     warnings: list[str] = []
-    cleaned = _CTRL_RE.sub("", text)
+    cleaned = _CTRL_RE.sub("", text) if not text.isascii() or not text.isprintable() else text
     lines = []
     for raw in cleaned.split("\n"):
-        line = _INNER_WS_RE.sub(" ", raw).strip()
+        # fast path: no runs to collapse
+        if "  " in raw or "\t" in raw:
+            line = _INNER_WS_RE.sub(" ", raw).strip()
+        else:
+            line = raw.strip()
         if line:
             lines.append(line)
     content = "\n".join(lines)

@@ -998,6 +998,24 @@ def q30_dedup_clusters(sf_dir: str):
     return dedup_clusters(pairs)
 
 
+# --------------------------------------------------------------------- q31
+
+def q31_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct users over events: one mergeable
+    sketch per batch, KB-sized merge instead of a row shuffle (the sketch
+    pattern for 10^12-row cardinality). Non-SQL (estimator-specific); pytest
+    bounds the error vs exact in tests/test_sketch.py."""
+    from medical_ocr_service_ray.stages.sketch import approx_distinct
+
+    res = approx_distinct(_read(sf_dir, "events", ["user_id"]), "user_id")
+    return pd.DataFrame(
+        {
+            "approx_distinct": [res["approx_distinct"]],
+            "num_partials": [int(res["num_partials"])],
+        }
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1031,6 +1049,7 @@ QUERIES = {
     "q28_sessionize_events": q28_sessionize_events,
     "q29_join_revenue_by_priority": q29_join_revenue_by_priority,
     "q30_dedup_clusters": q30_dedup_clusters,
+    "q31_approx_distinct_users": q31_approx_distinct_users,
 }
 
 ORACLE_SQL = {
