@@ -1016,6 +1016,31 @@ def q31_approx_distinct_users(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------- q32
+
+def q32_asof_join(sf_dir: str):
+    """As-of join: each event matched to the latest order (user_id+1 ==
+    o_custkey) with o_orderdate <= ts. Bucketed merge_asof; exact DuckDB
+    ASOF JOIN oracle with the same tie reduction."""
+    from medical_ocr_service_ray.stages.asof import asof_join_events_orders
+
+    return asof_join_events_orders(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+    )
+
+
+_Q32_SQL = """
+WITH orders2 AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.o_orderkey AS matched_orderkey
+FROM events e ASOF JOIN orders2 o
+  ON e.user_id + 1 = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1050,6 +1075,7 @@ QUERIES = {
     "q29_join_revenue_by_priority": q29_join_revenue_by_priority,
     "q30_dedup_clusters": q30_dedup_clusters,
     "q31_approx_distinct_users": q31_approx_distinct_users,
+    "q32_asof_join": q32_asof_join,
 }
 
 ORACLE_SQL = {
@@ -1071,6 +1097,7 @@ ORACLE_SQL = {
     "q21_hourly_user_windows": _Q21_SQL,
     "q28_sessionize_events": _Q28_SQL,
     "q29_join_revenue_by_priority": _Q29_SQL,
+    "q32_asof_join": _Q32_SQL,
     # q13/q14/q16/q17/q20/q22/q23: non-SQL-expressible (LSH banding, streaming
     # extraction, rolling-hash, float knn) -> rows-only driver check + pytest
     # oracles in tests/.

@@ -27,6 +27,7 @@ GATED = [
     "q21_hourly_user_windows",
     "q28_sessionize_events",
     "q29_join_revenue_by_priority",
+    "q32_asof_join",
 ]
 
 
