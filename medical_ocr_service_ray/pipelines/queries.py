@@ -36,7 +36,7 @@ from medical_ocr_service_ray.stages.aggregate import (
     partial_then_combine,
 )
 from medical_ocr_service_ray.stages.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
-from medical_ocr_service_ray.stages.join import SemiAntiFilter
+from medical_ocr_service_ray.stages.join import BroadcastMapper, SemiAntiFilter
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "rd.Dataset":
@@ -226,8 +226,11 @@ _Q4_SQL = "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY o_o
 # --------------------------------------------------------------------- q5
 
 def q5_region_rollup(sf_dir: str):
-    """Customer rollup to nation/region via broadcast dimension lookups
-    (J1-J6 pattern: small side via ray.put, no shuffle join)."""
+    """Customer rollup to nation/region via a broadcast dimension lookup
+    STAGE (J1-J6 pattern: small side published once via ray.put, resolved in
+    each actor's __init__, appended per batch — no shuffle join)."""
+    import ray
+
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     region = pq.read_table(f"{sf_dir}/region.parquet")
     r_name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
@@ -239,27 +242,36 @@ def q5_region_rollup(sf_dir: str):
             nation["n_regionkey"].to_pylist(),
         )
     }
+    mapping_ref = ray.put(n_info)
 
-    customers = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    customers = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]).map_batches(
+        BroadcastMapper,
+        fn_constructor_kwargs={
+            "mapping_ref": mapping_ref,
+            "key_col": "c_nationkey",
+            "out_cols": ["n_name", "r_name"],
+            "out_types": [pa.string(), pa.string()],
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return (
             df.assign(cents=_cents(df.c_acctbal))
-            .groupby("c_nationkey", as_index=False)
+            .groupby(["r_name", "n_name"], as_index=False)
             .agg(p_n=("cents", "size"), p_cents=("cents", "sum"))
         )
 
     def combine(partials: pd.DataFrame) -> pd.DataFrame:
-        return partials.groupby("c_nationkey", as_index=False).agg(
+        agg = partials.groupby(["r_name", "n_name"], as_index=False).agg(
             n_customers=("p_n", "sum"), cents=("p_cents", "sum")
         )
+        agg["n_customers"] = agg.n_customers.astype("int64")
+        agg["total_acctbal"] = agg.cents.astype("int64") / 100.0
+        return agg[["r_name", "n_name", "n_customers", "total_acctbal"]]
 
-    agg = driver_combine(customers, partial, combine)  # 25 nations
-    agg["n_name"] = agg.c_nationkey.map(lambda k: n_info[k][0])
-    agg["r_name"] = agg.c_nationkey.map(lambda k: n_info[k][1])
-    agg["n_customers"] = agg.n_customers.astype("int64")
-    agg["total_acctbal"] = agg.cents.astype("int64") / 100.0
-    return agg[["r_name", "n_name", "n_customers", "total_acctbal"]]
+    return driver_combine(customers, partial, combine)  # 25 nations
 
 
 _Q5_SQL = """
@@ -1041,6 +1053,90 @@ FROM events e ASOF JOIN orders2 o
 """
 
 
+# --------------------------------------------------------------------- q33
+
+def q33_revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-style composed pipeline: lineitem revenue pre-aggregated per
+    orderkey -> hash join with orders (large-large) -> broadcast lookups
+    custkey->nationkey->nation/region names -> rollup. Demonstrates mixing
+    the two join strategies by side size (broadcast dims, shuffle facts).
+    Note: at 100 TB the customer map is itself a keyed join, not a broadcast;
+    here it is the small side by construction."""
+    import ray
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    cust_nation = {
+        c: n_name[k]
+        for c, k in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    mapping_ref = ray.put(cust_nation)
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df.l_extendedprice) * _cents(1.0 - df.l_discount)
+        return (
+            pd.DataFrame({"l_orderkey": df.l_orderkey, "c": cents})
+            .groupby("l_orderkey", as_index=False)
+            .agg(p_c=("c", "sum"))
+        )
+
+    rev = partial_then_combine(
+        line,
+        partial,
+        "l_orderkey",
+        lambda df: df.groupby("l_orderkey", as_index=False).agg(rev4=("p_c", "sum")),
+        num_buckets=16,
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = rev.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    ).map_batches(
+        BroadcastMapper,
+        fn_constructor_kwargs={
+            "mapping_ref": mapping_ref,
+            "key_col": "o_custkey",
+            "out_cols": ["n_name"],
+            "out_types": [pa.string()],
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def roll_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_name", as_index=False).agg(p_n=("rev4", "size"), p_rev=("rev4", "sum"))
+
+    def roll_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_name", as_index=False).agg(n_orders=("p_n", "sum"), rev4=("p_rev", "sum"))
+        g["n_orders"] = g.n_orders.astype("int64")
+        g["revenue"] = g.rev4.astype("int64") / 10000.0
+        return g[["n_name", "n_orders", "revenue"]]
+
+    return driver_combine(joined, roll_partial, roll_combine)
+
+
+_Q33_SQL = """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+                * CAST(round((1.0-l_discount)*100, 0) AS BIGINT)) AS BIGINT) AS rev4
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_name, COUNT(*) AS n_orders, CAST(SUM(rev4) AS BIGINT) / 10000.0 AS revenue
+FROM rev
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1076,6 +1172,7 @@ QUERIES = {
     "q30_dedup_clusters": q30_dedup_clusters,
     "q31_approx_distinct_users": q31_approx_distinct_users,
     "q32_asof_join": q32_asof_join,
+    "q33_revenue_by_nation": q33_revenue_by_nation,
 }
 
 ORACLE_SQL = {
@@ -1098,6 +1195,7 @@ ORACLE_SQL = {
     "q28_sessionize_events": _Q28_SQL,
     "q29_join_revenue_by_priority": _Q29_SQL,
     "q32_asof_join": _Q32_SQL,
+    "q33_revenue_by_nation": _Q33_SQL,
     # q13/q14/q16/q17/q20/q22/q23: non-SQL-expressible (LSH banding, streaming
     # extraction, rolling-hash, float knn) -> rows-only driver check + pytest
     # oracles in tests/.

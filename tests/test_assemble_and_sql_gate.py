@@ -28,6 +28,7 @@ GATED = [
     "q28_sessionize_events",
     "q29_join_revenue_by_priority",
     "q32_asof_join",
+    "q33_revenue_by_nation",
 ]
 
 
