@@ -52,18 +52,32 @@ class ManifestEntry:
 
 
 class Manifest:
-    """Append-only JSONL manifest; one line per finished partition attempt."""
+    """Append-only JSONL manifest; one line per finished partition attempt.
 
-    def __init__(self, path: str | Path):
+    With ``secret`` set, every line carries an HMAC-SHA256 signature over its
+    canonical JSON (the reference signs its outward-facing webhook records,
+    webhook.service.js:63; here the outward-facing record is the manifest)
+    and tampered lines raise on load."""
+
+    def __init__(self, path: str | Path, secret: str | None = None):
         self.path = Path(path)
+        self.secret = secret
 
     def load(self) -> list[ManifestEntry]:
         if not self.path.exists():
             return []
+        from medical_ocr_service_ray.functions.signing import verify_payload
+
         entries = []
         for line in self.path.read_text().splitlines():
-            if line.strip():
-                entries.append(ManifestEntry(**json.loads(line)))
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            sig = rec.pop("sig", None)
+            if self.secret is not None:
+                if sig is None or not verify_payload(self.secret, rec, sig):
+                    raise ValueError(f"manifest line failed signature check: {line[:120]}")
+            entries.append(ManifestEntry(**rec))
         return entries
 
     def done(self, stage: int) -> set[int]:
@@ -75,8 +89,13 @@ class Manifest:
         )
 
     def append(self, entry: ManifestEntry) -> None:
+        rec = asdict(entry)
+        if self.secret is not None:
+            from medical_ocr_service_ray.functions.signing import sign_payload
+
+            rec["sig"] = sign_payload(self.secret, asdict(entry))
         with open(self.path, "a") as f:
-            f.write(json.dumps(asdict(entry)) + "\n")
+            f.write(json.dumps(rec) + "\n")
             f.flush()
             os.fsync(f.fileno())
 

@@ -108,6 +108,14 @@ class TestPdfExtract:
         text, _ = extract_pdfish("alpha      beta")
         assert text == "alpha beta"
 
+    def test_pdf_prologue_stripped(self):
+        t = "%PDF-1.4\nHeader Line\nbody content here\nPage 1 of 1"
+        from medical_ocr_service_ray.functions.classify import classify_content_type
+
+        assert classify_content_type(t) == "pdfish"
+        text, _ = extract_pdfish(t)
+        assert text == "Header Line\nbody content here"  # %PDF line + footer dropped
+
     def test_table_and_figure_excluded(self):
         doc = "intro\n[TABLE]\na | 1\nb | 2\n[/TABLE]\n[FIGURE: some chart]\noutro"
         text, warnings = extract_pdfish(doc)
