@@ -21,10 +21,11 @@ class PipelineConfig:
     # here sized for shuffle parallelism at 32 CPUs (measured best at 64
     # with block coalescing; >64 explodes the partitioned-write file count).
     num_buckets: int = 64
-    # salt span for extraction-side partitioning of very long conversations
-    # (SURVEY.md §4.3.1): extraction itself is per-turn so salting is only
-    # needed if a future stage groups before the final ordering stage.
-    salt_span: int = 128
+    # NOTE on salting (SURVEY.md §4.3.1): extraction is per-turn, so no stage
+    # before the final ordering groups by conv_id — there is nothing to salt.
+    # The ordering stage must keep a conversation whole (total per-conv order),
+    # so its skew bound is the largest single conversation, verified by the
+    # 20k-turn hot-key stress test rather than by key salting.
     extractor_version_override: str | None = None
     # idempotency pre-step (D1): collapse duplicated (conv_id, turn_idx) rows
     # to one output row in the ordering stage. Off by default (golden parity
