@@ -90,10 +90,28 @@ def run_bench() -> dict:
     for f in sorted(corpus.glob("*.parquet")):
         pq.read_table(f)
 
-    # ---- headline: full extraction pipeline, ordered, written to parquet ----
     # min of N runs: single-shot numbers on this box vary ±30% (page cache,
-    # frequency scaling); min approximates the noise-free cost
+    # frequency scaling); min approximates the noise-free cost. The
+    # extract-only metric runs FIRST — measured after the headline it picks
+    # up object-store churn from the big shuffle/write runs.
     reps = int(os.environ.get("MOSR_BENCH_REPS", "2"))
+
+    from medical_ocr_service_ray.pipelines.extraction import extract_dataset, read_transcripts
+
+    # untimed warmup execution: spawns Ray worker processes / actor pools so
+    # the first timed run doesn't pay cold-start
+    first_file = sorted(corpus.glob("*.parquet"))[0]
+    import ray.data as _rd
+
+    extract_dataset(_rd.read_parquet(str(first_file))).count()
+
+    extract_only = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        extract_dataset(read_transcripts(corpus)).count()
+        extract_only = min(extract_only, time.time() - t0)
+
+    # ---- headline: full extraction pipeline, ordered, written to parquet ----
     out_dir = Path("/tmp/mosr_bench_out") / sf_name
     headline = float("inf")
     for _ in range(reps):
@@ -108,17 +126,6 @@ def run_bench() -> dict:
         t0 = time.time()
         _consume(QUERIES[name](sf_dir))
         query_secs[name] = round(time.time() - t0, 3)
-
-    # extraction stage alone (the north-rule "turns/sec extracted" compute,
-    # no ordering shuffle / durable write): count() executes without pulling
-    # batches to the driver
-    from medical_ocr_service_ray.pipelines.extraction import extract_dataset, read_transcripts
-
-    extract_only = float("inf")
-    for _ in range(reps):
-        t0 = time.time()
-        extract_dataset(read_transcripts(corpus)).count()
-        extract_only = min(extract_only, time.time() - t0)
 
     result = {
         "metric": "headline extraction wall-clock (synthetic transcripts sized to sf; "

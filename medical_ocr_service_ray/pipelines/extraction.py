@@ -150,13 +150,15 @@ def run_extraction_fs_bucketed(
 
     ds = extract_dataset(read_transcripts(input_dir), cfg)
     nb = cfg.num_buckets
-    # coalesce to ~nb blocks first: the partitioned write emits one file per
+    # coalesce blocks first: the partitioned write emits one file per
     # (block, bucket) pair — without this it is blocks x buckets tiny files
-    ds = ds.repartition(nb)
+    ds = ds.repartition(max(32, nb // 2))
     ds = ds.map_batches(
         lambda t: add_bucket_column(t, nb), batch_format="pyarrow", zero_copy_batch=True
     )
-    ds.write_parquet(str(tmp), partition_cols=["bucket"])
+    # the intermediate is ephemeral and usually on tmpfs: compression buys
+    # nothing there and costs encode CPU
+    ds.write_parquet(str(tmp), partition_cols=["bucket"], compression="NONE")
 
     @ray.remote
     def finalize_bucket(bucket_dir: str, final_path: str) -> int:
