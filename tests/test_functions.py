@@ -108,6 +108,12 @@ class TestPdfExtract:
         text, _ = extract_pdfish("alpha      beta")
         assert text == "alpha beta"
 
+    def test_three_column_line_collapsed_not_columnized(self):
+        # only exact 2-part gap splits trigger reading-order recovery;
+        # 3+ parts are treated as one line with gaps collapsed
+        text, _ = extract_pdfish("aaa      bbb      ccc\nddd      eee      fff")
+        assert text == "aaa bbb ccc\nddd eee fff"
+
     def test_pdf_prologue_stripped(self):
         t = "%PDF-1.4\nHeader Line\nbody content here\nPage 1 of 1"
         from medical_ocr_service_ray.functions.classify import classify_content_type

@@ -98,6 +98,17 @@ class TestRegistry:
         out = build_pipeline(docs, [("shout_test", {"suffix": "?!"})]).to_pandas()
         assert out.text[0] == "HEY?!"
 
+    def test_actor_stage_with_constructor_override(self, ray_session):
+        import ray.data as rd
+
+        from medical_ocr_service_ray.pipelines.registry import build_pipeline
+        from medical_ocr_service_ray.stages.multimodal import synth_media_table
+
+        media = rd.from_arrow(synth_media_table(8))
+        frames = build_pipeline(media, [("decode_media", {"op": "frame_sample"})]).to_pandas()
+        assert list(frames.columns) == ["item_id", "frame_idx"]
+        assert len(frames) >= 8  # >=1 frame per item
+
     def test_duplicate_registration_rejected(self):
         from medical_ocr_service_ray.pipelines.registry import register_stage
 
