@@ -59,6 +59,7 @@ def apply_stage(ds: "rd.Dataset", name: str, **overrides: Any) -> "rd.Dataset":
         if k in kwargs:
             map_kwargs[k] = kwargs.pop(k)
     if spec.is_actor:
+        map_kwargs.setdefault("concurrency", 2)  # callable classes require a pool size
         return ds.map_batches(spec.fn, fn_constructor_kwargs=kwargs, **map_kwargs)
     if kwargs:
         fn = spec.fn
