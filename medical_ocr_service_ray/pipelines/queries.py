@@ -1149,6 +1149,32 @@ GROUP BY n_name
 """
 
 
+# --------------------------------------------------------------------- q34
+
+def q34_distinct_users_by_type(sf_dir: str):
+    """Grouped exact distinct (A10: COUNT(DISTINCT ...) per group): two-level
+    partial pattern — dedupe (type, user) pairs per batch, bucket-combine to
+    global pairs, count per type. The HLL sketch (q31) is the approximate
+    companion for when the pair set itself is too large."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["event_type", "user_id"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df.drop_duplicates(["event_type", "user_id"])
+        g = pairs.groupby("event_type", as_index=False).agg(n_users=("user_id", "size"))
+        g["n_users"] = g.n_users.astype("int64")
+        return g
+
+    # bucket on event_type: all pairs of a type land in one bucket, so the
+    # per-bucket distinct-then-count is globally exact
+    return partial_then_combine(ds, partial, "event_type", combine, num_buckets=8)
+
+
+_Q34_SQL = "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1185,6 +1211,7 @@ QUERIES = {
     "q31_approx_distinct_users": q31_approx_distinct_users,
     "q32_asof_join": q32_asof_join,
     "q33_revenue_by_nation": q33_revenue_by_nation,
+    "q34_distinct_users_by_type": q34_distinct_users_by_type,
 }
 
 ORACLE_SQL = {
@@ -1208,6 +1235,7 @@ ORACLE_SQL = {
     "q29_join_revenue_by_priority": _Q29_SQL,
     "q32_asof_join": _Q32_SQL,
     "q33_revenue_by_nation": _Q33_SQL,
+    "q34_distinct_users_by_type": _Q34_SQL,
     # q13/q14/q16/q17/q20/q22/q23: non-SQL-expressible (LSH banding, streaming
     # extraction, rolling-hash, float knn) -> rows-only driver check + pytest
     # oracles in tests/.

@@ -29,6 +29,7 @@ GATED = [
     "q29_join_revenue_by_priority",
     "q32_asof_join",
     "q33_revenue_by_nation",
+    "q34_distinct_users_by_type",
 ]
 
 
