@@ -40,6 +40,12 @@ def hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+def hash64_bytes(b: bytes) -> int:
+    """Deterministic 64-bit hash of raw bytes (blake2b). Used for LSH band
+    keys — unlike Python's hash(tuple), stable across interpreter versions."""
+    return int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "big")
+
+
 def minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic universal-hash parameters a*x+b mod p."""
     rng = np.random.default_rng(seed)

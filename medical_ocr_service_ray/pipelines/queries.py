@@ -441,7 +441,20 @@ def q12_knn_quantized_dot(sf_dir: str):
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    return scored.sort(["dot_q", "vec_id"], descending=[True, False]).limit(10)
+
+    # partial top-k per batch + tiny driver merge (the brute_force_topk
+    # pattern, stages/ann.py) — the global top-10 is within the union of
+    # per-batch top-10s, so no all-to-all sort of the scored table is needed.
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["dot_q", "vec_id"], ascending=[False, True]).head(10),
+            preserve_index=False,
+        )
+
+    merged = scored.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = merged.sort_values(["dot_q", "vec_id"], ascending=[False, True]).head(10)
+    return pa.Table.from_pandas(out.reset_index(drop=True))
 
 
 _Q12_SQL = """
@@ -461,13 +474,11 @@ LIMIT 10
 
 def q13_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs verified by true Jaccard
-    (shingle -> minhash -> band -> bucket groupby; non-SQL-expressible)."""
-    import ray
-
-    docs_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts_ref = ray.put(dict(zip(docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist())))
+    (shingle -> minhash -> band -> bucket groupby; verification resolves
+    texts via keyed bucket joins — the corpus is never driver-materialized
+    or broadcast. Non-SQL-expressible)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(docs, texts_ref, threshold_x1000=500)
+    return minhash_lsh_pairs(docs, threshold_x1000=500)
 
 
 def q14_simhash_pairs(sf_dir: str):
@@ -523,17 +534,28 @@ def q15_ngram_jaccard(sf_dir: str):
 
         return _pairs_from_groups(df, ["source", "shingle"])
 
+    # broadcast the per-doc shingle counts (one small int per doc) so the
+    # threshold is applied INSIDE the bucketed combine — the driver never
+    # holds the (much larger) sub-threshold candidate pair set
+    import ray
+
+    n_sh_ref = ray.put(n_sh)
+
+    def combine_jaccard(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["doc_a", "doc_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "inter"})
+        )
+        counts_map = ray.get(n_sh_ref)  # worker-local object store read
+        na = g.doc_a.map(counts_map).astype("int64")
+        nb = g.doc_b.map(counts_map).astype("int64")
+        g["jaccard_x1000"] = (1000 * g.inter.astype("int64")) // (na + nb - g.inter)
+        out = g[g.jaccard_x1000 >= _SHINGLE_THRESHOLD_X1000]
+        return out[["doc_a", "doc_b", "jaccard_x1000"]].reset_index(drop=True)
+
     pair_rows = bucketed_combine(sh, "shingle", pairs_per_shingle, num_buckets=32)
-    inter = bucketed_combine(
-        pair_rows,
-        "doc_a",
-        lambda df: df.groupby(["doc_a", "doc_b"], as_index=False).size().rename(columns={"size": "inter"}),
-    ).to_pandas()
-    na = inter.doc_a.map(n_sh).astype("int64")
-    nb = inter.doc_b.map(n_sh).astype("int64")
-    inter["jaccard_x1000"] = (1000 * inter.inter.astype("int64")) // (na + nb - inter.inter)
-    out = inter[inter.jaccard_x1000 >= _SHINGLE_THRESHOLD_X1000]
-    return out[["doc_a", "doc_b", "jaccard_x1000"]].reset_index(drop=True)
+    return bucketed_combine(pair_rows, "doc_a", combine_jaccard)
 
 
 _Q15_SQL = f"""
@@ -1152,24 +1174,32 @@ GROUP BY n_name
 # --------------------------------------------------------------------- q34
 
 def q34_distinct_users_by_type(sf_dir: str):
-    """Grouped exact distinct (A10: COUNT(DISTINCT ...) per group): two-level
-    partial pattern — dedupe (type, user) pairs per batch, bucket-combine to
-    global pairs, count per type. The HLL sketch (q31) is the approximate
-    companion for when the pair set itself is too large."""
+    """Grouped exact distinct (A10: COUNT(DISTINCT ...) per group), two-level
+    de-skewed: dedupe (type, user) pairs per batch, bucket on USER_ID (not the
+    low-cardinality, potentially hot event_type), dedupe + count per type per
+    bucket, then sum the tiny per-bucket counts. Each (type, user) pair lands
+    in exactly one user bucket, so the per-bucket distinct is globally exact
+    and a hot event_type spreads across all buckets instead of one task. The
+    HLL sketch (q31) is the approximate companion for when even the bucketed
+    pair set is too large."""
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["event_type", "user_id"])
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         pairs = df.drop_duplicates(["event_type", "user_id"])
-        g = pairs.groupby("event_type", as_index=False).agg(n_users=("user_id", "size"))
-        g["n_users"] = g.n_users.astype("int64")
-        return g
+        return pairs.groupby("event_type", as_index=False).agg(p_users=("user_id", "size"))
 
-    # bucket on event_type: all pairs of a type land in one bucket, so the
-    # per-bucket distinct-then-count is globally exact
-    return partial_then_combine(ds, partial, "event_type", combine, num_buckets=8)
+    per_bucket_counts = partial_then_combine(ds, partial, "user_id", per_bucket, num_buckets=16)
+    # final merge: num_buckets x n_types tiny rows
+    out = (
+        per_bucket_counts.to_pandas()
+        .groupby("event_type", as_index=False)
+        .agg(n_users=("p_users", "sum"))
+    )
+    out["n_users"] = out.n_users.astype("int64")
+    return out
 
 
 _Q34_SQL = "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"

@@ -15,6 +15,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from medical_ocr_service_ray.functions.hashing import (
+    hash64_bytes,
     minhash_params,
     minhash_signature,
     sha256_hex,
@@ -83,7 +84,11 @@ class MinHashSignatures:
             for band in range(self.bands):
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
                 out_band.append(band)
-                out_key.append(hash(tuple(int(x) for x in chunk)) & 0x7FFFFFFFFFFFFFFF)
+                # blake2b over the raw signature bytes: deterministic across
+                # interpreter versions (hash(tuple) is not guaranteed stable)
+                out_key.append(
+                    hash64_bytes(chunk.astype("<u8").tobytes()) & 0x7FFFFFFFFFFFFFFF
+                )
                 out_id.append(doc_id)
         return pa.table(
             {
@@ -108,51 +113,138 @@ def _pairs_from_groups(df, group_cols: list[str]):
     return pd.DataFrame({"doc_a": pd.array(a_out, "int64"), "doc_b": pd.array(b_out, "int64")})
 
 
-class JaccardVerifier:
-    """Actor stage: verify candidate pairs with true shingle Jaccard, texts
-    resolved from a broadcast {doc_id: text} dict (small-side lookup — at
-    100 TB this becomes a hash-bucket join of pair keys back to texts)."""
+def verify_pairs_jaccard(
+    pairs: "rd.Dataset",
+    docs: "rd.Dataset",
+    shingle_k: int = 3,
+    threshold_x1000: int = 600,
+    num_buckets: int = 16,
+) -> "rd.Dataset":
+    """Verify candidate (doc_a, doc_b) pairs with true shingle Jaccard,
+    resolving texts via TWO keyed bucket joins (the asof.py tagged-union
+    pattern) — the corpus is never materialized on the driver or broadcast:
 
-    def __init__(self, texts_ref, shingle_k: int = 3, threshold_x1000: int = 600):
-        import ray
+        join 1 (key = doc_a): pair rows + doc rows co-located by bucket;
+                              each pair picks up text_a.
+        join 2 (key = doc_b): same shuffle keyed on the other endpoint;
+                              each pair picks up text_b, verifies in-group.
 
-        self.texts = ray.get(texts_ref)
-        self.k = shingle_k
-        self.threshold = threshold_x1000
+    At 100 TB each join moves the doc texts once (same cost class as one
+    groupby over the corpus) and the pair side is small post-LSH. Returns
+    (doc_a, doc_b, jaccard_x1000), only rows >= threshold."""
+    import pandas as pd
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a_ids = batch["doc_a"].to_pylist()
-        b_ids = batch["doc_b"].to_pylist()
+    from medical_ocr_service_ray.stages.aggregate import bucketed_combine
+
+    def docs_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df.doc_id.astype("int64"),
+                "side": 0,
+                "doc_a": -1,
+                "text": df.text.fillna("").astype(str),
+            }
+        )
+
+    def pairs_side(df: pd.DataFrame) -> pd.DataFrame:
+        # key on doc_b for join 1's OUTPUT shape symmetry: join 1 keys on
+        # doc_a; its output re-keys on doc_b for join 2
+        return pd.DataFrame(
+            {
+                "key": df.doc_a.astype("int64"),
+                "side": 1,
+                "doc_a": df.doc_b.astype("int64"),  # carries the OTHER endpoint
+                "text": "",
+            }
+        )
+
+    unified1 = docs.map_batches(docs_side, batch_format="pandas").union(
+        pairs.map_batches(pairs_side, batch_format="pandas")
+    )
+
+    def join_text_a(df: pd.DataFrame) -> pd.DataFrame:
+        """Attach text_a to each pair; re-key the output on doc_b."""
+        d = df[df.side == 0]
+        p = df[df.side == 1]
+        if p.empty:
+            # typed empty frame: "string" dtype keeps the Arrow schema stable
+            # (an object-dtype empty column would infer as null type and break
+            # the union with the docs side)
+            return pd.DataFrame(
+                {"key": pd.Series(dtype="int64"), "side": pd.Series(dtype="int64"),
+                 "doc_a": pd.Series(dtype="int64"), "text": pd.Series(dtype="string")}
+            )
+        tmap = dict(zip(d.key, d.text))
+        return pd.DataFrame(
+            {
+                "key": p.doc_a.astype("int64"),  # doc_b becomes the join-2 key
+                "side": 1,
+                "doc_a": p.key.astype("int64"),  # original doc_a rides along
+                "text": p.key.map(tmap).fillna("").astype(str),  # text_a
+            }
+        )
+
+    pairs_with_a = bucketed_combine(unified1, "key", join_text_a, num_buckets=num_buckets)
+
+    unified2 = docs.map_batches(docs_side, batch_format="pandas").union(pairs_with_a)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df.side == 0]
+        p = df[df.side == 1]
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "jaccard_x1000": pd.Series(dtype="int64"),
+            }
+        )
+        if p.empty:
+            return empty
+        tmap = dict(zip(d.key, d.text))
+        sh_memo: dict[int, set] = {}
+
+        def sh_of(doc_id: int, text: str) -> set:
+            s = sh_memo.get(doc_id)
+            if s is None:
+                s = shingles(text, shingle_k)
+                sh_memo[doc_id] = s
+            return s
+
         keep_a, keep_b, keep_j = [], [], []
-        for a, b in zip(a_ids, b_ids):
-            sa = shingles(self.texts.get(a, ""), self.k)
-            sb = shingles(self.texts.get(b, ""), self.k)
+        for a, b, text_a in zip(p.doc_a, p.key, p.text):
+            sa = sh_of(int(a), text_a)
+            sb = sh_of(int(b), tmap.get(b, ""))
             union = len(sa | sb)
             inter = len(sa & sb)
             j_x1000 = (1000 * inter) // union if union else 1000
-            if j_x1000 >= self.threshold:
-                keep_a.append(a)
-                keep_b.append(b)
+            if j_x1000 >= threshold_x1000:
+                keep_a.append(int(a))
+                keep_b.append(int(b))
                 keep_j.append(j_x1000)
-        return pa.table(
+        if not keep_a:
+            return empty
+        return pd.DataFrame(
             {
-                "doc_a": pa.array(keep_a, pa.int64()),
-                "doc_b": pa.array(keep_b, pa.int64()),
-                "jaccard_x1000": pa.array(keep_j, pa.int64()),
+                "doc_a": pd.array(keep_a, "int64"),
+                "doc_b": pd.array(keep_b, "int64"),
+                "jaccard_x1000": pd.array(keep_j, "int64"),
             }
         )
+
+    return bucketed_combine(unified2, "key", verify, num_buckets=num_buckets)
 
 
 def minhash_lsh_pairs(
     docs: "rd.Dataset",
-    texts_ref,
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
     threshold_x1000: int = 600,
 ) -> "rd.Dataset":
     """shingle -> minhash -> band -> bucket-groupby -> candidate pairs ->
-    dedupe pairs -> verify true Jaccard. Returns (doc_a, doc_b, jaccard_x1000)."""
+    dedupe pairs -> verify true Jaccard via keyed text joins (no driver
+    materialization, no broadcast of the corpus). Returns
+    (doc_a, doc_b, jaccard_x1000)."""
     from medical_ocr_service_ray.stages.aggregate import bucketed_combine
 
     banded = docs.map_batches(
@@ -169,16 +261,9 @@ def minhash_lsh_pairs(
         candidates,
         "doc_a",
         lambda df: df.groupby(["doc_a", "doc_b"], as_index=False).size().rename(columns={"size": "nbands"}),
-    )
-    return unique_pairs.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs={
-            "texts_ref": texts_ref,
-            "shingle_k": shingle_k,
-            "threshold_x1000": threshold_x1000,
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+    ).select_columns(["doc_a", "doc_b"])
+    return verify_pairs_jaccard(
+        unique_pairs, docs, shingle_k=shingle_k, threshold_x1000=threshold_x1000
     )
 
 

@@ -57,11 +57,8 @@ class TestMinHashLSH:
 
         from medical_ocr_service_ray.stages.dedup import minhash_lsh_pairs
 
-        texts_ref = ray.put(
-            dict(zip(planted_docs["doc_id"].to_pylist(), planted_docs["text"].to_pylist()))
-        )
         pairs = minhash_lsh_pairs(
-            rd.from_arrow(planted_docs), texts_ref, threshold_x1000=600
+            rd.from_arrow(planted_docs), threshold_x1000=600
         ).to_pandas()
         found = set(zip(pairs.doc_a, pairs.doc_b))
         for i in range(10):
@@ -77,9 +74,8 @@ class TestMinHashLSH:
         ids = planted_docs["doc_id"].to_pylist()
         texts = planted_docs["text"].to_pylist()
         lookup = dict(zip(ids, texts))
-        texts_ref = ray.put(lookup)
         pairs = minhash_lsh_pairs(
-            rd.from_arrow(planted_docs), texts_ref, threshold_x1000=600
+            rd.from_arrow(planted_docs), threshold_x1000=600
         ).to_pandas()
         for _, row in pairs.iterrows():
             sa, sb = shingles(lookup[row.doc_a]), shingles(lookup[row.doc_b])
@@ -94,9 +90,8 @@ class TestMinHashLSH:
         from medical_ocr_service_ray.stages.dedup import minhash_lsh_pairs
 
         lookup = dict(zip(planted_docs["doc_id"].to_pylist(), planted_docs["text"].to_pylist()))
-        texts_ref = ray.put(lookup)
         pairs = minhash_lsh_pairs(
-            rd.from_arrow(planted_docs), texts_ref, threshold_x1000=600
+            rd.from_arrow(planted_docs), threshold_x1000=600
         ).to_pandas()
         for _, row in pairs.iterrows():
             assert jaccard(shingles(lookup[row.doc_a]), shingles(lookup[row.doc_b])) >= 0.6
