@@ -31,3 +31,8 @@ class PipelineConfig:
     # to one output row in the ordering stage. Off by default (golden parity
     # assumes 1:1 input/output).
     dedup_turns: bool = False
+    # per-partition attempt budget for the resumable runner (the reference's
+    # 3-attempt job retry before permanent FAILED, job-queue.service.js:221):
+    # a partition whose attempts are exhausted is dead-lettered — skipped on
+    # resume and surfaced in manifest_summary — instead of retried forever.
+    max_attempts: int = 3

@@ -68,7 +68,14 @@ def extract_spans(text: str) -> list[dict]:
     """
     if not text:
         return []
-    folded = fold_accents(text).upper()
+    folded = fold_accents(text)
+    upper = folded.upper()
+    if len(upper) != len(folded):
+        # str.upper() is not 1:1 for every codepoint ('ß' -> 'SS', ligatures):
+        # fall back to a per-codepoint uppercase that keeps offsets aligned,
+        # leaving multi-char-expanding codepoints unchanged
+        upper = "".join(c.upper() if len(c.upper()) == 1 else c for c in folded)
+    folded = upper
     spans: list[tuple[int, int, str]] = []
     for m in _ID_RE.finditer(folded):
         spans.append((m.start(), m.end(), "id_number"))

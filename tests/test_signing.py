@@ -46,8 +46,11 @@ class TestSignedManifest:
         rec = json.loads(lines[0])
         rec["rows"] = 99999  # tamper
         path.write_text(json.dumps(rec) + "\n")
+        # a fresh Manifest (the resume-in-a-new-process case) re-reads the
+        # file and must reject the tampered line; the original instance
+        # serves its in-memory cache by design
         with pytest.raises(ValueError, match="signature"):
-            m.load()
+            Manifest(path, secret="k1").load()
 
     def test_unsigned_line_rejected_when_secret_set(self, tmp_path):
         path = tmp_path / "m.jsonl"
