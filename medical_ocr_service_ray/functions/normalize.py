@@ -30,22 +30,140 @@ _ID_RE = re.compile(r"\b\d{1,3}(?:[.\-]\d{3}){2,}\b")
 
 _DAYS_IN_MONTH = (31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
 
-# Representative expansion table (reference: system.prompt.js:20-77).
+# Full expansion table mirroring the reference's 80+ abbreviation semantics
+# (src/prompts/system.prompt.js:20-77). Matching is case-sensitive exact-token
+# (\b-delimited), single-pass (an expansion is never re-expanded). Ambiguity
+# policy: when the reference lists one key with two meanings (PA, TA listed
+# under both antecedentes and vital signs), the FIRST listing in the prompt
+# wins, deterministically. Expansions are lowercase (engine convention).
 ABBREVIATIONS: dict[str, str] = {
+    # generales
+    "Px": "paciente",
     "Dx": "diagnostico",
     "Tx": "tratamiento",
-    "Rx": "radiografia",
-    "Eco": "ecografia",
-    "TAC": "tomografia axial computarizada",
-    "RMN": "resonancia magnetica nuclear",
-    "ECG": "electrocardiograma",
-    "EEG": "electroencefalograma",
-    "HTA": "hipertension arterial",
-    "DBT": "diabetes",
-    "IAM": "infarto agudo de miocardio",
-    "ACV": "accidente cerebrovascular",
-    "FC": "frecuencia cardiaca",
+    "Sx": "sintomas",
+    "Hx": "antecedentes",
+    # antecedentes
+    "AF": "antecedentes familiares",
+    "APP": "antecedentes personales patologicos",
+    "APNP": "antecedentes personales no patologicos",
+    "AHF": "antecedentes heredo-familiares",
+    "PA": "padecimiento actual",  # first listing wins (vs presion arterial)
+    "AEA": "antecedentes de la enfermedad actual",
+    # signos vitales
+    "SV": "signos vitales",
     "TA": "tension arterial",
+    "FC": "frecuencia cardiaca",
+    "FR": "frecuencia respiratoria",
+    "SpO2": "saturacion de oxigeno",
+    "IMC": "indice de masa corporal",
+    # via de administracion
+    "VO": "via oral",
+    "IV": "intravenosa",
+    "IM": "intramuscular",
+    "SC": "subcutanea",
+    "ID": "intradermica",
+    "SL": "sublingual",
+    "INH": "inhalatoria",
+    "IO": "intraosea",
+    # formas farmaceuticas y unidades
+    "amp": "ampolla",
+    "cp": "comprimido",
+    "cap": "capsula",
+    "sol": "solucion",
+    "susp": "suspension",
+    "gts": "gotas",
+    "sup": "supositorio",
+    "mg": "miligramo",
+    "ml": "mililitro",
+    "mcg": "microgramo",
+    "UI": "unidad internacional",
+    "MUI": "millones de ui",
+    "mmHg": "milimetro de mercurio",
+    "dl": "decilitro",
+    "h": "hora",
+    "d": "dia",
+    "sem": "semana",
+    "DU": "dosis unica",
+    "PRN": "segun necesidad",
+    "c/8h": "cada 8 horas",
+    "c/12h": "cada 12 horas",
+    "c/24h": "cada 24 horas",
+    # diagnosticos
+    "HTA": "hipertension arterial",
+    "DM": "diabetes mellitus",
+    "DBT": "diabetes mellitus",
+    "EPOC": "enfermedad pulmonar obstructiva cronica",
+    "ECV": "enfermedad cardiovascular",
+    "ACV": "accidente cerebrovascular",
+    "IAM": "infarto agudo de miocardio",
+    "TB": "tuberculosis",
+    "VIH": "virus inmunodeficiencia humana",
+    "SIDA": "sindrome inmunodeficiencia adquirida",
+    "ERC": "enfermedad renal cronica",
+    "ITU": "infeccion del tracto urinario",
+    # farmacologia
+    "AINE": "antiinflamatorio no esteroideo",
+    "AAS": "acido acetilsalicilico",
+    "ADO": "antidiabetico oral",
+    "IECA": "inhibidor enzima convertidora angiotensina",
+    "ARV": "antirretroviral",
+    "HBPM": "heparina bajo peso molecular",
+    # estudios de imagen
+    "Rx": "radiografia",
+    "RX": "radiografia",
+    "TAC": "tomografia axial computarizada",
+    "TC": "tomografia axial computarizada",
+    "RM": "resonancia magnetica",
+    "RMN": "resonancia magnetica",
+    "ECO": "ecografia",
+    "Eco": "ecografia",
+    "ECOCG": "ecocardiograma",
+    "ECD": "eco doppler",
+    # estudios funcionales y laboratorio
+    "ECG": "electrocardiograma",
+    "EKG": "electrocardiograma",
+    "EEG": "electroencefalograma",
+    "EMG": "electromiografia",
+    "PFR": "prueba de funcion respiratoria",
+    "HMG": "hemograma",
+    "BH": "hemograma",
+    "GLU": "glucemia",
+    "QS": "quimica sanguinea",
+    "EGO": "examen general de orina",
+    "PFH": "pruebas funcion hepatica",
+    "PFU": "pruebas funcion renal",
+    "TP": "tiempo de protrombina",
+    "TTP": "tiempo tromboplastina parcial",
+    "PCR": "reaccion cadena polimerasa",
+    "PAP": "papanicolau",
+    "LAB": "laboratorio",
+    # procedimientos
+    "PL": "puncion lumbar",
+    "Bx": "biopsia",
+    "Cx": "cirugia",
+    "QX": "quirurgico",
+    "VEDA": "video endoscopia digestiva alta",
+    "VCC": "video colonoscopia",
+    "LAP": "laparoscopia",
+    "LAPE": "laparotomia exploradora",
+    # tratamientos oncologicos y especiales
+    "RT": "radioterapia",
+    "QTx": "quimioterapia",
+    "QT": "quimioterapia",
+    "IT": "inmunoterapia",
+    "HT": "hormonoterapia",
+    "RCP": "reanimacion cardiopulmonar",
+    "RQ": "riesgo quirurgico",
+    # servicios hospitalarios
+    "UCI": "unidad de cuidados intensivos",
+    "UTI": "unidad de terapia intensiva",
+    "UCIN": "unidad de cuidados intensivos neonatal",
+    "UCIP": "unidad de cuidados intensivos pediatrica",
+    "GO": "ginecologia y obstetricia",
+    "ORL": "otorrinolaringologia",
+    # hematologia (kept from the engine's original subset; consistent with
+    # the reference's lab vocabulary)
     "Hb": "hemoglobina",
     "GB": "globulos blancos",
 }

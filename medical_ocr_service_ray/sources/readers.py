@@ -70,6 +70,141 @@ def read_csv_aliased(paths: str | list[str], table: str) -> "rd.Dataset":
     return ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_XLSX_NS = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+_REL_NS = {"r": "http://schemas.openxmlformats.org/package/2006/relationships"}
+_R_ATTR = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+)
+
+
+def _xlsx_cell_col(ref: str) -> int:
+    """'BC12' -> 0-based column index 54."""
+    col = 0
+    for ch in ref:
+        if ch.isalpha():
+            col = col * 26 + (ord(ch.upper()) - ord("A") + 1)
+        else:
+            break
+    return col - 1
+
+
+def _xlsx_text(el) -> str:
+    """Flatten a <si>/<is> element: plain <t> or rich-text <r><t> runs joined
+    (the reference's richText .map(r => r.text).join('') —
+    data-ingest.routes.js:563-566)."""
+    t = el.find("m:t", _XLSX_NS)
+    if t is not None:
+        return t.text or ""
+    return "".join(
+        (r.find("m:t", _XLSX_NS).text or "")
+        for r in el.findall("m:r", _XLSX_NS)
+        if r.find("m:t", _XLSX_NS) is not None
+    )
+
+
+def parse_xlsx_bytes(data: bytes) -> list[dict]:
+    """Parse .xlsx (SpreadsheetML zip, stdlib-only — no openpyxl in this
+    environment) with the reference's semantics
+    (data-ingest.routes.js:538-574): FIRST worksheet only, row 1 =
+    lowercase/trimmed headers, rich text flattened, empty rows skipped,
+    cells without a header ignored. Numbers come back as int when integral
+    else float; shared/inline strings as str; booleans as bool."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(data))
+
+    # first sheet via workbook.xml -> workbook.xml.rels (sheet order in the
+    # workbook, not zip member order)
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    first_sheet = wb.find("m:sheets/m:sheet", _XLSX_NS)
+    if first_sheet is None:
+        raise ValueError("xlsx has no data sheets")
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    target = None
+    for rel in rels.findall("r:Relationship", _REL_NS):
+        if rel.get("Id") == first_sheet.get(_R_ATTR):
+            target = rel.get("Target").lstrip("/")
+            break
+    sheet_path = f"xl/{target}" if target and not target.startswith("xl/") else (
+        target or "xl/worksheets/sheet1.xml"
+    )
+
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        shared = [_xlsx_text(si) for si in sst.findall("m:si", _XLSX_NS)]
+
+    def cell_value(c):
+        t = c.get("t", "n")
+        if t == "inlineStr":
+            is_el = c.find("m:is", _XLSX_NS)
+            return _xlsx_text(is_el) if is_el is not None else ""
+        v = c.find("m:v", _XLSX_NS)
+        if v is None or v.text is None:
+            return None
+        if t == "s":
+            return shared[int(v.text)]
+        if t == "str":
+            return v.text
+        if t == "b":
+            return v.text == "1"
+        num = float(v.text)
+        return int(num) if num.is_integer() else num
+
+    root = ET.fromstring(zf.read(sheet_path))
+    headers: dict[int, str] = {}
+    rows: list[dict] = []
+    for row in root.iterfind("m:sheetData/m:row", _XLSX_NS):
+        cells = {}
+        for c in row.findall("m:c", _XLSX_NS):
+            val = cell_value(c)
+            if val is None:
+                continue
+            cells[_xlsx_cell_col(c.get("r", "A"))] = val
+        if row.get("r") == "1" or (not headers and not rows):
+            headers = {col: str(v).strip().lower() for col, v in cells.items()}
+            continue
+        obj = {headers[col]: v for col, v in cells.items() if col in headers}
+        if obj:
+            rows.append(obj)
+    return rows
+
+
+def read_xlsx_aliased(paths: str | list[str], table: str) -> "rd.Dataset":
+    """S4 Excel source: distributed parse (one task per file via
+    ``read_binary_files``; xlsx is a zip so byte-ranges cannot split — file
+    granularity is the natural parallel unit) -> alias-normalized Arrow
+    batches, same COLUMN_MAPS path as the CSV reader. Missing headers in a
+    row become nulls; headers are unioned per file."""
+    import pyarrow as pa
+
+    column_map = COLUMN_MAPS.get(table, {})
+
+    def parse(batch: "pa.Table") -> "pa.Table":
+        tables = []
+        for data in batch["bytes"].to_pylist():
+            rows = parse_xlsx_bytes(data)
+            if not rows:
+                continue
+            cols: list[str] = []
+            for r in rows:
+                for k in r:
+                    if k not in cols:
+                        cols.append(k)
+            renamed = [column_map.get(normalize_header(c), c) for c in cols]
+            tables.append(
+                pa.table({rc: [r.get(c) for r in rows] for c, rc in zip(cols, renamed)})
+            )
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables, promote_options="default")
+
+    files = rd.read_binary_files(paths)
+    return files.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
 def split_synonyms(batch, col: str = "synonyms"):
     """Split a delimited synonym string column into list<string> on [,;|]
     (src/routes/v1/data-ingest.routes.js:679-684)."""

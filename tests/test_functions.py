@@ -154,6 +154,38 @@ class TestPlainAndNormalize:
         out, _ = normalize_text("Dx pendiente")
         assert out == "diagnostico pendiente"
 
+    def test_abbreviation_table_complete(self):
+        """Full parity with the reference's 80+ entry expansion semantics
+        (system.prompt.js:20-77)."""
+        from medical_ocr_service_ray.functions.normalize import ABBREVIATIONS
+
+        assert len(ABBREVIATIONS) >= 80
+
+    def test_abbreviation_new_entries(self):
+        assert (
+            normalize_text("EPOC y VIH")[0]
+            == "enfermedad pulmonar obstructiva cronica y virus inmunodeficiencia humana"
+        )
+        assert normalize_text("tomar 1 cp c/8h VO")[0] == "tomar 1 comprimido cada 8 horas via oral"
+        assert normalize_text("UCIN llena")[0] == "unidad de cuidados intensivos neonatal llena"
+
+    def test_abbreviation_longest_first(self):
+        # TAC must beat TA, QTx must beat QT, c/12h must beat h
+        assert normalize_text("TAC de torax")[0] == "tomografia axial computarizada de torax"
+        assert normalize_text("QTx adyuvante")[0] == "quimioterapia adyuvante"
+        assert normalize_text("c/12h")[0] == "cada 12 horas"
+
+    def test_abbreviation_ambiguity_first_listing_wins(self):
+        # PA appears twice in the reference prompt; the first listing
+        # (padecimiento actual) is the deterministic choice
+        assert normalize_text("PA estable")[0] == "padecimiento actual estable"
+
+    def test_abbreviation_case_sensitive_single_pass(self):
+        assert normalize_text("rx pendiente")[0] == "rx pendiente"  # lowercase not a key
+        assert normalize_text("IT")[0] == "inmunoterapia"
+        # expansions are never re-expanded (single regex pass)
+        assert normalize_text("VO")[0] == "via oral"
+
     def test_truncation(self):
         out, w = normalize_text("x" * 9000)
         assert len(out) == 8000 and "truncated" in w

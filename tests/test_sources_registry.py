@@ -122,3 +122,74 @@ class TestRegistry:
 
         with pytest.raises(KeyError, match="unknown stage"):
             apply_stage(rd.from_arrow(pa.table({"x": [1]})), "nope")
+
+
+def _write_min_xlsx(path):
+    """Minimal SpreadsheetML fixture: rels-resolved sheet name, shared
+    strings, a rich-text header ('Nombre' split across runs), a rich-text
+    data cell, inline strings, and integral numbers."""
+    import zipfile
+
+    M = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    R = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    members = {
+        "xl/workbook.xml": (
+            f'<workbook {M} {R}><sheets>'
+            '<sheet name="Datos" sheetId="1" r:id="rId7"/></sheets></workbook>'
+        ),
+        "xl/_rels/workbook.xml.rels": (
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId7" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet"'
+            ' Target="worksheets/datos_hoja.xml"/></Relationships>'
+        ),
+        "xl/sharedStrings.xml": (
+            f'<sst {M} count="4" uniqueCount="4">'
+            "<si><t>Codigo</t></si>"
+            "<si><r><t>Nom</t></r><r><t>bre</t></r></si>"  # rich-text header
+            "<si><t>Sinonimos</t></si>"
+            "<si><r><t>eco</t></r><r><t>grafia</t></r></si>"  # rich-text cell
+            "</sst>"
+        ),
+        "xl/worksheets/datos_hoja.xml": (
+            f'<worksheet {M}><sheetData>'
+            '<row r="1">'
+            '<c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c>'
+            "</row>"
+            '<row r="2">'
+            '<c r="A2"><v>101</v></c><c r="B2" t="s"><v>3</v></c>'
+            '<c r="C2" t="inlineStr"><is><t>eco; ultrasonido</t></is></c>'
+            "</row>"
+            '<row r="3">'
+            '<c r="A3"><v>102</v></c>'
+            '<c r="B3" t="inlineStr"><is><t>tomografia</t></is></c>'
+            "</row>"
+            "</sheetData></worksheet>"
+        ),
+    }
+    with zipfile.ZipFile(path, "w") as zf:
+        for name, content in members.items():
+            zf.writestr(name, content)
+    return path
+
+
+class TestXlsxReader:
+    def test_parse_bytes_reference_semantics(self, tmp_path):
+        from medical_ocr_service_ray.sources.readers import parse_xlsx_bytes
+
+        p = _write_min_xlsx(tmp_path / "dim.xlsx")
+        rows = parse_xlsx_bytes(p.read_bytes())
+        assert rows == [
+            {"codigo": 101, "nombre": "ecografia", "sinonimos": "eco; ultrasonido"},
+            {"codigo": 102, "nombre": "tomografia"},
+        ]  # headers lowercased, rich text flattened, ints integral
+
+    def test_read_xlsx_aliased_dataset(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.sources.readers import read_xlsx_aliased, split_synonyms
+
+        p = _write_min_xlsx(tmp_path / "dim.xlsx")
+        ds = read_xlsx_aliased(str(p), "lookup_terms")
+        out = ds.map_batches(split_synonyms, batch_format="pyarrow").to_pandas()
+        assert list(out.columns) == ["term_id", "term", "synonyms"]
+        assert out.term_id.tolist() == [101, 102]
+        assert out.term.tolist() == ["ecografia", "tomografia"]
+        assert list(out.synonyms.tolist()[0]) == ["eco", "ultrasonido"]
