@@ -128,17 +128,26 @@ def run_extraction_fs_bucketed(
 ) -> None:
     """Two-pass bucketed output (the production/headline path):
 
-    pass 1: extract -> add bucket -> ``write_parquet(partition_cols=[bucket])``
-            (the all-to-all exchange happens through the filesystem: each task
-            appends its rows to every bucket directory it touches — no
-            distributed sort machinery in the hot path);
+    pass 1: extract -> STREAMING bucket-shard writer: a stateless
+            ``map_batches`` stage that slices each (large) batch by bucket
+            and writes one uncompressed shard file per (batch, bucket)
+            immediately. The all-to-all exchange happens through the
+            filesystem with NO barrier — writer tasks run pipelined with the
+            extraction actors under the streaming executor, so the write
+            cost hides under extraction compute (the previous
+            ``repartition -> write_parquet(partition_cols)`` materialized
+            every block before the first byte hit disk: a hard barrier that
+            cost the end-to-end path ~25% at 32 CPUs).
     pass 2: one task per bucket: read the bucket dir, sort by
             (conv_id, turn_idx), write ONE final part file atomically.
 
-    Advantages at scale: the only barrier is per bucket (a preempted run
-    resumes at bucket granularity — see state/manifest.py), the final files
-    are the sorted, dedupable unit the north rule requires, and the tail cost
-    beyond raw extraction is a cheap local sort per bucket."""
+    Shard names are content-derived (blake2b of the slice's key columns), so
+    a retried writer task republishes the same file instead of duplicating
+    rows (rename-atomic, same bytes). Advantages at scale: the only barrier
+    is per bucket (a preempted run resumes at bucket granularity — see
+    state/manifest.py), the final files are the sorted, dedupable unit the
+    north rule requires, and the tail beyond raw extraction is one cheap
+    local sort per bucket."""
     import os
 
     import ray
@@ -162,15 +171,50 @@ def run_extraction_fs_bucketed(
 
     ds = extract_dataset(read_transcripts(input_dir), cfg)
     nb = cfg.num_buckets
-    # coalesce blocks first: the partitioned write emits one file per
-    # (block, bucket) pair — without this it is blocks x buckets tiny files
-    ds = ds.repartition(max(32, nb // 2))
-    ds = ds.map_batches(
-        lambda t: add_bucket_column(t, nb), batch_format="pyarrow", zero_copy_batch=True
-    )
-    # the intermediate is ephemeral and usually on tmpfs: compression buys
-    # nothing there and costs encode CPU
-    ds.write_parquet(str(tmp), partition_cols=["bucket"], compression="NONE")
+    tmp_str = str(tmp)
+
+    def write_shards(batch: pa.Table) -> pa.Table:
+        """Slice one batch by bucket and publish each slice as a shard file.
+        Large batch_size bounds the file count at ~(rows/batch_size) x the
+        buckets a batch actually touches; uncompressed because the
+        intermediate is ephemeral (usually tmpfs) and encode CPU buys
+        nothing there."""
+        import hashlib
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        batch = add_bucket_column(batch, nb)
+        buckets = batch["bucket"]
+        out_rows = []
+        for bucket in pa.compute.unique(buckets).to_pylist():
+            part = batch.filter(pa.compute.equal(buckets, bucket)).drop_columns(["bucket"])
+            d = _os.path.join(tmp_str, f"bucket={bucket}")
+            _os.makedirs(d, exist_ok=True)
+            h = hashlib.blake2b(digest_size=10)
+            h.update(b"".join(c.encode() for c in part["conv_id"].to_pylist()[:64]))
+            h.update(str(part["turn_idx"].to_pylist()[:64]).encode())
+            h.update(str(part.num_rows).encode())
+            name = _os.path.join(d, f"shard-{h.hexdigest()}.parquet")
+            _pq.write_table(part, name + ".tmp", compression="NONE")
+            _os.replace(name + ".tmp", name)  # retry-idempotent publish
+            out_rows.append((bucket, part.num_rows))
+        return pa.table(
+            {
+                "bucket": pa.array([b for b, _ in out_rows], pa.int32()),
+                "rows": pa.array([r for _, r in out_rows], pa.int64()),
+            }
+        )
+
+    # consume the tiny summary stream: this drives the pipelined
+    # extract -> write execution end to end with no barrier. Fractional
+    # num_cpus: the extraction actor pool holds CPUs-2 for its lifetime, so
+    # 1-CPU writer tasks would serialize on the 2 leftover slots and drain as
+    # a post-extraction tail; the write is a brief uncompressed encode +
+    # (usually tmpfs) copy, so mild oversubscription overlaps it fully
+    ds.map_batches(
+        write_shards, batch_format="pyarrow", batch_size=32768, num_cpus=0.25
+    ).count()
 
     @ray.remote
     def finalize_bucket(bucket_dir: str, final_path: str, dedup: bool) -> int:

@@ -61,6 +61,38 @@ class ManifestEntry:
     status: str  # DONE | FAILED
     attempt: int
     error: str = ""  # error class/message for FAILED lines (dead-letter)
+    retryable: bool = True  # False = deterministic error, retry won't help
+
+
+# Retry domain separation (the reference classifies non-retryable statuses
+# before burning retry budget, src/utils/retry.js:11-59): deterministic
+# input/logic errors fail the same way every time, so the runner dead-letters
+# them for THIS run immediately instead of re-running; transient
+# infrastructure errors get one immediate in-run retry. Cross-run resume may
+# retry either kind (the operator may have repaired the input), bounded by
+# cfg.max_attempts.
+NON_RETRYABLE_ERRORS: tuple[type[BaseException], ...] = (
+    ValueError,
+    TypeError,
+    KeyError,
+    FileNotFoundError,
+)
+
+
+def classify_retryable(exc: BaseException) -> bool:
+    """True if the error class suggests a retry could succeed. Unwraps
+    Ray's task-error cause chain; ArrowInvalid (malformed input) counts as
+    non-retryable."""
+    import pyarrow as pa
+
+    seen = 0
+    cur: BaseException | None = exc
+    while cur is not None and seen < 8:
+        if isinstance(cur, NON_RETRYABLE_ERRORS + (pa.lib.ArrowInvalid,)):
+            return False
+        cur = getattr(cur, "cause", None) or cur.__cause__
+        seen += 1
+    return True
 
 
 class Manifest:
@@ -247,58 +279,77 @@ def run_resumable_extraction(
         f = files[pid]
         part_dir = stage1 / f"p{pid:05d}"
         tmp_dir = stage1 / f"p{pid:05d}.tmp"
-        if tmp_dir.exists():
-            shutil.rmtree(tmp_dir)  # leftover from a crash mid-write
-        t0 = time.time()
-        attempt = manifest.attempts(1, pid) + 1
-        try:
-            n_rows = pq.read_metadata(f).num_rows
-            ds = rd.read_parquet(str(f), columns=["conv_id", "turn_idx", "role", "text"])
-            ds = extract_dataset(ds, cfg)
-            ds = ds.map_batches(
-                lambda t: add_bucket_column(t, nb), batch_format="pyarrow", zero_copy_batch=True
-            )
-            ds.write_parquet(str(tmp_dir), partition_cols=["bucket"])
-            # error-row count: parallel remote tasks over the just-written
-            # shards (never a sequential driver re-read between partitions)
-            shard_files = [str(p) for p in tmp_dir.rglob("*.parquet")]
-            errors = sum(ray.get([count_error_rows.remote(s) for s in shard_files]))
-            if part_dir.exists():
-                shutil.rmtree(part_dir)
-            os.replace(tmp_dir, part_dir)  # atomic publish
-        except Exception as exc:
+
+        def attempt_once() -> bool:
+            """One extraction attempt; appends its own manifest line.
+            Returns True on success, False on a FAILED (recorded) attempt."""
+            if tmp_dir.exists():
+                shutil.rmtree(tmp_dir)  # leftover from a crash mid-write
+            t0 = time.time()
+            attempt = manifest.attempts(1, pid) + 1
+            try:
+                n_rows = pq.read_metadata(f).num_rows
+                ds = rd.read_parquet(str(f), columns=["conv_id", "turn_idx", "role", "text"])
+                ds = extract_dataset(ds, cfg)
+                ds = ds.map_batches(
+                    lambda t: add_bucket_column(t, nb),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                ds.write_parquet(str(tmp_dir), partition_cols=["bucket"])
+                # error-row count: parallel remote tasks over the just-written
+                # shards (never a sequential driver re-read between partitions)
+                shard_files = [str(p) for p in tmp_dir.rglob("*.parquet")]
+                errors = sum(ray.get([count_error_rows.remote(s) for s in shard_files]))
+                if part_dir.exists():
+                    shutil.rmtree(part_dir)
+                os.replace(tmp_dir, part_dir)  # atomic publish
+            except Exception as exc:
+                manifest.append(
+                    ManifestEntry(
+                        stage=1,
+                        partition_id=pid,
+                        input_file=str(f),
+                        batch_range=[0, 0],
+                        extractor_version=cfg.extractor_version_override or EXTRACTOR_VERSION,
+                        rows=0,
+                        bytes=0,
+                        errors=0,
+                        wall_ms=int((time.time() - t0) * 1000),
+                        status="FAILED",
+                        attempt=attempt,
+                        error=f"{type(exc).__name__}: {exc}"[:300],
+                        retryable=classify_retryable(exc),
+                    )
+                )
+                return False
             manifest.append(
                 ManifestEntry(
                     stage=1,
                     partition_id=pid,
                     input_file=str(f),
-                    batch_range=[0, 0],
+                    batch_range=[0, n_rows],
                     extractor_version=cfg.extractor_version_override or EXTRACTOR_VERSION,
-                    rows=0,
-                    bytes=0,
-                    errors=0,
+                    rows=n_rows,
+                    bytes=_dir_bytes(part_dir),
+                    errors=errors,
                     wall_ms=int((time.time() - t0) * 1000),
-                    status="FAILED",
+                    status="DONE",
                     attempt=attempt,
-                    error=f"{type(exc).__name__}: {exc}"[:300],
                 )
             )
+            return True
+
+        ok = attempt_once()
+        if not ok:
+            last = [e for e in manifest.load() if e.stage == 1 and e.partition_id == pid][-1]
+            # transient error class: one immediate in-run retry (the
+            # reference's within-job retry domain); deterministic errors
+            # wait for resume (the input may get repaired between runs)
+            if last.retryable and manifest.attempts(1, pid) < cfg.max_attempts:
+                ok = attempt_once()
+        if not ok:
             return
-        manifest.append(
-            ManifestEntry(
-                stage=1,
-                partition_id=pid,
-                input_file=str(f),
-                batch_range=[0, n_rows],
-                extractor_version=cfg.extractor_version_override or EXTRACTOR_VERSION,
-                rows=n_rows,
-                bytes=_dir_bytes(part_dir),
-                errors=errors,
-                wall_ms=int((time.time() - t0) * 1000),
-                status="DONE",
-                attempt=attempt,
-            )
-        )
         with crash_lock:
             completed_this_run += 1
             if fail_after_stage1 is not None and completed_this_run >= fail_after_stage1:

@@ -196,3 +196,53 @@ def test_parallel_stage1_matches_sequential(ray_session, unit_corpus, golden_tab
     )
     got = _final_table(final)
     assert got.select(golden_table.column_names).equals(golden_table)
+
+
+def test_transient_error_retried_in_run(ray_session, unit_corpus, golden_table, tmp_path, monkeypatch):
+    """Retry domain separation: a transient (retryable-classified) failure
+    gets ONE immediate in-run retry and the run completes; the FAILED line
+    records retryable=True. Deterministic errors (e.g. malformed input) are
+    classified non-retryable and wait for resume — covered by
+    test_failed_partition_ledger_and_retry."""
+    from medical_ocr_service_ray import state
+    from medical_ocr_service_ray.config import PipelineConfig
+    from medical_ocr_service_ray.pipelines import extraction as ext_mod
+    from medical_ocr_service_ray.state.manifest import Manifest, run_resumable_extraction
+
+    real = ext_mod.extract_dataset
+    calls = {"n": 0}
+
+    def flaky(ds, cfg=None):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second partition's first attempt blows up
+            raise OSError("transient: connection reset")
+        return real(ds, cfg)
+
+    monkeypatch.setattr(ext_mod, "extract_dataset", flaky)
+    cfg = PipelineConfig(num_buckets=8)
+    final = run_resumable_extraction(unit_corpus, tmp_path / "flaky", cfg)
+    got = _final_table(final)
+    assert got.select(golden_table.column_names).equals(golden_table)
+
+    entries = Manifest(tmp_path / "flaky" / "manifest.jsonl").load()
+    failed = [e for e in entries if e.status == "FAILED"]
+    assert len(failed) == 1 and failed[0].retryable is True
+    assert failed[0].attempt == 1
+    done_same = [
+        e for e in entries
+        if e.stage == 1 and e.partition_id == failed[0].partition_id and e.status == "DONE"
+    ]
+    assert len(done_same) == 1 and done_same[0].attempt == 2
+
+
+def test_nonretryable_classification():
+    import pyarrow as pa
+
+    from medical_ocr_service_ray.state.manifest import classify_retryable
+
+    assert classify_retryable(OSError("reset")) is True
+    assert classify_retryable(ValueError("bad")) is False
+    assert classify_retryable(pa.lib.ArrowInvalid("not parquet")) is False
+    wrapped = RuntimeError("task died")
+    wrapped.__cause__ = ValueError("inner")
+    assert classify_retryable(wrapped) is False
