@@ -36,3 +36,20 @@ class PipelineConfig:
     # a partition whose attempts are exhausted is dead-lettered — skipped on
     # resume and surfaced in manifest_summary — instead of retried forever.
     max_attempts: int = 3
+
+
+def set_engine_shuffle_profile() -> None:
+    """Set push-based sort shuffle as the session's execution profile.
+
+    Every keyed stage in this engine rides ``groupby(bucket)`` sorts;
+    push-based shuffle cuts their flat exchange cost ~3x (measured: q15 at
+    sf0.01 3.8 s -> 1.2 s; round-1: ordering stage 41 s -> 27 s). Ray reads
+    the strategy at EXECUTION time, and most queries return lazy Datasets
+    the caller consumes later, so a set-and-restore scope cannot work — the
+    engine's entry points set it deliberately and persistently (documented
+    here rather than leaked as a side effect from mid-pipeline code; a
+    caller that needs pull-based shuffle for a different workload can reset
+    ``DataContext.get_current().shuffle_strategy`` afterwards)."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    DataContext.get_current().shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED

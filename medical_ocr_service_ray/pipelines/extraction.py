@@ -75,13 +75,10 @@ def finalize_ordered(ds: "rd.Dataset", cfg: PipelineConfig | None = None) -> "rd
     conversation."""
     cfg = cfg or PipelineConfig()
     nb = cfg.num_buckets
-    # NOTE: push-based shuffle (which more than halves this stage's exchange
-    # cost — measured 41s -> 27s on 600k turns / 32 CPUs) must be enabled on
-    # the DataContext BEFORE the source dataset is created: Ray Data snapshots
-    # the context at dataset creation, so setting it here would not affect
-    # this pipeline and would leak into unrelated later ones. The entry points
-    # (run_extraction_pipeline, bench, run_job) set-and-restore it around
-    # dataset construction.
+    # NOTE: this stage's groupby sort needs push-based shuffle (more than
+    # halves the exchange cost — 41s -> 27s on 600k turns / 32 CPUs); Ray
+    # reads the strategy at EXECUTION time, so the engine's entry points set
+    # it session-persistently via config.set_engine_shuffle_profile().
     # coalesce extractor output into ~nb blocks first: fewer, larger shuffle
     # map inputs (measured 37.6s -> 29.2s on 600k turns / 32 CPUs)
     ds = ds.repartition(nb)
@@ -99,22 +96,19 @@ def run_extraction_pipeline(
     ordered: bool = True,
 ) -> "rd.Dataset":
     """Build (and optionally write) the full pipeline. Returns the lazy
-    Dataset; callers consume it (write_parquet/iter_batches/to_pandas)."""
-    from ray.data import DataContext
+    Dataset; callers consume it (write_parquet/iter_batches/to_pandas).
+
+    Sets the engine's push-based shuffle profile (see
+    ``config.set_engine_shuffle_profile``: Ray reads the strategy
+    at execution time, and the returned Dataset is lazy, so the setting must
+    persist past this call)."""
+    from medical_ocr_service_ray.config import set_engine_shuffle_profile
 
     cfg = cfg or PipelineConfig()
-    # enable push-based shuffle for THIS pipeline only: the context is
-    # snapshotted when the source dataset is created, so set -> create ->
-    # restore scopes the flag without a session-wide side effect
-    ctx = DataContext.get_current()
-    prev_push = ctx.use_push_based_shuffle
-    ctx.use_push_based_shuffle = True
-    try:
-        ds = extract_dataset(read_transcripts(input_dir), cfg)
-        if ordered:
-            ds = finalize_ordered(ds, cfg)
-    finally:
-        ctx.use_push_based_shuffle = prev_push
+    set_engine_shuffle_profile()
+    ds = extract_dataset(read_transcripts(input_dir), cfg)
+    if ordered:
+        ds = finalize_ordered(ds, cfg)
     if output_dir is not None:
         ds = ds.drop_columns(["bucket"]) if ordered else ds
         ds.write_parquet(str(output_dir))

@@ -23,6 +23,7 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
+from medical_ocr_service_ray.config import set_engine_shuffle_profile
 from medical_ocr_service_ray.functions.textstats import (
     LANGS,
     STOPWORDS,
@@ -40,6 +41,7 @@ from medical_ocr_service_ray.stages.join import BroadcastMapper, SemiAntiFilter
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "rd.Dataset":
+    set_engine_shuffle_profile()
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
@@ -505,7 +507,14 @@ def q15_ngram_jaccard(sf_dir: str):
     """Exact word-bigram Jaccard for same-source document pairs:
     shingle explode -> (source, shingle) groupby -> pair counts -> integer
     jaccard. The same-source restriction bounds the pair blowup (at 100 TB
-    the 'source' key is the co-location/bucketing key)."""
+    the 'source' key is the co-location/bucketing key).
+
+    Physical-plan choices (measured at sf0.1): each exploded row CARRIES its
+    doc's distinct-shingle count, so pair rows are self-contained
+    (doc_a, doc_b, na, nb) — no separate counting pass, no broadcast, one
+    read and one explode total; and shingles travel as vectorized 64-bit
+    hashes, not strings (same pair/intersection counts — a 64-bit collision
+    at this cardinality is ~1e-7 — for a fraction of the shuffle bytes)."""
     from medical_ocr_service_ray.functions.textstats import _NONWS_RE  # tokenizer shared
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
@@ -514,53 +523,59 @@ def q15_ngram_jaccard(sf_dir: str):
         ids = t["doc_id"].to_pylist()
         srcs = t["source"].to_pylist()
         texts = t["text"].to_pylist()
-        o_id, o_src, o_sh = [], [], []
+        o_id, o_src, o_sh, o_n = [], [], [], []
         for d, s, txt in zip(ids, srcs, texts):
             ws = _NONWS_RE.findall((txt or "").lower().strip())
-            for sh in set(f"{a} {b}" for a, b in zip(ws, ws[1:])):
+            shset = set(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+            for sh in shset:
                 o_id.append(d)
                 o_src.append(s)
                 o_sh.append(sh)
+                o_n.append(len(shset))
+        hashed = pd.util.hash_array(np.asarray(o_sh, dtype=object)).astype("int64")
         return pa.table(
             {
                 "doc_id": pa.array(o_id, pa.int64()),
                 "source": pa.array(o_src, pa.string()),
-                "shingle": pa.array(o_sh, pa.string()),
+                "shingle": pa.array(hashed, pa.int64()),
+                "n_sh": pa.array(o_n, pa.int64()),
             }
         )
 
     sh = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    # per-doc distinct shingle counts (bounded: one row per doc)
-    counts = driver_combine(
-        sh,
-        lambda df: df.groupby("doc_id", as_index=False).agg(p_n=("shingle", "size")),
-        lambda df: df.groupby("doc_id", as_index=False).agg(n_sh=("p_n", "sum")),
-    )
-    n_sh = dict(zip(counts.doc_id, counts.n_sh))
-
     def pairs_per_shingle(df: pd.DataFrame) -> pd.DataFrame:
-        from medical_ocr_service_ray.stages.dedup import _pairs_from_groups
-
-        return _pairs_from_groups(df, ["source", "shingle"])
-
-    # broadcast the per-doc shingle counts (one small int per doc) so the
-    # threshold is applied INSIDE the bucketed combine — the driver never
-    # holds the (much larger) sub-threshold candidate pair set
-    import ray
-
-    n_sh_ref = ray.put(n_sh)
+        """(a<b) doc pairs per (source, shingle) group, each pair carrying
+        both docs' shingle counts. Singleton shingles dropped vectorized."""
+        df = df[df.duplicated(["source", "shingle"], keep=False)]
+        a_o, b_o, na_o, nb_o = [], [], [], []
+        for _, g in df.groupby(["source", "shingle"], sort=False):
+            rows = sorted(set(zip(g.doc_id, g.n_sh)))
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    a_o.append(rows[i][0])
+                    b_o.append(rows[j][0])
+                    na_o.append(rows[i][1])
+                    nb_o.append(rows[j][1])
+        return pd.DataFrame(
+            {
+                "doc_a": pd.array(a_o, "int64"),
+                "doc_b": pd.array(b_o, "int64"),
+                "na": pd.array(na_o, "int64"),
+                "nb": pd.array(nb_o, "int64"),
+            }
+        )
 
     def combine_jaccard(df: pd.DataFrame) -> pd.DataFrame:
+        """Count shared shingles per pair and apply the threshold INSIDE the
+        combine — the driver never holds the sub-threshold pair set."""
         g = (
-            df.groupby(["doc_a", "doc_b"], as_index=False)
+            df.groupby(["doc_a", "doc_b", "na", "nb"], as_index=False)
             .size()
             .rename(columns={"size": "inter"})
         )
-        counts_map = ray.get(n_sh_ref)  # worker-local object store read
-        na = g.doc_a.map(counts_map).astype("int64")
-        nb = g.doc_b.map(counts_map).astype("int64")
-        g["jaccard_x1000"] = (1000 * g.inter.astype("int64")) // (na + nb - g.inter)
+        inter = g.inter.astype("int64")
+        g["jaccard_x1000"] = (1000 * inter) // (g.na + g.nb - inter)
         out = g[g.jaccard_x1000 >= _SHINGLE_THRESHOLD_X1000]
         return out[["doc_a", "doc_b", "jaccard_x1000"]].reset_index(drop=True)
 

@@ -18,7 +18,6 @@ bucket, so grouping by the full key inside a bucket is complete.
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Callable
 
 import pandas as pd
@@ -27,15 +26,16 @@ import ray.data as rd
 
 
 def bucket_of(series: pd.Series, num_buckets: int) -> pd.Series:
-    """Deterministic bucket id (crc32 for strings, modulo for ints) — stable
-    across processes, unlike Python's salted hash()."""
+    """Deterministic bucket id (modulo for ints; vectorized siphash via
+    ``pd.util.hash_array`` with its fixed default key for everything else) —
+    stable across processes, unlike Python's salted hash(). The string path
+    used to be a per-row Python crc32 map: on a shingle-explode shuffle
+    (millions of short strings) the vectorized hash is the difference
+    between the bucket stamp being free and being the hot spot."""
     if series.dtype.kind in "iu":
         return (series.astype("int64") % num_buckets).astype("int32")
-    return (
-        series.astype(str)
-        .map(lambda x: zlib.crc32(x.encode()) % num_buckets)
-        .astype("int32")
-    )
+    vals = pd.util.hash_array(series.astype(str).to_numpy(dtype=object))
+    return (vals % num_buckets).astype("int32")
 
 
 def bucketed_combine(

@@ -100,9 +100,15 @@ class MinHashSignatures:
 
 
 def _pairs_from_groups(df, group_cols: list[str]):
-    """All (a<b) doc pairs within each group of a bucket's DataFrame."""
+    """All (a<b) doc pairs within each group of a bucket's DataFrame.
+
+    Singleton groups (the vast majority: most shingles/band-keys belong to
+    one doc) produce no pairs, so they are dropped with one vectorized
+    ``duplicated`` mask BEFORE the Python group iteration — iterating
+    millions of size-1 groups was the hot spot, not the pair loops."""
     import pandas as pd
 
+    df = df[df.duplicated(group_cols, keep=False)]
     a_out, b_out = [], []
     for _, g in df.groupby(group_cols, sort=False):
         ids = sorted(set(g["doc_id"]))
@@ -334,72 +340,59 @@ def dedup_clusters_distributed(
 
     from medical_ocr_service_ray.stages.aggregate import bucketed_combine
 
-    edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
-
+    # unified row kinds flowing through ONE keyed shuffle per round:
+    #   kind 0 = edge    (key = node, val = neighbor)   — re-shuffled each round
+    #   kind 1 = cand    (key = node, val = candidate label)
+    #   kind 2 = sum     (key = -1-bucket, val = per-bucket label sum) — the
+    #            fixpoint probe, filtered out of the next round's input
     def explode_edges(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "key": pd.concat([df.doc_a, df.doc_b], ignore_index=True).astype("int64"),
-                "side": 1,
-                "other": pd.concat([df.doc_b, df.doc_a], ignore_index=True).astype("int64"),
-                "label": -1,
-            }
-        )
+        key = pd.concat([df.doc_a, df.doc_b], ignore_index=True).astype("int64")
+        val = pd.concat([df.doc_b, df.doc_a], ignore_index=True).astype("int64")
+        edges_part = pd.DataFrame({"key": key, "kind": 0, "val": val})
+        init = pd.DataFrame({"key": key, "kind": 1, "val": key})  # label := self
+        return pd.concat([edges_part, init], ignore_index=True)
 
-    edge_rows = edges.map_batches(explode_edges, batch_format="pandas").materialize()
-
-    # initial labels: every endpoint labels itself
-    labels = bucketed_combine(
-        edge_rows,
-        "key",
-        lambda df: pd.DataFrame({"node": df.key.unique()}).assign(
-            label=lambda d: d.node
-        ).astype("int64"),
-        num_buckets=num_buckets,
+    state = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+        explode_edges, batch_format="pandas"
     ).materialize()
 
-    def labels_side(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "key": df.node.astype("int64"),
-                "side": 0,
-                "other": -1,
-                "label": df.label.astype("int64"),
-            }
+    def round_combine(df: pd.DataFrame) -> pd.DataFrame:
+        edg = df[df.kind == 0]
+        cand = df[df.kind == 1]
+        lab = cand.groupby("key", as_index=False).agg(val=("val", "min"))  # new labels
+        lmap = dict(zip(lab.key, lab.val))
+        retain = pd.DataFrame({"key": lab.key, "kind": 1, "val": lab.val})
+        msgs = pd.DataFrame(
+            {"key": edg.val.astype("int64"), "kind": 1, "val": edg.key.map(lmap).astype("int64")}
         )
+        probe = pd.DataFrame({"key": [-1], "kind": 2, "val": [int(lab.val.sum())]})
+        # edges pass through so the next round re-shuffles them with the cands
+        out = pd.concat([edg[["key", "kind", "val"]], retain, msgs, probe], ignore_index=True)
+        return out.astype({"key": "int64", "kind": "int64", "val": "int64"})
 
-    def propagate(df: pd.DataFrame) -> pd.DataFrame:
-        lab = df[df.side == 0]
-        edg = df[df.side == 1]
-        lmap = dict(zip(lab.key, lab.label))
-        # each node keeps its own label; each edge row forwards this
-        # endpoint's label to the other endpoint
-        node = pd.concat([lab.key, edg.other], ignore_index=True)
-        cand = pd.concat([lab.label, edg.key.map(lmap)], ignore_index=True)
-        out = pd.DataFrame({"node": node.astype("int64"), "cand": cand.astype("int64")})
-        # pre-reduce inside the bucket before the next keyed shuffle
-        return out.groupby("node", as_index=False).agg(cand=("cand", "min"))
-
-    def label_sum(ds_labels) -> int:
-        sums = ds_labels.map_batches(
-            lambda df: pd.DataFrame({"s": [int(df.label.sum())]}), batch_format="pandas"
-        ).to_pandas()  # one row per block
-        return int(sums.s.sum())
-
-    prev_sum = label_sum(labels)
+    prev_sum = None
     for _ in range(max_rounds):
-        unified = labels.map_batches(labels_side, batch_format="pandas").union(edge_rows)
-        messages = bucketed_combine(unified, "key", propagate, num_buckets=num_buckets)
-        labels = bucketed_combine(
-            messages,
-            "node",
-            lambda df: df.groupby("node", as_index=False).agg(label=("cand", "min")),
-            num_buckets=num_buckets,
-        ).materialize()
-        cur_sum = label_sum(labels)
-        if cur_sum == prev_sum:  # monotone non-increasing => fixpoint
+        state = bucketed_combine(state, "key", round_combine, num_buckets=num_buckets).materialize()
+        probes = state.map_batches(
+            lambda df: df[df.kind == 2][["val"]], batch_format="pandas"
+        ).to_pandas()  # num_buckets tiny rows
+        cur_sum = int(probes.val.sum())
+        state = state.map_batches(
+            lambda df: df[df.kind != 2], batch_format="pandas"
+        )
+        if cur_sum == prev_sum:  # labels monotone non-increasing => fixpoint
             break
         prev_sum = cur_sum
+
+    # final labels: min candidate per node
+    labels = bucketed_combine(
+        state.map_batches(lambda df: df[df.kind == 1], batch_format="pandas"),
+        "key",
+        lambda df: df.groupby("key", as_index=False)
+        .agg(val=("val", "min"))
+        .rename(columns={"key": "node", "val": "label"}),
+        num_buckets=num_buckets,
+    ).materialize()
 
     # attach cluster sizes: keyed count + one tagged-union join back
     def size_side(df: pd.DataFrame) -> pd.DataFrame:
@@ -482,6 +475,7 @@ def simhash_pairs(docs: "rd.Dataset", max_hamming: int = 3) -> "rd.Dataset":
     def pairs_in_buckets(df) -> "pd.DataFrame":
         import pandas as pd
 
+        df = df[df.duplicated(["band_id", "band_key"], keep=False)]  # drop singleton bands
         a_o, b_o, d_o = [], [], []
         for _, g in df.groupby(["band_id", "band_key"], sort=False):
             rows = sorted(set(zip(g["doc_id"], g["simhash"])))
