@@ -40,6 +40,12 @@ def main() -> int:
                     help="collapse duplicated (conv_id, turn_idx) input rows")
     ap.add_argument("--resumable", action="store_true",
                     help="checkpointed two-stage run with manifest (resume on re-submit)")
+    ap.add_argument("--max-attempts", type=int, default=3,
+                    help="per-partition attempt budget before dead-lettering (resumable)")
+    ap.add_argument("--allow-partial", action="store_true",
+                    help="finalize the DONE subset even when partitions are dead-lettered")
+    ap.add_argument("--stage1-parallelism", type=int, default=None,
+                    help="concurrent stage-1 file partitions (default: auto from CPUs)")
     args = ap.parse_args()
 
     import ray
@@ -59,6 +65,7 @@ def main() -> int:
         extract_concurrency=args.concurrency,
         num_buckets=args.num_buckets,
         dedup_turns=args.dedup_turns,
+        max_attempts=args.max_attempts,
     )
     t0 = time.time()
     if args.resumable:
@@ -67,7 +74,13 @@ def main() -> int:
             run_resumable_extraction,
         )
 
-        final = run_resumable_extraction(args.input, args.output, cfg)
+        final = run_resumable_extraction(
+            args.input,
+            args.output,
+            cfg,
+            allow_partial=args.allow_partial,
+            stage1_parallelism=args.stage1_parallelism,
+        )
         summary = manifest_summary(args.output)
         print(json.dumps({"final_dir": str(final), "wall_s": round(time.time() - t0, 1),
                           **summary}))
