@@ -807,7 +807,14 @@ def q22_ann_cosine_topk(sf_dir: str):
 
 def q23_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (cos >= 0.95) via same-label blocking +
-    in-group brute force (the label column is the IVF-coarse-bucket analogue)."""
+    in-group brute force (the label column is the IVF-coarse-bucket analogue).
+
+    Partitioning assumption / group-size bound: the blocking key must keep
+    each group to G rows with G^2 * 8 bytes of similarity per chunk row in a
+    task heap — the matmul is CHUNKED (1024 rows x G per step, vectorized
+    threshold per chunk), so peak memory is O(chunk * G), not O(G^2). With
+    G ~ 100k that is ~0.8 GB per chunk step: acceptable; beyond that the
+    label must be refined (e.g. IVF sub-clustering) before this stage."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
     def pairs(group: pa.Table) -> pa.Table:
@@ -820,15 +827,21 @@ def q23_embedding_neardup(sf_dir: str):
         norms = np.linalg.norm(emb, axis=1)
         norms[norms == 0] = 1.0
         unit = emb / norms[:, None]
-        sims = unit @ unit.T
-        a_o, b_o, s_o = [], [], []
         n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= 0.95:
-                    a_o.append(int(ids[i]))
+        a_o, b_o, s_o = [], [], []
+        chunk = 1024
+        for i0 in range(0, n, chunk):
+            i1 = min(i0 + chunk, n)
+            sims = unit[i0:i1] @ unit.T  # (chunk, n)
+            # upper triangle only: j > global row index
+            for local in range(i1 - i0):
+                row = sims[local]
+                gi = i0 + local
+                js = np.nonzero(row[gi + 1 :] >= 0.95)[0] + gi + 1
+                for j in js:
+                    a_o.append(int(ids[gi]))
                     b_o.append(int(ids[j]))
-                    s_o.append(float(np.floor(sims[i, j] * 1000)))
+                    s_o.append(float(np.floor(row[j] * 1000)))
         return pa.table(
             {
                 "vec_a": pa.array(a_o, pa.int64()),

@@ -105,15 +105,21 @@ def dedup_turns_in_bucket(group: pa.Table) -> pa.Table:
     turn with DIFFERENT content are also collapsed to the first by key
     (last-writer-wins is a policy choice; first-wins is deterministic here
     because content is identical in the idempotency case)."""
+    import pyarrow.compute as pc
+
     group = group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-    conv = group["conv_id"].to_pylist()
-    turn = group["turn_idx"].to_pylist()
-    keep = []
-    prev = None
-    for i, key in enumerate(zip(conv, turn)):
-        if key != prev:
-            keep.append(i)
-            prev = key
-    if len(keep) == len(conv):
+    n = group.num_rows
+    if n <= 1:
         return group
-    return group.take(keep)
+    # vectorized keep-first: row i is a duplicate iff (conv, turn) equals row i-1
+    conv = group["conv_id"].combine_chunks()
+    turn = group["turn_idx"].combine_chunks()
+    dup = pc.and_(
+        pc.equal(conv.slice(1), conv.slice(0, n - 1)),
+        pc.equal(turn.slice(1), turn.slice(0, n - 1)),
+    )
+    dups = np.flatnonzero(dup.to_numpy(zero_copy_only=False)) + 1
+    if len(dups) == 0:
+        return group
+    keep = np.setdiff1d(np.arange(n, dtype=np.int64), dups, assume_unique=True)
+    return group.take(pa.array(keep))

@@ -180,3 +180,69 @@ def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
             ]
         ),
     )
+
+
+# ------------------------------------------------------- M18 ingest gate
+
+# Upload-gate constants mirrored from the reference
+# (src/utils/constants.js:22-32; sanitizer src/config/multer.config.js:15-19).
+ALLOWED_MIME_TYPES = ("image/jpeg", "image/png", "application/pdf")
+ALLOWED_EXTENSIONS = (".jpg", ".jpeg", ".png", ".pdf")
+MAX_FILE_SIZE = 10 * 1024 * 1024  # 10 MB
+
+_SANITIZE_RE = None
+
+
+def sanitize_filename(name: str, payload: bytes | None = None) -> str:
+    """Reference sanitizer semantics (multer.config.js:15-19): every char
+    outside [a-zA-Z0-9.-] becomes '_', capped at 100 chars, prefixed with a
+    unique id. The reference prefixes a uuid4; this engine derives the prefix
+    from sha256(payload or name) so the same input always produces the same
+    output (determinism is the engine-wide contract)."""
+    global _SANITIZE_RE
+    import hashlib
+    import re as _re
+
+    if _SANITIZE_RE is None:
+        _SANITIZE_RE = _re.compile(r"[^a-zA-Z0-9.-]")
+    safe = _SANITIZE_RE.sub("_", name or "")[:100]
+    uid = hashlib.sha256(payload if payload is not None else (name or "").encode()).hexdigest()[:8]
+    return f"{uid}-{safe}"
+
+
+def ingest_gate_batch(batch: pa.Table, name_col: str = "filename") -> pa.Table:
+    """Upload-validation analogue of the reference's multer fileFilter
+    (multer.config.js:24-56 + constants.js:22-32): sanitize the filename,
+    validate extension + declared MIME against the allow-lists and the
+    payload size cap. Rejected rows are kept with a reject_reason (the
+    dead-letter row pattern) instead of raising."""
+    names = batch[name_col].to_pylist()
+    payloads = batch["payload"].to_pylist() if "payload" in batch.column_names else [None] * len(names)
+    mimes = (
+        batch["declared_mime"].to_pylist()
+        if "declared_mime" in batch.column_names
+        else [""] * len(names)
+    )
+    safe, allowed, reason = [], [], []
+    for n, p, m in zip(names, payloads, mimes):
+        safe.append(sanitize_filename(n or "", p))
+        ext_ok = any((n or "").lower().endswith(e) for e in ALLOWED_EXTENSIONS)
+        mime_ok = m in ALLOWED_MIME_TYPES
+        size_ok = p is None or len(p) <= MAX_FILE_SIZE
+        if not mime_ok:
+            allowed.append(False)
+            reason.append(f"INVALID_FILE_TYPE:{m}")
+        elif not ext_ok:
+            allowed.append(False)
+            reason.append("INVALID_EXTENSION")
+        elif not size_ok:
+            allowed.append(False)
+            reason.append("FILE_TOO_LARGE")
+        else:
+            allowed.append(True)
+            reason.append("")
+    return (
+        batch.append_column("safe_name", pa.array(safe, pa.string()))
+        .append_column("allowed", pa.array(allowed, pa.bool_()))
+        .append_column("reject_reason", pa.array(reason, pa.string()))
+    )

@@ -173,3 +173,44 @@ class TestMultimodal:
         metas = media.to_pandas()
         expected = sum(max(1, m["ms"] // 1000) for m in metas.meta)
         assert len(frames) == expected
+
+
+class TestIngestGate:
+    """M18: filename sanitizer + upload allow-list gate
+    (multer.config.js:15-56, constants.js:22-32)."""
+
+    def test_sanitize_reference_semantics(self):
+        from medical_ocr_service_ray.stages.multimodal import sanitize_filename
+
+        out = sanitize_filename("informe médico (v2)!.pdf", b"payload")
+        uid, _, rest = out.partition("-")
+        assert len(uid) == 8
+        assert rest == "informe_m_dico__v2__.pdf"
+        assert sanitize_filename("x" * 300).split("-", 1)[1] == "x" * 100  # cap
+        # deterministic: same input, same name
+        assert sanitize_filename("a.pdf", b"z") == sanitize_filename("a.pdf", b"z")
+
+    def test_gate_allowlist(self, ray_session):
+        import pyarrow as pa
+
+        from medical_ocr_service_ray.stages.multimodal import ingest_gate_batch
+
+        batch = pa.table(
+            {
+                "filename": ["ok.pdf", "bad.exe", "big.png", "spoof.jpg"],
+                "payload": [b"%PDF", b"MZ", b"x" * (10 * 1024 * 1024 + 1), b"\x89PNG"],
+                "declared_mime": [
+                    "application/pdf",
+                    "application/x-msdownload",
+                    "image/png",
+                    "text/html",
+                ],
+            }
+        )
+        out = ingest_gate_batch(batch)
+        assert out["allowed"].to_pylist() == [True, False, False, False]
+        reasons = out["reject_reason"].to_pylist()
+        assert reasons[0] == ""
+        assert reasons[1].startswith("INVALID_FILE_TYPE")
+        assert reasons[2] == "FILE_TOO_LARGE"
+        assert reasons[3].startswith("INVALID_FILE_TYPE")

@@ -245,3 +245,42 @@ class TestExtractTurn:
     def test_none_payload(self):
         r = extract_turn(None)
         assert r["extracted_text"] == ""
+
+
+class TestTrieRegex:
+    """_trie_regex must match exactly the same spans as the longest-first
+    flat alternation, for any literal key set."""
+
+    def _assert_equiv(self, keys, texts):
+        import re
+
+        from medical_ocr_service_ray.functions.normalize import _trie_regex
+
+        flat = re.compile(
+            r"\b(?:" + "|".join(sorted(map(re.escape, keys), key=len, reverse=True)) + r")\b"
+        )
+        trie = re.compile(r"\b(?:" + _trie_regex(list(keys)) + r")\b")
+        for t in texts:
+            a = [(m.start(), m.end()) for m in flat.finditer(t)]
+            b = [(m.start(), m.end()) for m in trie.finditer(t)]
+            assert a == b, (t, a, b)
+
+    def test_prefix_keys_longest_wins(self):
+        keys = ["TA", "TAC", "TACO", "T", "QT", "QTx", "c/8h", "h"]
+        texts = ["TA TAC TACO T", "x TAC. QTx QT", "c/8h h 8h TACOS", "TATAC TAC0"]
+        self._assert_equiv(keys, texts)
+
+    def test_hypothesis_random_keys(self):
+        import itertools
+        import random
+
+        rng = random.Random(5)
+        alphabet = "ABCdx/8"
+        for _ in range(30):
+            keys = {"".join(rng.choice(alphabet) for _ in range(rng.randint(1, 4)))
+                    for _ in range(rng.randint(1, 12))}
+            text = " ".join(
+                "".join(rng.choice(alphabet + " .") for _ in range(rng.randint(0, 6)))
+                for _ in range(20)
+            )
+            self._assert_equiv(keys, [text])
