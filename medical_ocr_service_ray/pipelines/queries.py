@@ -1245,6 +1245,105 @@ def q34_distinct_users_by_type(sf_dir: str):
 _Q34_SQL = "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
 
 
+# ------------------------------------------------------- q35-q38 (sampling)
+
+def q35_train_test_split(sf_dir: str):
+    """Deterministic train/test hash split (training-data op): split is a
+    pure arithmetic function of doc_id (Knuth multiplicative hash mod 100),
+    so it is reproducible at any scale, immune to repartitioning, and
+    SQL-exact. No shuffle — a stateless per-batch map."""
+    from medical_ocr_service_ray.stages.sampling import hash_split
+
+    ds = hash_split(_read(sf_dir, "documents", ["doc_id"]), "doc_id", train_pct=80)
+    return ds.select_columns(["doc_id", "split"])
+
+
+_Q35_SQL = """
+SELECT doc_id,
+       CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q36_sliding_windows(sf_dir: str):
+    """Sliding event-time windows (60 min length, 30 min slide): each event
+    belongs to exactly two windows, exploded per batch, then the engine-wide
+    partial+bucketed-combine aggregation. window_start is epoch seconds
+    (integer) so Ray and SQL agree bit-for-bit."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sec = df.ts.astype("datetime64[us]").astype("int64") // 1_000_000
+        w1 = (sec // 1800) * 1800
+        v4 = _cents(df.value, 10000)
+        both = pd.DataFrame(
+            {
+                "window_start": pd.concat([pd.Series(w1), pd.Series(w1 - 1800)], ignore_index=True),
+                "v4": pd.concat([pd.Series(v4), pd.Series(v4)], ignore_index=True),
+            }
+        )
+        return both.groupby("window_start", as_index=False).agg(
+            p_n=("v4", "size"), p_v4=("v4", "sum")
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("window_start", as_index=False).agg(
+            n_events=("p_n", "sum"), v4=("p_v4", "sum")
+        )
+        g["window_start"] = g.window_start.astype("int64")
+        g["n_events"] = g.n_events.astype("int64")
+        g["sum_value"] = g.v4.astype("int64") / 10000.0
+        return g[["window_start", "n_events", "sum_value"]]
+
+    return partial_then_combine(ds, partial, "window_start", combine, num_buckets=16)
+
+
+_Q36_SQL = """
+WITH w AS (
+  SELECT unnest([ (CAST(floor(epoch(ts) / 1800) AS BIGINT)) * 1800,
+                  (CAST(floor(epoch(ts) / 1800) AS BIGINT)) * 1800 - 1800 ]) AS window_start,
+         value
+  FROM events
+)
+SELECT window_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*10000, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value
+FROM w GROUP BY window_start
+"""
+
+
+def q37_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: the 50 events with the smallest
+    (knuth_hash(event_id), event_id) per event_type — per-batch partial
+    top-k bounds the shuffle to O(groups x k) per batch (training-data op;
+    SQL-exact via the same arithmetic hash)."""
+    from medical_ocr_service_ray.stages.sampling import stratified_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+    return stratified_sample(ds, "event_type", "event_id", k_per_group=50)
+
+
+_Q37_SQL = """
+SELECT event_id, event_type, user_id FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY event_type
+  ORDER BY (event_id * 2654435761) % 4294967296, event_id
+) <= 50
+"""
+
+
+def q38_pack_sequences(sf_dir: str):
+    """Context-length sequence packing (training-data op): every document
+    assigned to exactly one pack with total whitespace tokens <= 512
+    (oversize docs get singleton packs); greedy first-fit in ascending
+    doc_id order inside each hash bucket, so the result is a pure function
+    of the ids (invariant to input partitioning). Non-SQL (order-dependent
+    greedy); pytest oracle asserts the invariants."""
+    from medical_ocr_service_ray.stages.sampling import pack_sequences
+
+    return pack_sequences(_read(sf_dir, "documents", ["doc_id", "text"]), max_tokens=512)
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1282,6 +1381,10 @@ QUERIES = {
     "q32_asof_join": q32_asof_join,
     "q33_revenue_by_nation": q33_revenue_by_nation,
     "q34_distinct_users_by_type": q34_distinct_users_by_type,
+    "q35_train_test_split": q35_train_test_split,
+    "q36_sliding_windows": q36_sliding_windows,
+    "q37_stratified_sample": q37_stratified_sample,
+    "q38_pack_sequences": q38_pack_sequences,
 }
 
 ORACLE_SQL = {
@@ -1306,6 +1409,9 @@ ORACLE_SQL = {
     "q32_asof_join": _Q32_SQL,
     "q33_revenue_by_nation": _Q33_SQL,
     "q34_distinct_users_by_type": _Q34_SQL,
+    "q35_train_test_split": _Q35_SQL,
+    "q36_sliding_windows": _Q36_SQL,
+    "q37_stratified_sample": _Q37_SQL,
     # q13/q14/q16/q17/q20/q22/q23: non-SQL-expressible (LSH banding, streaming
     # extraction, rolling-hash, float knn) -> rows-only driver check + pytest
     # oracles in tests/.
