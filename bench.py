@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "q15_ngram_jaccard",
     "q21_hourly_user_windows",
     "q22_ann_cosine_topk",
+    "q36_sliding_windows",
+    "q37_stratified_sample",
 ]
 
 

@@ -169,9 +169,13 @@ def verify_pairs_jaccard(
     )
 
     def join_text_a(df: pd.DataFrame) -> pd.DataFrame:
-        """Attach text_a to each pair; re-key the output on doc_b."""
+        """Attach text_a to each pair; re-key the output on doc_b. Pairs are
+        deduplicated here rather than in a separate upstream shuffle: this
+        combine is keyed on doc_a, so every copy of a (doc_a, doc_b) pair
+        (one per LSH band that surfaced it) lands in the same bucket and one
+        drop_duplicates is globally exact — saving a full exchange."""
         d = df[df.side == 0]
-        p = df[df.side == 1]
+        p = df[df.side == 1].drop_duplicates(["key", "doc_a"])
         if p.empty:
             # typed empty frame: "string" dtype keeps the Arrow schema stable
             # (an object-dtype empty column would infer as null type and break
@@ -262,14 +266,11 @@ def minhash_lsh_pairs(
     candidates = bucketed_combine(
         banded, "band_key", lambda df: _pairs_from_groups(df, ["band_id", "band_key"])
     )
-    # a pair can surface from several bands: dedupe before the (expensive) verify
-    unique_pairs = bucketed_combine(
-        candidates,
-        "doc_a",
-        lambda df: df.groupby(["doc_a", "doc_b"], as_index=False).size().rename(columns={"size": "nbands"}),
-    ).select_columns(["doc_a", "doc_b"])
+    # a pair can surface from several bands; the verify stage's first join is
+    # keyed on doc_a and dedupes in-bucket, so candidates go in directly —
+    # no separate dedupe exchange
     return verify_pairs_jaccard(
-        unique_pairs, docs, shingle_k=shingle_k, threshold_x1000=threshold_x1000
+        candidates, docs, shingle_k=shingle_k, threshold_x1000=threshold_x1000
     )
 
 
