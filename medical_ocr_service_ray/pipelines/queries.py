@@ -1344,6 +1344,55 @@ def q38_pack_sequences(sf_dir: str):
     return pack_sequences(_read(sf_dir, "documents", ["doc_id", "text"]), max_tokens=512)
 
 
+def q39_corpus_prep(sf_dir: str):
+    """FLAGSHIP COMPOSITION (training-data pipeline): the classic pretraining
+    corpus-prep chain as one streaming composition of the engine's stages —
+
+        documents
+          -> exact dedup keyed on sha256 (keep min doc_id, full row carried
+             through the bucketed combine: no winner-set broadcast)
+          -> quality filter (integer quality score >= 150)
+          -> deterministic hash split, keep the train side
+          -> context-length sequence packing (<= 512 tokens per pack)
+
+    Returns (doc_id, n_tokens, pack_id, pack_tokens) for the packed train
+    corpus. Non-SQL end-to-end (greedy packing); every constituent stage has
+    its own SQL or pytest gate (q7/q11/q35/q38); the composition invariants
+    are gated in tests/test_sampling.py::TestCorpusPrep."""
+    from medical_ocr_service_ray.stages.dedup import add_sha_batch
+    from medical_ocr_service_ray.stages.sampling import hash_split, pack_sequences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = docs.map_batches(
+        lambda t: add_sha_batch(t, "text"), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # keyed dedupe carrying the full row: all rows of a sha share a bucket,
+    # min(doc_id) per sha is globally exact
+    def keep_min_per_sha(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["text_sha256", "doc_id"], kind="mergesort")
+        return df.groupby("text_sha256", as_index=False).head(1)[["doc_id", "text"]]
+
+    unique_docs = bucketed_combine(hashed, "text_sha256", keep_min_per_sha, num_buckets=16)
+
+    def quality_filter(t: pa.Table) -> pa.Table:
+        scored = text_stages.quality_batch(
+            pa.table({"doc_id": t["doc_id"], "text": t["text"]})
+        )
+        mask = pc.greater_equal(scored["quality"], pa.scalar(150, pa.int64()))
+        return t.filter(mask)
+
+    good = unique_docs.map_batches(quality_filter, batch_format="pyarrow")
+
+    def keep_train(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["split"], pa.scalar("train")))
+
+    train = hash_split(good, "doc_id", train_pct=80).map_batches(
+        keep_train, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pack_sequences(train, max_tokens=512)
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1385,6 +1434,7 @@ QUERIES = {
     "q36_sliding_windows": q36_sliding_windows,
     "q37_stratified_sample": q37_stratified_sample,
     "q38_pack_sequences": q38_pack_sequences,
+    "q39_corpus_prep": q39_corpus_prep,
 }
 
 ORACLE_SQL = {

@@ -119,3 +119,34 @@ class TestPackSequences:
         a = self._run(rd.from_arrow(t))
         b = self._run(rd.from_arrow(t).repartition(9))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestCorpusPrep:
+    def test_composition_invariants(self, ray_session):
+        """q39: packed train corpus = exact-deduped, quality-filtered,
+        train-split documents, each packed exactly once with valid totals."""
+        from medical_ocr_service_ray.functions.textstats import quality_score
+        from medical_ocr_service_ray.pipelines.queries import QUERIES
+        from medical_ocr_service_ray.stages.sampling import KNUTH
+
+        sf = "/root/testdata/sf0.001"
+        out = QUERIES["q39_corpus_prep"](sf).to_pandas().sort_values("doc_id")
+
+        # pure-python reference: dedupe on text (min doc_id), quality >= 150,
+        # train split — mirrors q7/q11/q35 semantics
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+        t = t.loc[t.groupby("text").doc_id.idxmin()]  # exact dedupe, min doc_id
+        t["quality"] = [quality_score(x)["quality"] for x in t.text]
+        t = t[t.quality >= 150]
+        h = (t.doc_id.astype("uint64") * KNUTH) % (1 << 32) % 100
+        t = t[h < 80]
+        assert sorted(out.doc_id) == sorted(t.doc_id)
+        # packing invariants
+        for _, grp in out.groupby("pack_id"):
+            total = int(grp.n_tokens.sum())
+            assert total == int(grp.pack_tokens.iloc[0])
+            if total > 512:
+                assert len(grp) == 1
