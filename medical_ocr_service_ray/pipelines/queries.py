@@ -1344,6 +1344,28 @@ def q38_pack_sequences(sf_dir: str):
     return pack_sequences(_read(sf_dir, "documents", ["doc_id", "text"]), max_tokens=512)
 
 
+def q40_approx_quantiles(sf_dir: str):
+    """Approximate value quantiles over events via a mergeable log-histogram
+    sketch (DDSketch-family, <= ~1% relative error at gamma=1.02): one
+    KB-sized sketch per batch, merged on the driver — the quantile companion
+    to the HLL distinct sketch (q31). Non-SQL (estimator-specific); pytest
+    bounds the error vs exact in tests/test_sketch.py."""
+    from medical_ocr_service_ray.stages.sketch import approx_quantiles
+
+    res = approx_quantiles(
+        _read(sf_dir, "events", ["value"]), "value", quantiles=(0.5, 0.9, 0.99)
+    )
+    return pd.DataFrame(
+        {
+            "n": [int(res["n"])],
+            "p50": [res["p50"]],
+            "p90": [res["p90"]],
+            "p99": [res["p99"]],
+            "num_partials": [int(res["num_partials"])],
+        }
+    )
+
+
 def q39_corpus_prep(sf_dir: str):
     """FLAGSHIP COMPOSITION (training-data pipeline): the classic pretraining
     corpus-prep chain as one streaming composition of the engine's stages —
@@ -1435,6 +1457,7 @@ QUERIES = {
     "q37_stratified_sample": q37_stratified_sample,
     "q38_pack_sequences": q38_pack_sequences,
     "q39_corpus_prep": q39_corpus_prep,
+    "q40_approx_quantiles": q40_approx_quantiles,
 }
 
 ORACLE_SQL = {

@@ -105,3 +105,101 @@ def approx_distinct(ds: "rd.Dataset", col: str, p: int = 12) -> dict:
         "sketch_bytes": merged.m,
         "num_partials": len(partials),
     }
+
+
+class LogHistogramSketch:
+    """Mergeable quantile sketch: log-spaced histogram with bounded RELATIVE
+    error (gamma-bucket family, the DDSketch idea — Masson et al. 2019,
+    public algorithm). bucket(v) = ceil(log(v)/log(gamma)) for v > 0, with a
+    dedicated zero bucket; quantile answers are bucket representatives
+    (geometric mean of bounds), so any estimate is within a factor
+    sqrt(gamma) of the true value. Deterministic, order-independent
+    (counts add), and KB-sized: the engine-wide sketch contract."""
+
+    __slots__ = ("gamma", "zero_count", "counts")
+
+    def __init__(self, gamma: float = 1.02):
+        self.gamma = gamma
+        self.zero_count = 0
+        self.counts: dict[int, int] = {}
+
+    def add_values(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        zeros = v <= 0.0
+        self.zero_count += int(zeros.sum())
+        pos = v[~zeros]
+        if len(pos) == 0:
+            return
+        buckets = np.ceil(np.log(pos) / np.log(self.gamma)).astype(np.int64)
+        uniq, cnt = np.unique(buckets, return_counts=True)
+        for b, c in zip(uniq, cnt):
+            self.counts[int(b)] = self.counts.get(int(b), 0) + int(c)
+
+    def merge(self, other: "LogHistogramSketch") -> "LogHistogramSketch":
+        assert self.gamma == other.gamma
+        out = LogHistogramSketch(self.gamma)
+        out.zero_count = self.zero_count + other.zero_count
+        out.counts = dict(self.counts)
+        for b, c in other.counts.items():
+            out.counts[b] = out.counts.get(b, 0) + c
+        return out
+
+    @property
+    def n(self) -> int:
+        return self.zero_count + sum(self.counts.values())
+
+    def quantile(self, q: float) -> float:
+        """Value at quantile q in [0, 1]; relative error <= sqrt(gamma)-1."""
+        total = self.n
+        if total == 0:
+            return float("nan")
+        rank = q * (total - 1)
+        if rank < self.zero_count:
+            return 0.0
+        acc = self.zero_count
+        for b in sorted(self.counts):
+            acc += self.counts[b]
+            if acc > rank:
+                # representative: geometric mean of (gamma^(b-1), gamma^b]
+                return float(self.gamma ** (b - 0.5))
+        return float(self.gamma ** (max(self.counts) - 0.5))  # pragma: no cover
+
+    def serialize(self) -> bytes:
+        import json
+
+        return json.dumps(
+            {"g": self.gamma, "z": self.zero_count, "c": self.counts}
+        ).encode()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "LogHistogramSketch":
+        import json
+
+        rec = json.loads(data)
+        sk = cls(rec["g"])
+        sk.zero_count = rec["z"]
+        sk.counts = {int(k): v for k, v in rec["c"].items()}
+        return sk
+
+
+def approx_quantiles(
+    ds: "rd.Dataset", col: str, quantiles: tuple[float, ...] = (0.5, 0.9, 0.99), gamma: float = 1.02
+) -> dict:
+    """One log-histogram sketch per batch -> KB merge -> quantile estimates
+    with <= (sqrt(gamma)-1) relative error. Same shape as approx_distinct."""
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        sk = LogHistogramSketch(gamma)
+        sk.add_values(np.asarray(batch[col].to_numpy(zero_copy_only=False), dtype=np.float64))
+        return pa.table({"sketch": pa.array([sk.serialize()], pa.binary())})
+
+    partials = ds.map_batches(sketch_batch, batch_format="pyarrow", batch_size=65536).take_all()
+    merged = LogHistogramSketch(gamma)
+    for row in partials:
+        merged = merged.merge(LogHistogramSketch.deserialize(row["sketch"]))
+    return {
+        "n": merged.n,
+        "num_partials": len(partials),
+        **{f"p{int(q * 100)}": merged.quantile(q) for q in quantiles},
+    }

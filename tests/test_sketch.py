@@ -63,3 +63,54 @@ class TestDistributed:
         a = approx_distinct(rd.from_arrow(t), "k")["approx_distinct"]
         b = approx_distinct(rd.from_arrow(t).repartition(13), "k")["approx_distinct"]
         assert a == b  # identical, not just close: merged registers are equal
+
+
+class TestLogHistogramQuantiles:
+    def test_relative_error_bound(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.sketch import approx_quantiles
+
+        rng = np.random.default_rng(21)
+        vals = np.concatenate([rng.lognormal(3, 1.5, 20000), np.zeros(50)])
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64())}))
+        res = approx_quantiles(ds, "v", quantiles=(0.5, 0.9, 0.99), gamma=1.02)
+        assert res["n"] == len(vals)
+        tol = 1.02 ** 0.5 - 1 + 0.01  # bucket bound + quantile-rank discreteness
+        for q in (50, 90, 99):
+            exact = float(np.quantile(vals, q / 100))
+            got = res[f"p{q}"]
+            assert abs(got - exact) / exact <= tol * 2, (q, got, exact)
+
+    def test_split_invariance(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.sketch import approx_quantiles
+
+        rng = np.random.default_rng(4)
+        vals = rng.exponential(100, 5000)
+        t = pa.table({"v": pa.array(vals, pa.float64())})
+        a = approx_quantiles(rd.from_arrow(t), "v")
+        b = approx_quantiles(rd.from_arrow(t).repartition(13), "v")
+        for k in ("p50", "p90", "p99", "n"):
+            assert a[k] == b[k], k
+
+    def test_merge_equals_single(self):
+        import numpy as np
+
+        from medical_ocr_service_ray.stages.sketch import LogHistogramSketch
+
+        rng = np.random.default_rng(9)
+        vals = rng.lognormal(2, 1, 4000)
+        one = LogHistogramSketch(); one.add_values(vals)
+        a = LogHistogramSketch(); a.add_values(vals[:1500])
+        b = LogHistogramSketch(); b.add_values(vals[1500:])
+        m = a.merge(b)
+        assert m.counts == one.counts and m.zero_count == one.zero_count
+        assert m.quantile(0.5) == one.quantile(0.5)
