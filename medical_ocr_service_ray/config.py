@@ -31,6 +31,11 @@ class PipelineConfig:
     # to one output row in the ordering stage. Off by default (golden parity
     # assumes 1:1 input/output).
     dedup_turns: bool = False
+    # codec for the durable final part files: zstd writes ~30% fewer bytes
+    # than snappy for this text-heavy schema at similar encode cost — and the
+    # single shared disk, not CPU, is the measured bottleneck of the write
+    # tail (BASELINE.md variance attribution).
+    output_compression: str = "zstd"
     # per-partition attempt budget for the resumable runner (the reference's
     # 3-attempt job retry before permanent FAILED, job-queue.service.js:221):
     # a partition whose attempts are exhausted is dead-lettered — skipped on

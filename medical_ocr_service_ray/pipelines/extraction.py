@@ -211,7 +211,7 @@ def run_extraction_fs_bucketed(
     ).count()
 
     @ray.remote
-    def finalize_bucket(bucket_dir: str, final_path: str, dedup: bool) -> int:
+    def finalize_bucket(bucket_dir: str, final_path: str, dedup: bool, codec: str) -> int:
         import pyarrow.compute as _pc
         import pyarrow.parquet as _pq
 
@@ -226,24 +226,28 @@ def run_extraction_fs_bucketed(
             )
             table = table.take(idx)
         tmp_path = final_path + ".tmp"
-        _pq.write_table(table, tmp_path, row_group_size=65536)
+        _pq.write_table(table, tmp_path, row_group_size=65536, compression=codec)
         import os
 
         os.replace(tmp_path, final_path)  # atomic publish
         return table.num_rows
 
-    bucket_dirs = sorted(tmp.glob("bucket=*"))
-    futures = [
-        finalize_bucket.remote(
-            str(d), str(out / f"part-{int(d.name.split('=')[1]):05d}.parquet"),
-            cfg.dedup_turns,
-        )
-        for d in bucket_dirs
-    ]
-    ray.get(futures)
-    import shutil
+    try:
+        bucket_dirs = sorted(tmp.glob("bucket=*"))
+        futures = [
+            finalize_bucket.remote(
+                str(d), str(out / f"part-{int(d.name.split('=')[1]):05d}.parquet"),
+                cfg.dedup_turns, cfg.output_compression,
+            )
+            for d in bucket_dirs
+        ]
+        ray.get(futures)
+    finally:
+        # the intermediate is ephemeral shuffle data (often tmpfs): never
+        # leak it, even when a finalize task raises
+        import shutil
 
-    shutil.rmtree(tmp)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def extraction_result_table(input_dir: str | Path, cfg: PipelineConfig | None = None) -> pa.Table:

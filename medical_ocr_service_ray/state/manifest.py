@@ -406,7 +406,7 @@ def run_resumable_extraction(
     # ---- stage 2: per-bucket gather -> sort -> final part file ----
     @ray.remote
     def finalize_bucket(
-        bucket: int, dirs: list[str], final_path: str, dedup: bool
+        bucket: int, dirs: list[str], final_path: str, dedup: bool, codec: str
     ) -> tuple[int, int]:
         import pyarrow.compute as _pc
         import pyarrow.parquet as _pq
@@ -422,7 +422,7 @@ def run_resumable_extraction(
             )
             table = table.take(idx)
         tmp = final_path + ".tmp"
-        _pq.write_table(table, tmp, row_group_size=65536)
+        _pq.write_table(table, tmp, row_group_size=65536, compression=codec)
         os.replace(tmp, final_path)
         return table.num_rows, os.path.getsize(final_path)
 
@@ -446,7 +446,8 @@ def run_resumable_extraction(
         t0 = time.time()
         pending2.append(
             (bucket, dirs, final_path, t0,
-             finalize_bucket.remote(bucket, dirs, final_path, cfg.dedup_turns))
+             finalize_bucket.remote(bucket, dirs, final_path, cfg.dedup_turns,
+                                    cfg.output_compression))
         )
     stage2_failed: list[int] = []
     for bucket, dirs, final_path, t0, fut in pending2:
