@@ -41,6 +41,12 @@ class PipelineConfig:
     # a partition whose attempts are exhausted is dead-lettered — skipped on
     # resume and surfaced in manifest_summary — instead of retried forever.
     max_attempts: int = 3
+    # TEST HOOK (same policy as run_resumable_extraction's fail_after_stage1):
+    # rows whose text contains this marker raise inside the extractor and are
+    # captured as error rows — the only way to exercise the error-quarantine
+    # path deterministically, since extract_turn is total on real string
+    # inputs. None in production.
+    fail_text_marker: str | None = None
 
 
 def set_engine_shuffle_profile() -> None:
@@ -58,3 +64,25 @@ def set_engine_shuffle_profile() -> None:
     from ray.data.context import DataContext, ShuffleStrategy
 
     DataContext.get_current().shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    _silence_schema_hash_warning()
+
+
+def _silence_schema_hash_warning() -> None:
+    """Filter Ray Data's per-batch "Failed to hash the schemas (for
+    deduplication): unhashable type: 'dict'" warning. It fires inside
+    ``unify_schemas``'s *early-exit optimization* (``set(schemas)``) whenever
+    a block schema isn't hashable — the unify itself still succeeds, so the
+    message is pure noise, but at one line per schema-unify it floods bench
+    logs and buries real warnings. Scoped to that exact message prefix on
+    that exact logger; everything else passes through."""
+    import logging
+
+    class _Drop(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:  # pragma: no cover
+            return not str(record.getMessage()).startswith(
+                "Failed to hash the schemas (for deduplication)"
+            )
+
+    logger = logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow")
+    if not any(isinstance(f, _Drop) for f in logger.filters):
+        logger.addFilter(_Drop())

@@ -58,7 +58,10 @@ def extract_dataset(ds: "rd.Dataset", cfg: PipelineConfig | None = None) -> "rd.
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         zero_copy_batch=True,
-        fn_constructor_kwargs={"extractor_version": cfg.extractor_version_override},
+        fn_constructor_kwargs={
+            "extractor_version": cfg.extractor_version_override,
+            "fail_text_marker": cfg.fail_text_marker,
+        },
         concurrency=concurrency,
         # transient-failure retry budget (the reference's 3-attempt job retry,
         # job-queue.service.js:217-238): dead actors restart, in-flight batches
@@ -113,6 +116,27 @@ def run_extraction_pipeline(
         ds = ds.drop_columns(["bucket"]) if ordered else ds
         ds.write_parquet(str(output_dir))
     return ds
+
+
+def shard_content_name(part: pa.Table) -> str:
+    """Content-derived, retry-idempotent shard name: blake2b over vectorized
+    64-bit per-row hashes of the FULL key columns (conv_id, turn_idx) plus the
+    row count — NOT a prefix. A Ray task retry re-emitting the same slice
+    produces the same name (second publish is a harmless overwrite of
+    identical bytes); two distinct slices that happen to share a 64-row prefix
+    and row count must NOT collide (collision = one slice silently overwrites
+    the other = row loss under the 1:1 input/output parity contract)."""
+    import hashlib
+
+    import pandas as _pd
+
+    h = hashlib.blake2b(digest_size=10)
+    h.update(_pd.util.hash_array(part["conv_id"].to_numpy(zero_copy_only=False)).tobytes())
+    h.update(
+        part["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False).astype("int64").tobytes()
+    )
+    h.update(str(part.num_rows).encode())
+    return h.hexdigest()
 
 
 def run_extraction_fs_bucketed(
@@ -173,7 +197,6 @@ def run_extraction_fs_bucketed(
         buckets a batch actually touches; uncompressed because the
         intermediate is ephemeral (usually tmpfs) and encode CPU buys
         nothing there."""
-        import hashlib
         import os as _os
 
         import pyarrow.parquet as _pq
@@ -185,11 +208,7 @@ def run_extraction_fs_bucketed(
             part = batch.filter(pa.compute.equal(buckets, bucket)).drop_columns(["bucket"])
             d = _os.path.join(tmp_str, f"bucket={bucket}")
             _os.makedirs(d, exist_ok=True)
-            h = hashlib.blake2b(digest_size=10)
-            h.update(b"".join(c.encode() for c in part["conv_id"].to_pylist()[:64]))
-            h.update(str(part["turn_idx"].to_pylist()[:64]).encode())
-            h.update(str(part.num_rows).encode())
-            name = _os.path.join(d, f"shard-{h.hexdigest()}.parquet")
+            name = _os.path.join(d, f"shard-{shard_content_name(part)}.parquet")
             _pq.write_table(part, name + ".tmp", compression="NONE")
             _os.replace(name + ".tmp", name)  # retry-idempotent publish
             out_rows.append((bucket, part.num_rows))
@@ -200,20 +219,17 @@ def run_extraction_fs_bucketed(
             }
         )
 
-    # consume the tiny summary stream: this drives the pipelined
-    # extract -> write execution end to end with no barrier. Fractional
-    # num_cpus: the extraction actor pool holds CPUs-2 for its lifetime, so
-    # 1-CPU writer tasks would serialize on the 2 leftover slots and drain as
-    # a post-extraction tail; the write is a brief uncompressed encode +
-    # (usually tmpfs) copy, so mild oversubscription overlaps it fully
-    ds.map_batches(
-        write_shards, batch_format="pyarrow", batch_size=32768, num_cpus=0.25
-    ).count()
-
     @ray.remote
-    def finalize_bucket(bucket_dir: str, final_path: str, dedup: bool, codec: str) -> int:
+    def finalize_bucket(
+        bucket_dir: str, final_path: str, errors_path: str, dedup: bool, codec: str
+    ) -> int:
         import pyarrow.compute as _pc
         import pyarrow.parquet as _pq
+
+        from medical_ocr_service_ray.stages.extract import (
+            publish_bucket_tables,
+            split_error_rows,
+        )
 
         table = _pq.read_table(bucket_dir)
         if dedup:
@@ -225,18 +241,27 @@ def run_extraction_fs_bucketed(
                 table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
             )
             table = table.take(idx)
-        tmp_path = final_path + ".tmp"
-        _pq.write_table(table, tmp_path, row_group_size=65536, compression=codec)
-        import os
-
-        os.replace(tmp_path, final_path)  # atomic publish
-        return table.num_rows
+        good, errs = split_error_rows(table)
+        publish_bucket_tables(good, final_path, errs, errors_path, codec)
+        return good.num_rows
 
     try:
+        # consume the tiny summary stream: this drives the pipelined
+        # extract -> write execution end to end with no barrier. Fractional
+        # num_cpus: the extraction actor pool holds CPUs-2 for its lifetime,
+        # so 1-CPU writer tasks would serialize on the 2 leftover slots and
+        # drain as a post-extraction tail; the write is a brief uncompressed
+        # encode + (usually tmpfs) copy, so mild oversubscription overlaps it
+        # fully. Inside the try: a pass-1 failure must also clean the scratch.
+        ds.map_batches(
+            write_shards, batch_format="pyarrow", batch_size=32768, num_cpus=0.25
+        ).count()
+
         bucket_dirs = sorted(tmp.glob("bucket=*"))
         futures = [
             finalize_bucket.remote(
                 str(d), str(out / f"part-{int(d.name.split('=')[1]):05d}.parquet"),
+                str(out / "errors" / f"part-{int(d.name.split('=')[1]):05d}.parquet"),
                 cfg.dedup_turns, cfg.output_compression,
             )
             for d in bucket_dirs

@@ -25,6 +25,35 @@ import pandas as pd
 import ray.data as rd
 
 
+def auto_num_buckets(
+    input_bytes: int,
+    per_bucket_bytes: int = 1 << 30,
+    lo: int = 16,
+    hi: int = 4096,
+) -> int:
+    """Derive the bucket count from input size so per-bucket state (e.g. the
+    verify-join's in-task text dict, dedup.py) is bounded BY DESIGN:
+    ``buckets ~ bytes / 1 GiB`` (the module-docstring sizing rule), clamped to
+    [lo, hi]. A fixed default of 16 puts corpus/16 bytes in one task heap at
+    100 TB; this keeps it ~per_bucket_bytes regardless of corpus size."""
+    import math
+
+    return max(lo, min(hi, math.ceil(max(0, input_bytes) / per_bucket_bytes)))
+
+
+def dataset_input_bytes(ds: "rd.Dataset") -> int:
+    """Best-effort input size WITHOUT executing the dataset: sum of the
+    source files' on-disk sizes (0 when unavailable, e.g. from_arrow)."""
+    import os
+
+    try:
+        return sum(
+            os.path.getsize(f) for f in ds.input_files() if os.path.exists(f)
+        )
+    except Exception:
+        return 0
+
+
 def bucket_of(series: pd.Series, num_buckets: int) -> pd.Series:
     """Deterministic bucket id (modulo for ints; vectorized siphash via
     ``pd.util.hash_array`` with its fixed default key for everything else) —

@@ -65,16 +65,21 @@ class BruteForceTopK:
         )
 
 
+def _brute_force_partial(batch: pa.Table, query_ref, k: int, metric: str) -> pa.Table:
+    """Task-form of ``BruteForceTopK`` (see ``quantized_dot_batch`` for why:
+    setup is one zero-copy broadcast read, so tasks beat actor spin-up)."""
+    return BruteForceTopK(query_ref, k=k, metric=metric)(batch)
+
+
 def brute_force_topk(
     ds: "rd.Dataset", query_matrix: np.ndarray, k: int = 10, metric: str = "cosine"
 ) -> pa.Table:
     """Global top-k per query: per-batch partials -> tiny driver-side merge."""
     query_ref = ray.put(np.asarray(query_matrix))
     partials = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"query_ref": query_ref, "k": k, "metric": metric},
+        _brute_force_partial,
+        fn_kwargs={"query_ref": query_ref, "k": k, "metric": metric},
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     merged = partials.to_pandas()  # size: n_blocks * Q * k — small by construction
     merged = merged.sort_values(
@@ -92,15 +97,27 @@ class QuantizedDot:
         self.q_int = np.floor(q * 1000.0).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = _stack_embeddings(batch)
-        emb_int = np.floor(emb * 1000.0).astype(np.int64)
-        dots = emb_int @ self.q_int
-        return pa.table(
-            {
-                "vec_id": batch["vec_id"],
-                "dot_q": pa.array(dots.astype(np.float64), pa.float64()),
-            }
-        )
+        return quantized_dot_batch(batch, q_int=self.q_int)
+
+
+def quantized_dot_batch(batch: pa.Table, query_ref=None, q_int=None) -> pa.Table:
+    """Task-form of ``QuantizedDot``: the per-call setup (one ``ray.get`` of
+    a broadcast ref — zero-copy — plus quantizing a single vector) is trivial,
+    so a plain task-based ``map_batches`` avoids paying actor-pool spin-up on
+    every query invocation. Actor pools are reserved for genuinely heavy init
+    (model/table warmup, stages/extract.py)."""
+    if q_int is None:
+        q = np.asarray(ray.get(query_ref), dtype=np.float64)
+        q_int = np.floor(q * 1000.0).astype(np.int64)
+    emb = _stack_embeddings(batch)
+    emb_int = np.floor(emb * 1000.0).astype(np.int64)
+    dots = emb_int @ q_int
+    return pa.table(
+        {
+            "vec_id": batch["vec_id"],
+            "dot_q": pa.array(dots.astype(np.float64), pa.float64()),
+        }
+    )
 
 
 def lsh_bucket_signs(emb: np.ndarray, planes: np.ndarray) -> np.ndarray:

@@ -124,7 +124,7 @@ def verify_pairs_jaccard(
     docs: "rd.Dataset",
     shingle_k: int = 3,
     threshold_x1000: int = 600,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ) -> "rd.Dataset":
     """Verify candidate (doc_a, doc_b) pairs with true shingle Jaccard,
     resolving texts via TWO keyed bucket joins (the asof.py tagged-union
@@ -140,7 +140,17 @@ def verify_pairs_jaccard(
     (doc_a, doc_b, jaccard_x1000), only rows >= threshold."""
     import pandas as pd
 
-    from medical_ocr_service_ray.stages.aggregate import bucketed_combine
+    from medical_ocr_service_ray.stages.aggregate import (
+        auto_num_buckets,
+        bucketed_combine,
+        dataset_input_bytes,
+    )
+
+    if num_buckets is None:
+        # each join's per-bucket task holds ~corpus/num_buckets text bytes in
+        # a dict: derive the count from the input size (sizing rule,
+        # aggregate.py) instead of trusting a fixed default
+        num_buckets = auto_num_buckets(dataset_input_bytes(docs))
 
     def docs_side(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -271,7 +281,7 @@ def minhash_lsh_pairs(
     # no separate dedupe exchange
     return verify_pairs_jaccard(
         candidates, docs, shingle_k=shingle_k, threshold_x1000=threshold_x1000
-    )
+    )  # verify derives its bucket count from the docs input bytes
 
 
 # ------------------------------------------------------- cluster components

@@ -30,10 +30,13 @@ class TurnExtractor:
     """Classify -> route -> extract -> normalize -> score, one Arrow batch at
     a time. Output schema: ``schemas.EXTRACTION_SCHEMA``."""
 
-    def __init__(self, extractor_version: str | None = None):
+    def __init__(
+        self, extractor_version: str | None = None, fail_text_marker: str | None = None
+    ):
         # once per actor: warm the route extractors (regexes/parse tables are
         # compiled at module import; touching them here surfaces errors early)
         self.version = extractor_version or EXTRACTOR_VERSION
+        self.fail_text_marker = fail_text_marker  # test hook, see config.py
         extract_turn("warmup <div>x</div>")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -47,6 +50,12 @@ class TurnExtractor:
         sha = [""] * n
         for i, text in enumerate(texts):
             try:
+                if (
+                    self.fail_text_marker is not None
+                    and text is not None
+                    and self.fail_text_marker in text
+                ):
+                    raise ValueError("injected extract failure (test hook)")
                 res = extract_turn(text)
             except Exception as exc:  # error-row capture, never raise
                 res = {
@@ -78,6 +87,40 @@ class TurnExtractor:
             },
             schema=EXTRACTION_SCHEMA,
         )
+
+
+def split_error_rows(table: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """(good, errors) split on ``content_type == "error"`` — the quarantine
+    analogue of the reference's separate dead-letter failure table
+    (database/migration_ingestion_jobs.sql:44-53): row-level failures are
+    persisted beside the output, never mixed into it."""
+    mask = pa.compute.equal(table["content_type"], "error")
+    n_err = pa.compute.sum(mask).as_py() or 0
+    if not n_err:
+        return table, table.slice(0, 0)
+    return table.filter(pa.compute.invert(mask)), table.filter(mask)
+
+
+def publish_bucket_tables(
+    good: pa.Table, final_path: str, errors: pa.Table, errors_path: str, codec: str
+) -> None:
+    """Atomically publish a finalized bucket: good rows to ``final_path``,
+    quarantined error rows to ``errors_path`` (removed when a re-finalize
+    produces none, so stale quarantine files can't survive a repair)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    tmp = final_path + ".tmp"
+    _pq.write_table(good, tmp, row_group_size=65536, compression=codec)
+    os.replace(tmp, final_path)
+    if errors.num_rows:
+        os.makedirs(os.path.dirname(errors_path), exist_ok=True)
+        tmp_e = errors_path + ".tmp"
+        _pq.write_table(errors, tmp_e, compression=codec)
+        os.replace(tmp_e, errors_path)
+    elif os.path.exists(errors_path):
+        os.remove(errors_path)
 
 
 def add_bucket_column(batch: pa.Table, num_buckets: int) -> pa.Table:

@@ -62,6 +62,13 @@ class ManifestEntry:
     attempt: int
     error: str = ""  # error class/message for FAILED lines (dead-letter)
     retryable: bool = True  # False = deterministic error, retry won't help
+    # stage-2 only: fingerprint of the stage-1 state (lineage + attempt ids)
+    # this bucket was finalized against. A bucket counts DONE on resume only
+    # when its fingerprint matches the CURRENT stage-1 state — durable
+    # invalidation that survives a crash between a stage-1 re-run and
+    # stage-2 completion (in-memory invalidation would silently keep stale
+    # bucket files in that window).
+    fingerprint: str = ""
 
 
 # Retry domain separation (the reference classifies non-retryable statuses
@@ -159,6 +166,25 @@ class Manifest:
             1 for e in self.load() if e.stage == stage and e.partition_id == partition_id
         )
 
+    def attempts_matching(self, stage: int, partition_id: int, input_file: str) -> int:
+        """Attempts recorded against THIS input file only — when a partition
+        id's input file changes between runs (lineage shift), the new file
+        gets a fresh attempt budget instead of inheriting the old file's
+        spent budget."""
+        return sum(
+            1
+            for e in self.load()
+            if e.stage == stage and e.partition_id == partition_id and e.input_file == input_file
+        )
+
+    def done_fingerprints(self, stage: int) -> dict[int, set[str]]:
+        """partition_id -> set of fingerprints its DONE lines carry."""
+        out: dict[int, set[str]] = {}
+        for e in self.load():
+            if e.stage == stage and e.status == "DONE":
+                out.setdefault(e.partition_id, set()).add(e.fingerprint)
+        return out
+
     def append(self, entry: ManifestEntry) -> None:
         rec = asdict(entry)
         if self.secret is not None:
@@ -176,6 +202,23 @@ class Manifest:
 
 def _dir_bytes(path: Path) -> int:
     return sum(p.stat().st_size for p in path.rglob("*") if p.is_file())
+
+
+def stage1_fingerprint(manifest: Manifest, lineage: dict[int, str]) -> str:
+    """Deterministic digest of the CURRENT stage-1 state: for every partition
+    of the current lineage with a matching DONE line, its (pid, input_file,
+    latest attempt). Any stage-1 re-run bumps an attempt number — and any
+    lineage change swaps an input_file — so stage-2 DONE lines recorded
+    against an older state stop matching, durably."""
+    import hashlib
+
+    latest: dict[int, int] = {}
+    for e in manifest.load():
+        if e.stage == 1 and e.status == "DONE" and lineage.get(e.partition_id) == e.input_file:
+            if e.attempt > latest.get(e.partition_id, -1):
+                latest[e.partition_id] = e.attempt
+    canon = json.dumps([[pid, lineage[pid], att] for pid, att in sorted(latest.items())])
+    return hashlib.sha256(canon.encode()).hexdigest()[:16]
 
 
 def _preseed_fsspec_http_stub() -> None:
@@ -265,8 +308,8 @@ def run_resumable_extraction(
     for pid in range(len(files)):
         if pid in done1:
             continue
-        if manifest.attempts(1, pid) >= cfg.max_attempts:
-            exhausted.append(pid)  # dead-lettered: budget spent, skip
+        if manifest.attempts_matching(1, pid, lineage[pid]) >= cfg.max_attempts:
+            exhausted.append(pid)  # dead-lettered: budget spent on THIS file, skip
             continue
         pending1.append(pid)
 
@@ -286,7 +329,7 @@ def run_resumable_extraction(
             if tmp_dir.exists():
                 shutil.rmtree(tmp_dir)  # leftover from a crash mid-write
             t0 = time.time()
-            attempt = manifest.attempts(1, pid) + 1
+            attempt = manifest.attempts_matching(1, pid, str(f)) + 1
             try:
                 n_rows = pq.read_metadata(f).num_rows
                 ds = rd.read_parquet(str(f), columns=["conv_id", "turn_idx", "role", "text"])
@@ -346,7 +389,7 @@ def run_resumable_extraction(
             # transient error class: one immediate in-run retry (the
             # reference's within-job retry domain); deterministic errors
             # wait for resume (the input may get repaired between runs)
-            if last.retryable and manifest.attempts(1, pid) < cfg.max_attempts:
+            if last.retryable and manifest.attempts_matching(1, pid, str(f)) < cfg.max_attempts:
                 ok = attempt_once()
         if not ok:
             return
@@ -393,9 +436,13 @@ def run_resumable_extraction(
         raise injected[0]
 
     failed_now = sorted(
-        pid for pid in pending1 if pid not in manifest.done(1)
+        pid for pid in pending1 if pid not in manifest.done_matching(1, lineage)
     )
-    dead = sorted(set(exhausted) | {p for p in failed_now if manifest.attempts(1, p) >= cfg.max_attempts})
+    dead = sorted(
+        set(exhausted)
+        | {p for p in failed_now
+           if manifest.attempts_matching(1, p, lineage[p]) >= cfg.max_attempts}
+    )
     if (failed_now or exhausted) and not allow_partial:
         raise RuntimeError(
             f"stage-1 partitions failed: {failed_now or exhausted} "
@@ -406,10 +453,16 @@ def run_resumable_extraction(
     # ---- stage 2: per-bucket gather -> sort -> final part file ----
     @ray.remote
     def finalize_bucket(
-        bucket: int, dirs: list[str], final_path: str, dedup: bool, codec: str
+        bucket: int, dirs: list[str], final_path: str, errors_path: str,
+        dedup: bool, codec: str,
     ) -> tuple[int, int]:
         import pyarrow.compute as _pc
         import pyarrow.parquet as _pq
+
+        from medical_ocr_service_ray.stages.extract import (
+            publish_bucket_tables,
+            split_error_rows,
+        )
 
         # pq.read_table accepts one directory, but a LIST must be files
         shard_files = [str(p) for d in dirs for p in sorted(Path(d).glob("*.parquet"))]
@@ -421,17 +474,27 @@ def run_resumable_extraction(
                 table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
             )
             table = table.take(idx)
-        tmp = final_path + ".tmp"
-        _pq.write_table(table, tmp, row_group_size=65536, compression=codec)
-        os.replace(tmp, final_path)
-        return table.num_rows, os.path.getsize(final_path)
+        # error-row quarantine: failed rows land in errors/, never in final/
+        good, errs = split_error_rows(table)
+        publish_bucket_tables(good, final_path, errs, errors_path, codec)
+        return good.num_rows, os.path.getsize(final_path)
 
-    # a bucket's final file is a function of EVERY stage-1 partition: if any
-    # partition (re)ran this invocation, previously-DONE buckets are stale and
-    # must re-finalize (publication is atomic + deterministic, so overwriting
-    # is safe); on a pure noop rerun the DONE set short-circuits everything
-    done2 = set() if pending1 else manifest.done(2)
-    current_parts = [stage1 / f"p{pid:05d}" for pid in range(len(files))]
+    # a bucket's final file is a function of EVERY stage-1 partition: a
+    # bucket counts DONE only when its recorded stage-1 fingerprint matches
+    # the CURRENT stage-1 state (durable invalidation — survives a crash
+    # between a stage-1 re-run and stage-2 completion; overwriting is safe
+    # because publication is atomic + deterministic). On a pure noop rerun
+    # every fingerprint matches and the DONE set short-circuits everything.
+    fp_now = stage1_fingerprint(manifest, lineage)
+    done2 = {
+        b for b, fps in manifest.done_fingerprints(2).items() if fp_now in fps
+    }
+    # only partitions DONE under the CURRENT lineage feed stage 2: a p{pid}
+    # dir left by an older lineage (failed/changed partition under
+    # allow_partial) must not leak its stale rows into the final output
+    current_parts = [
+        stage1 / f"p{pid:05d}" for pid in sorted(manifest.done_matching(1, lineage))
+    ]
     pending2 = []
     for bucket in range(nb):
         if bucket in done2:
@@ -443,15 +506,16 @@ def run_resumable_extraction(
         if not dirs:
             continue
         final_path = str(final / f"part-{bucket:05d}.parquet")
+        errors_path = str(out / "errors" / f"part-{bucket:05d}.parquet")
         t0 = time.time()
         pending2.append(
             (bucket, dirs, final_path, t0,
-             finalize_bucket.remote(bucket, dirs, final_path, cfg.dedup_turns,
-                                    cfg.output_compression))
+             finalize_bucket.remote(bucket, dirs, final_path, errors_path,
+                                    cfg.dedup_turns, cfg.output_compression))
         )
     stage2_failed: list[int] = []
     for bucket, dirs, final_path, t0, fut in pending2:
-        attempt = manifest.attempts(2, bucket) + 1
+        attempt = manifest.attempts(2, bucket) + 1  # cross-state history: monotone id
         try:
             rows, nbytes = ray.get(fut)
         except Exception as exc:
@@ -470,6 +534,7 @@ def run_resumable_extraction(
                     status="FAILED",
                     attempt=attempt,
                     error=f"{type(exc).__name__}: {exc}"[:300],
+                    fingerprint=fp_now,
                 )
             )
             continue
@@ -486,6 +551,7 @@ def run_resumable_extraction(
                 wall_ms=int((time.time() - t0) * 1000),
                 status="DONE",
                 attempt=attempt,
+                fingerprint=fp_now,
             )
         )
     if stage2_failed and not allow_partial:
