@@ -64,41 +64,75 @@ def minhash_signature(shingle_set: set[int], a: np.ndarray, b: np.ndarray) -> np
     return (vals & np.uint64(_MAX_HASH)).min(axis=1)
 
 
-def simhash64(text: str) -> int:
-    """64-bit simhash over unigram tokens."""
+_SIMHASH_BITS = 62
+
+
+def token_hash62(tok: str) -> int:
+    """62-bit arithmetic token hash: two independent base-257/263 Horner
+    chains over codepoints mod 2^31-1, concatenated. Deliberately
+    SQL-expressible (a DuckDB oracle reproduces it with list_reduce — see
+    _Q14_SQL) and collision-grade for simhash bit voting."""
+    m = (1 << 31) - 1
+    h1 = h2 = 0
+    for c in tok:
+        o = ord(c)
+        h1 = (h1 * 257 + o) % m
+        h2 = (h2 * 263 + o) % m
+    return h1 | (h2 << 31)
+
+
+def simhash64(text: str, _memo: dict = {}) -> int:
+    """Simhash over unigram tokens (with multiplicity): per-token 62-bit
+    arithmetic hash, per-bit +/-1 vote, bit set iff vote sum > 0. The
+    module-level memo is deliberate shared state: the token vocabulary is
+    tiny next to the token stream, so each worker process hashes each
+    distinct token once (ST1-style bounded cache)."""
     toks = tokens(text)
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = hash64(t)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    hs = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = _memo.get(t)
+        if h is None:
+            if len(_memo) > 500_000:  # bound worker heap
+                _memo.clear()
+            h = _memo[t] = token_hash62(t)
+        hs[i] = h
+    bits = (hs[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << np.arange(_SIMHASH_BITS, dtype=np.uint64)).sum())
 
 
-def rolling_fingerprint(text: str, window: int = 8, mod_select: int = 16) -> list[int]:
-    """Winnowing-style document fingerprint: polynomial rolling hash over a
-    sliding char window, keep hashes where h % mod_select == 0 (deterministic
-    content-defined selection)."""
-    data = text.encode("utf-8", "ignore")
-    if len(data) < window:
-        return [hash64(text)] if text else []
-    base, mod = 257, _MERSENNE
-    power = pow(base, window - 1, mod)
-    h = 0
-    out = []
-    for i, byte in enumerate(data):
-        if i >= window:
-            h = (h - data[i - window] * power) % mod
-        h = (h * base + byte) % mod
-        if i >= window - 1 and h % mod_select == 0:
-            out.append(h)
-    return out
+_FP_MOD = (1 << 31) - 1  # Mersenne 2^31-1: every Horner step fits uint64
+
+
+def rolling_fingerprint(text: str, window: int = 8, mod_select: int = 16) -> np.ndarray:
+    """Winnowing-style document fingerprint: polynomial hash (base 257,
+    mod 2^31-1) over a sliding CODEPOINT window, keep hashes where
+    h % mod_select == 0 (deterministic content-defined selection).
+
+    Arithmetic is deliberately SQL-expressible — a DuckDB oracle reproduces
+    it exactly with per-codepoint Horner chains (see _Q20_SQL) — and fully
+    vectorized: codepoints come from one utf-32 re-encode, the Horner chain
+    is `window` numpy passes over all window positions at once. Texts
+    shorter than the window hash as one whole-text Horner chain (same
+    arithmetic, no selection); empty/None -> no fingerprints."""
+    cps = np.frombuffer((text or "").encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+    n = len(cps)
+    mod = np.uint64(_FP_MOD)
+    base = np.uint64(257)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n < window:
+        h = np.uint64(0)
+        for c in cps:
+            h = (h * base + c) % mod
+        return np.array([int(h)], dtype=np.int64)
+    w = np.lib.stride_tricks.sliding_window_view(cps, window)
+    acc = np.zeros(n - window + 1, dtype=np.uint64)
+    for j in range(window):
+        acc = (acc * base + w[:, j]) % mod
+    return acc[acc % np.uint64(mod_select) == 0].astype(np.int64)
 
 
 def jaccard(a: set, b: set) -> float:

@@ -529,8 +529,48 @@ def q13_minhash_pairs(sf_dir: str):
 
 
 def q14_simhash_pairs(sf_dir: str):
-    """SimHash hamming<=3 near-dup pairs (banded; non-SQL-expressible)."""
+    """SimHash hamming<=3 near-dup pairs. SQL-oracled: the banded Ray plan
+    finds exactly the pairs a brute-force O(n^2) scan finds (hamming<=3 over
+    4x16-bit bands => pigeonhole guarantees >=1 identical band), and the
+    per-token hash is arithmetic (functions/hashing.py:token_hash62), so
+    DuckDB reproduces signatures bit-exactly (_Q14_SQL)."""
     return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
+
+
+# DuckDB mirror of simhash_pairs: same tokenizer (\w+ on lower()), same
+# 62-bit two-chain Horner token hash, same +/-1 bit vote with ties -> 0,
+# then brute-force pairing (equivalent to the banded LSH for hamming<=3).
+_Q14_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split_regex(tok, ''),
+                                    c -> CAST(unicode(c) AS BIGINT)),
+                     (a, b) -> (a * 257 + b) % 2147483647)
+         | (list_reduce(list_transform(string_split_regex(tok, ''),
+                                       c -> CAST(unicode(c) AS BIGINT)),
+                        (a, b) -> (a * 263 + b) % 2147483647) << 31) AS h
+  FROM toks
+), votes AS (
+  SELECT doc_id, bitpos,
+         SUM(CASE WHEN (h >> bitpos) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(0, 62)) AS bitpos) bits
+  GROUP BY doc_id, bitpos
+), sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bitpos) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+), sigall AS (
+  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sig s USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigall a JOIN sigall b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 # --------------------------------------------------------------------- q15
@@ -813,10 +853,50 @@ _Q19_SQL = "SELECT DISTINCT event_type FROM events"
 # --------------------------------------------------------------------- q20
 
 def q20_fingerprints(sf_dir: str):
-    """Winnowing rolling-hash document fingerprints (non-SQL-expressible)."""
+    """Winnowing rolling-hash document fingerprints. SQL-oracled: the hash is
+    a base-257 Horner chain over codepoints mod 2^31-1 (functions/hashing.py:
+    rolling_fingerprint), which DuckDB reproduces exactly via per-window
+    Horner expressions (_Q20_SQL)."""
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         text_stages.fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _q20_sql(window: int = 8, mod_select: int = 16) -> str:
+    """Generate the DuckDB mirror of rolling_fingerprint: same Horner chain
+    (base 257, mod 2^31-1) over a sliding codepoint window, same
+    h % mod_select == 0 selection, same short-text whole-string fallback."""
+    m = (1 << 31) - 1
+    # Horner over cps[i] .. cps[i+window-1] (DuckDB lists are 1-indexed;
+    # i ranges over 1..n-window+1). Mirrors h=(h*257+cp)%m per step.
+    expr = "cps[i]"
+    for k in range(1, window):
+        expr = f"(({expr}) * 257 + cps[i+{k}]) % {m}"
+    return f"""
+WITH cp AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR text = ''
+              THEN CAST([] AS BIGINT[])
+              ELSE list_transform(string_split_regex(text, ''),
+                                  c -> CAST(unicode(c) AS BIGINT)) END AS cps
+  FROM documents
+), fp AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(cps) = 0 THEN CAST([] AS BIGINT[])
+      WHEN len(cps) < {window}
+        THEN [list_reduce(cps, (a, b) -> (a * 257 + b) % {m})]
+      ELSE list_filter(
+             list_transform(range(1, len(cps) - {window - 2}), i -> {expr}),
+             h -> h % {mod_select} = 0)
+    END AS fps
+  FROM cp
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       CAST(COALESCE(list_min(fps), 0) AS BIGINT) AS min_fingerprint
+FROM fp
+"""
 
 
 # --------------------------------------------------------------------- q21
@@ -1014,9 +1094,12 @@ def q25_apply_corrections(sf_dir: str):
 
 
 def q26_media_features(sf_dir: str):
-    """Multimodal plumbing: magic-number sniff + stubbed feature decode over
-    a deterministic binary-payload fixture (M2/M5 analogues; decode stub
-    documented in stages/multimodal.py)."""
+    """Multimodal plumbing: magic-number sniff + feature decode over a
+    deterministic binary-payload fixture (M2/M5 analogues). PNG payloads are
+    REAL images decoded by the pure-stdlib codec (functions/png.py), so their
+    features come from actual pixel data; formats without a codec in this
+    container use the documented deterministic stand-in
+    (stages/multimodal.py)."""
     import ray.data as _rd
 
     from medical_ocr_service_ray.stages.multimodal import (
@@ -1543,9 +1626,11 @@ ORACLE_SQL = {
     "q10_lang_id": _q10_sql(),
     "q11_quality": _q11_sql(),
     "q12_knn_quantized_dot": _Q12_SQL,
+    "q14_simhash_pairs": _Q14_SQL,
     "q15_ngram_jaccard": _Q15_SQL,
     "q18_semi_anti_join": _Q18_SQL,
     "q19_distinct_event_types": _Q19_SQL,
+    "q20_fingerprints": _q20_sql(),
     "q21_hourly_user_windows": _Q21_SQL,
     "q28_sessionize_events": _Q28_SQL,
     "q29_join_revenue_by_priority": _Q29_SQL,

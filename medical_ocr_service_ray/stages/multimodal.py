@@ -10,10 +10,14 @@ sizing, output layout — with the actual codec behind a clearly marked stub
 
 - ``sniff_media_batch``: magic-number MIME detection on the binary payload
   (M2) — real, pure Python.
-- ``MediaDecoderStub``: actor-pool decode/feature stage. ``fake=True``
-  (default) produces deterministic pseudo-features (blake2b-seeded) so the
-  distributed plumbing is fully testable; ``fake=False`` raises
-  NotImplementedError("real decode needs pillow/ffmpeg") at the decode site.
+- ``MediaDecoderStub``: actor-pool decode/feature stage. PNG payloads are
+  decoded FOR REAL (pure-stdlib codec, functions/png.py: zlib inflate +
+  per-scanline filter reconstruction) — features, resize and re-encode all
+  operate on actual pixel data. Other formats (JPEG/GIF/video) still lack a
+  codec in this container: ``fake=True`` (default) produces deterministic
+  pseudo-features (blake2b-seeded) so the distributed plumbing is fully
+  testable; ``fake=False`` raises NotImplementedError("real decode needs
+  pillow/ffmpeg") at the decode site.
 - binary-payload batch sizing: media rows are MBs each, so stages run with
   small ``batch_size`` (default 16) to bound heap per task (M5 analogue of
   the 10 MB cap + compress-over-5MB rule).
@@ -73,9 +77,13 @@ def sniff_media_batch(batch: pa.Table) -> pa.Table:
 class MediaDecoderStub:
     """Actor-pool decode / feature-extract / resize / frame-sample stage.
 
-    Real decoding is STUBBED (no pillow/ffmpeg in this container); the
-    deterministic fake keeps every distributed aspect real: per-actor setup,
-    small-batch processing, fixed-size feature output layout."""
+    PNG payloads decode for real (pure-stdlib codec, functions/png.py) —
+    reference behavior src/services/image.service.js:186-240 (sharp
+    resize/compress before feature work). Other formats are STUBBED (no
+    pillow/ffmpeg in this container); the deterministic fake keeps every
+    distributed aspect real: per-actor setup, small-batch processing,
+    fixed-size feature output layout. A malformed PNG is an undecodable
+    payload (PngError), not a crash: it takes the fake/passthrough path."""
 
     FEATURE_DIM = 64
 
@@ -85,7 +93,18 @@ class MediaDecoderStub:
         self.fake = fake
         self.target = target
 
-    def _decode(self, payload: bytes) -> np.ndarray:
+    def _decode_png(self, payload: bytes):
+        """Real pixels for PNG payloads, None when this isn't a decodable PNG."""
+        from medical_ocr_service_ray.functions import png as _png
+
+        if not payload or not bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+            return None
+        try:
+            return _png.decode_png(payload)
+        except _png.PngError:
+            return None
+
+    def _fake_features(self, payload: bytes) -> np.ndarray:
         if not self.fake:
             raise NotImplementedError(
                 "real media decode requires pillow/ffmpeg (not in this container); "
@@ -95,11 +114,19 @@ class MediaDecoderStub:
         seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=8).digest(), "big")
         return np.random.default_rng(seed).random(self.FEATURE_DIM, dtype=np.float64)
 
+    def _features(self, payload: bytes) -> np.ndarray:
+        from medical_ocr_service_ray.functions.png import image_features
+
+        img = self._decode_png(payload)
+        if img is not None:
+            return image_features(img, self.FEATURE_DIM)
+        return self._fake_features(payload)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         n = len(payloads)
         if self.op == "features":
-            feats = np.stack([self._decode(p) for p in payloads]) if n else np.zeros((0, 64))
+            feats = np.stack([self._features(p) for p in payloads]) if n else np.zeros((0, 64))
             col = pa.array(
                 [list(map(float, f)) for f in feats], pa.list_(pa.float32(), self.FEATURE_DIM)
             )
@@ -107,14 +134,25 @@ class MediaDecoderStub:
                 {"item_id": batch["item_id"], "features": col}
             )
         if self.op == "resize":
-            # plumbing-real: output payload column + new meta dims
-            metas = [
-                {"width": self.target[0], "height": self.target[1], "ms": 0} for _ in range(n)
-            ]
+            from medical_ocr_service_ray.functions.png import encode_png, resize_nearest
+
+            tw, th = self.target
+            out_payloads, metas = [], []
+            for p, old_meta in zip(payloads, batch["meta"].to_pylist()):
+                img = self._decode_png(p)
+                if img is not None:
+                    # real pixel path: nearest-neighbor resize + re-encode
+                    out_payloads.append(encode_png(resize_nearest(img, tw, th)))
+                    metas.append({"width": tw, "height": th, "ms": 0})
+                else:
+                    # no codec for this format: payload passthrough, meta
+                    # records the target dims (plumbing-real stub path)
+                    out_payloads.append(p)
+                    metas.append({"width": tw, "height": th, "ms": 0})
             return pa.table(
                 {
                     "item_id": batch["item_id"],
-                    "payload": batch["payload"],
+                    "payload": pa.array(out_payloads, pa.binary()),
                     "declared_mime": batch["declared_mime"],
                     "meta": pa.array(metas, MEDIA_SCHEMA.field("meta").type),
                 }
@@ -148,16 +186,24 @@ def media_pipeline(ds, op: str = "features", concurrency=(1, 4)):
 
 
 def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
-    """Deterministic media fixture: fake JPEG/PNG/PDF/unknown payloads with
-    valid magic numbers."""
+    """Deterministic media fixture: REAL decodable PNG payloads (encoded with
+    the stdlib codec, so q26's features come from actual pixel data) mixed
+    with fake JPEG/PDF/unknown payloads that only carry valid magic numbers."""
+    from medical_ocr_service_ray.functions.png import encode_png
+
     rng = np.random.default_rng(seed)
     payloads, mimes, metas = [], [], []
-    magics = [b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n", b"%PDF", b"JUNK"]
+    magics = [b"\xff\xd8\xff", None, b"%PDF", b"JUNK"]
     names = ["image/jpeg", "image/png", "application/pdf", "application/octet-stream"]
     for i in range(n):
         k = int(rng.integers(0, 4))
-        body = rng.integers(0, 256, size=int(rng.integers(500, 4000)), dtype=np.uint8).tobytes()
-        payloads.append(magics[k] + body)
+        if k == 1:  # real PNG: random small RGB image
+            h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_png(img))
+        else:
+            body = rng.integers(0, 256, size=int(rng.integers(500, 4000)), dtype=np.uint8).tobytes()
+            payloads.append(magics[k] + body)
         # 10% declared mismatches to exercise the anti-spoof flag
         mimes.append(names[(k + 1) % 4] if rng.random() < 0.1 else names[k])
         metas.append(

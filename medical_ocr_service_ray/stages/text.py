@@ -59,6 +59,8 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         {
             "doc_id": batch["doc_id"],
             "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
-            "min_fingerprint": pa.array([min(f) if f else 0 for f in fps], pa.int64()),
+            "min_fingerprint": pa.array(
+                [int(f.min()) if len(f) else 0 for f in fps], pa.int64()
+            ),
         }
     )

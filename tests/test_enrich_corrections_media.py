@@ -156,12 +156,14 @@ class TestMultimodal:
         bm = b.sort_values("item_id").reset_index(drop=True)
         assert all((x == y).all() for x, y in zip(am.features, bm.features))
 
-    def test_real_decode_is_stubbed(self):
+    def test_non_png_decode_is_stubbed(self):
+        """PNG decodes for real (functions/png.py); formats without a codec
+        in this container still raise honestly under fake=False."""
         from medical_ocr_service_ray.stages.multimodal import MediaDecoderStub
 
         stub = MediaDecoderStub(op="features", fake=False)
         with pytest.raises(NotImplementedError, match="pillow/ffmpeg"):
-            stub._decode(b"\xff\xd8\xff payload")
+            stub._features(b"\xff\xd8\xff payload")
 
     def test_frame_sample_explodes_by_duration(self, ray_session):
         import ray.data as rd
