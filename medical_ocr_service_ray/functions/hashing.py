@@ -28,12 +28,43 @@ def tokens(text: str) -> list[str]:
     return _TOKEN_RE.findall(text.lower())
 
 
+def horner62_batch(strings: list[str]) -> np.ndarray:
+    """Vectorized token_hash62 over a batch of strings: two base-257/263
+    Horner chains mod 2^31-1 over codepoints, concatenated to 62 bits.
+    One utf-32 encode of the whole batch + max-length masked passes — no
+    per-string Python loop. Identical to token_hash62 per element."""
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    joined = "".join(strings)
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    m = np.uint64((1 << 31) - 1)
+    b1, b2 = np.uint64(257), np.uint64(263)
+    h1 = np.zeros(n, np.uint64)
+    h2 = np.zeros(n, np.uint64)
+    for j in range(int(lens.max(initial=0))):
+        mask = lens > j
+        c = cps[offs[mask] + j]
+        h1[mask] = (h1[mask] * b1 + c) % m
+        h2[mask] = (h2[mask] * b2 + c) % m
+    return (h1 | (h2 << np.uint64(31))).astype(np.int64)
+
+
 def shingles(text: str, k: int = 3) -> set[int]:
-    """Hashed k-token shingles."""
+    """Hashed k-token shingles. The hash is the SQL-expressible 62-bit
+    Horner chain (token_hash62 / horner62_batch) so MinHash signatures built
+    from these values can be reproduced exactly by a DuckDB oracle."""
     toks = tokens(text)
+    if not toks:
+        return set()
     if len(toks) < k:
-        return {hash64(" ".join(toks))} if toks else set()
-    return {hash64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return set(horner62_batch(grams).tolist())
 
 
 def hash64(s: str) -> int:

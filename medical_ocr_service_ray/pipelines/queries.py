@@ -518,7 +518,11 @@ def q13_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs verified by true Jaccard
     (shingle -> minhash -> band -> bucket groupby; verification resolves
     texts via keyed bucket joins — the corpus is never driver-materialized
-    or broadcast. Non-SQL-expressible)."""
+    or broadcast). SQL-oracled: shingle hashes are 62-bit Horner chains and
+    the permutation constants are embedded literals, so DuckDB rebuilds the
+    exact signatures, band-matches candidates (list-slice equality — the
+    lossless mirror of the banded shuffle), and verifies Jaccard over
+    shingle-string sets (_q13_sql)."""
     key = _session_key(sf_dir)
     ds = _PAIRS_CACHE.get(key)
     if ds is None:
@@ -526,6 +530,114 @@ def q13_minhash_pairs(sf_dir: str):
         ds = minhash_lsh_pairs(docs, threshold_x1000=500).materialize()
         _PAIRS_CACHE[key] = ds
     return ds
+
+
+def _q13_base_sql(num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+                  seed: int = 7, threshold_x1000: int = 500) -> str:
+    """DuckDB mirror of minhash_lsh_pairs: the CTE chain ends in a `pairs`
+    relation (doc_a, doc_b, jaccard_x1000). Shared by the q13 and q30
+    oracles.
+
+    Exactness notes: (a*x+b) is computed in numpy uint64 (wraps mod 2^64)
+    before the Mersenne mod — the SQL mirrors that with HUGEINT % 2^64.
+    `& 0xFFFFFFFF` == % 4294967296 for non-negative values. Jaccard is
+    counted over distinct shingle STRINGS — identical counts to the hashed
+    sets the Ray side intersects, 62-bit collisions aside."""
+    from medical_ocr_service_ray.functions.hashing import minhash_params
+
+    a, b = minhash_params(num_perm, seed)
+    rows_per_band = num_perm // bands
+    perm_values = ", ".join(
+        f"({k}, {int(a[k])}, {int(b[k])})" for k in range(num_perm)
+    )
+    horner = (
+        "list_reduce(list_transform(string_split_regex(s, ''),"
+        " c -> CAST(unicode(c) AS BIGINT)), (x, y) -> (x * 257 + y) % 2147483647)"
+        " | (list_reduce(list_transform(string_split_regex(s, ''),"
+        " c -> CAST(unicode(c) AS BIGINT)), (x, y) -> (x * 263 + y) % 2147483647) << 31)"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{{L}}\p{{N}}_]+') AS tk
+  FROM documents
+), shstr AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(tk) < {shingle_k} THEN [array_to_string(tk, ' ')]
+         ELSE list_transform(range(1, len(tk) - {shingle_k - 2}),
+                             i -> {" || ' ' || ".join(f"tk[i+{j}]" for j in range(shingle_k)).replace("tk[i+0]", "tk[i]")})
+    END) AS s
+  FROM toks
+), shh AS (
+  SELECT DISTINCT doc_id, {horner} AS h
+  FROM shstr
+), perms(k, pa, pb) AS (
+  VALUES {perm_values}
+), sigv AS (
+  SELECT doc_id, k,
+         MIN(CAST(((CAST(pa AS HUGEINT) * CAST(h AS HUGEINT) + pb)
+                   % 18446744073709551616) % 2305843009213693951
+                  % 4294967296 AS BIGINT)) AS mh
+  FROM shh CROSS JOIN perms
+  GROUP BY doc_id, k
+), sigfull AS (
+  SELECT d.doc_id, p.k, COALESCE(s.mh, 4294967295) AS mh
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN perms p
+  LEFT JOIN sigv s ON s.doc_id = d.doc_id AND s.k = p.k
+), bandrow AS (
+  SELECT doc_id, k // {rows_per_band} AS band_id, list(mh ORDER BY k) AS bsig
+  FROM sigfull GROUP BY doc_id, k // {rows_per_band}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bandrow x JOIN bandrow y
+    ON x.band_id = y.band_id AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+), shsets AS (
+  SELECT doc_id, list(DISTINCT s) AS ss FROM shstr GROUP BY doc_id
+), verif AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(COALESCE(x.ss, []), COALESCE(y.ss, []))) AS inter,
+         len(COALESCE(x.ss, [])) + len(COALESCE(y.ss, []))
+           - len(list_intersect(COALESCE(x.ss, []), COALESCE(y.ss, []))) AS uni
+  FROM cand c
+  LEFT JOIN shsets x ON x.doc_id = c.doc_a
+  LEFT JOIN shsets y ON y.doc_id = c.doc_b
+), pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(CASE WHEN uni = 0 THEN 1000 ELSE (1000 * inter) // uni END AS BIGINT)
+           AS jaccard_x1000
+  FROM verif
+  WHERE (CASE WHEN uni = 0 THEN 1000 ELSE (1000 * inter) // uni END) >= {threshold_x1000}
+)"""
+
+
+def _q13_sql() -> str:
+    return _q13_base_sql() + "\nSELECT doc_a, doc_b, jaccard_x1000 FROM pairs\n"
+
+
+def _q30_sql() -> str:
+    """Connected components over the q13 pairs: recursive min-label
+    propagation (the SQL mirror of dedup_clusters_distributed's fixpoint)."""
+    return _q13_base_sql() + """
+, edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT u AS node FROM edges
+), reach AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.v, r.lbl FROM r JOIN edges e ON e.u = r.node
+  ) SELECT * FROM r
+), comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT c.doc_id, c.cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size
+FROM comp c
+"""
 
 
 def q14_simhash_pairs(sf_dir: str):
@@ -1228,8 +1340,9 @@ GROUP BY o_orderpriority
 def q30_dedup_clusters(sf_dir: str):
     """Near-dup clusters: MinHash-LSH verified pairs (shared with q13 via the
     session memo) -> DISTRIBUTED min-label-propagation connected components
-    -> (doc_id, cluster_id, cluster_size). Non-SQL (iterative component
-    labeling); pytest oracle: equality vs driver union-find
+    -> (doc_id, cluster_id, cluster_size). SQL-oracled via a recursive-CTE
+    min-label propagation over the same pair relation (_q30_sql); pytest
+    oracle: equality vs driver union-find
     (tests/test_dedup_clusters_skew.py)."""
     from medical_ocr_service_ray.stages.dedup import dedup_clusters_distributed
 
@@ -1626,6 +1739,7 @@ ORACLE_SQL = {
     "q10_lang_id": _q10_sql(),
     "q11_quality": _q11_sql(),
     "q12_knn_quantized_dot": _Q12_SQL,
+    "q13_minhash_pairs": _q13_sql(),
     "q14_simhash_pairs": _Q14_SQL,
     "q15_ngram_jaccard": _Q15_SQL,
     "q18_semi_anti_join": _Q18_SQL,
@@ -1634,13 +1748,16 @@ ORACLE_SQL = {
     "q21_hourly_user_windows": _Q21_SQL,
     "q28_sessionize_events": _Q28_SQL,
     "q29_join_revenue_by_priority": _Q29_SQL,
+    "q30_dedup_clusters": _q30_sql(),
     "q32_asof_join": _Q32_SQL,
     "q33_revenue_by_nation": _Q33_SQL,
     "q34_distinct_users_by_type": _Q34_SQL,
     "q35_train_test_split": _Q35_SQL,
     "q36_sliding_windows": _Q36_SQL,
     "q37_stratified_sample": _Q37_SQL,
-    # q13/q14/q16/q17/q20/q22/q23: non-SQL-expressible (LSH banding, streaming
-    # extraction, rolling-hash, float knn) -> rows-only driver check + pytest
-    # oracles in tests/.
+    # q16/q17/q22/q23: non-SQL-expressible (streaming extraction, float knn,
+    # float cosine blocking) -> rows-only driver check + pytest oracles in
+    # tests/. q13/q14/q20/q30 gained exact DuckDB oracles in round 3 by
+    # making their hashes arithmetic (Horner chains + embedded permutation
+    # literals).
 }
