@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from pathlib import Path
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
@@ -877,10 +878,58 @@ def q16_extract_transcripts(sf_dir: str):
     return ds.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_EXTRACT_VIEW_KEY: list = [None]  # last (sf_dir, session) written to .../current
+
+
+def _extraction_view_dir(sf_dir: str) -> str:
+    """Write the columns the q17/q27 oracles consume (conv_id, turn_idx,
+    role, content_type, extracted_text, conf100 int64) to the FIXED path
+    /tmp/mosr_extraction_view/current, so the DuckDB oracle (a static SQL
+    string with no sf parameter) aggregates the SAME rows the distributed
+    rollup aggregates regardless of which sf the harness runs. The query
+    writes the view before returning; the harness runs the oracle after the
+    query. conf100 is rounded on the Ray side (np.rint, half-to-even) so
+    the oracle checks pure SQL aggregation — extraction semantics are gated
+    by the golden parity pytest, this view oracles the distributed
+    rollup/assembly on top."""
+    import shutil as _shutil
+
+    out = "/tmp/mosr_extraction_view/current"
+    key = _session_key(sf_dir)
+    if _EXTRACT_VIEW_KEY[0] == key:
+        return out
+
+    def project(t: pa.Table) -> pa.Table:
+        conf = np.rint(
+            np.asarray(t["confidence"].to_numpy(zero_copy_only=False), dtype=np.float64) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "role": t["role"],
+                "content_type": t["content_type"],
+                "extracted_text": t["extracted_text"],
+                "conf100": pa.array(conf, pa.int64()),
+            }
+        )
+
+    _shutil.rmtree(out, ignore_errors=True)
+    q16_extract_transcripts(sf_dir).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(out)
+    _EXTRACT_VIEW_KEY[0] = key
+    return out
+
+
 def q17_conv_stats(sf_dir: str):
     """Per-conversation rollup of extraction output (A2 analogue:
-    COUNT(items)/AVG(confianza) per header, pre-visacion.service.js:388-410)."""
+    COUNT(items)/AVG(confianza) per header, pre-visacion.service.js:388-410).
+    SQL-oracled via the materialized extraction view (_extraction_view_dir):
+    the oracle re-aggregates the identical rows in DuckDB, checking the
+    bucketed distributed combine end-to-end."""
     ds = q16_extract_transcripts(sf_dir)
+    _extraction_view_dir(sf_dir)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(
@@ -910,6 +959,22 @@ def q17_conv_stats(sf_dir: str):
 
     # conv_id cardinality is unbounded at scale -> bucketed distributed combine
     return partial_then_combine(ds, partial, "conv_id", combine, num_buckets=16)
+
+
+# The driver runs the correctness harness at sf0.01; q17's Ray run writes
+# the view before returning, so the oracle (run after the query, as the
+# harness does) reads the same rows. np.rint rounding happens Ray-side
+# (conf100 is already an int in the view) — the SQL is pure aggregation.
+_Q17_SQL = """
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN content_type = 'html'   THEN 1 ELSE 0 END) AS BIGINT) AS n_html,
+       CAST(SUM(CASE WHEN content_type = 'pdfish' THEN 1 ELSE 0 END) AS BIGINT) AS n_pdfish,
+       CAST(SUM(CASE WHEN content_type = 'plain'  THEN 1 ELSE 0 END) AS BIGINT) AS n_plain,
+       CAST(SUM(conf100) // COUNT(*) AS BIGINT) AS avg_confidence_x100
+FROM read_parquet('/tmp/mosr_extraction_view/current/*.parquet')
+GROUP BY conv_id
+"""
 
 
 # --------------------------------------------------------------------- q18
@@ -1054,71 +1119,202 @@ GROUP BY user_id, hour
 # --------------------------------------------------------------------- q22/q23
 
 def q22_ann_cosine_topk(sf_dir: str):
-    """Brute-force cosine top-10 for 3 query vectors (float path; verified by
-    pytest vs in-process numpy, not SQL — float sum order is engine-specific)."""
-    from medical_ocr_service_ray.stages.ann import brute_force_topk
+    """Brute-force cosine top-10 for the 3 lowest-vec_id query vectors,
+    INTEGER-EXACT: embeddings quantize to floor(x*1000) int64 and the score
+    is sign(dot) * (10^12 * dot^2) // (|q|^2 * |v|^2) in arbitrary-precision
+    ints — strictly monotone in cosine over the quantized vectors, so the
+    ranking is bit-reproducible by the DuckDB oracle (_Q22_SQL; HUGEINT).
+    Plan shape is q12's: per-batch partial top-k, tiny driver merge. The
+    float cosine path stays in stages/ann.py (brute_force_topk,
+    pytest-gated vs numpy) — float sum order is engine-specific, so the SQL
+    contract pins the integer variant. At 100 TB the big-int rescore would
+    follow a float prefilter of per-batch candidates."""
+    import ray
 
     emb = _emb_query_table(sf_dir)
     ids = emb["vec_id"].to_pylist()
     order = np.argsort(ids)[:3]
-    queries = np.stack(
-        [np.asarray(emb["embedding"][int(i)].as_py(), dtype=np.float64) for i in order]
+    qids = [int(ids[int(i)]) for i in order]
+    qq = np.floor(
+        np.stack(
+            [np.asarray(emb["embedding"][int(i)].as_py(), dtype=np.float64) for i in order]
+        )
+        * 1000.0
+    ).astype(np.int64)
+    query_ref = ray.put((qids, qq))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        from medical_ocr_service_ray.stages.ann import _stack_embeddings
+
+        qids_, qq_ = ray.get(query_ref)
+        v = np.floor(_stack_embeddings(t).astype(np.float64) * 1000.0).astype(np.int64)
+        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        nb2 = (v * v).sum(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for k, qid in enumerate(qids_):
+            na2 = int((qq_[k] * qq_[k]).sum())
+            dots = v @ qq_[k]
+            # exact big-int scores; bounded work: one partial top-10 per batch
+            scores = np.fromiter(
+                (
+                    0
+                    if na2 == 0 or b2 == 0
+                    else (-1 if d < 0 else 1)
+                    * ((10**12 * int(d) * int(d)) // (na2 * int(b2)))
+                    for d, b2 in zip(dots, nb2)
+                ),
+                dtype=np.int64,
+                count=len(vids),
+            )
+            top = np.lexsort((vids, -scores))[:10]
+            out_q.extend([qid] * len(top))
+            out_v.extend(vids[top].tolist())
+            out_s.extend(scores[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score_x1e12": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    merged = (
+        _emb_dataset(sf_dir)
+        .map_batches(score_topk, batch_format="pyarrow")
+        .to_pandas()
     )
-    return brute_force_topk(_emb_dataset(sf_dir), queries, k=10, metric="cosine")
+    out = (
+        merged.sort_values(["query_id", "score_x1e12", "vec_id"], ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(10)
+    )
+    return out.reset_index(drop=True)
 
 
-def q23_embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs (cos >= 0.95) via same-label blocking +
-    in-group brute force (the label column is the IVF-coarse-bucket analogue).
+_Q22_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vv
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, vv AS qv FROM v ORDER BY vec_id LIMIT 3
+), scored AS (
+  SELECT q.query_id, v.vec_id,
+         CAST(list_inner_product(q.qv, v.vv) AS HUGEINT) AS dot,
+         CAST(list_inner_product(q.qv, q.qv) AS HUGEINT) AS na2,
+         CAST(list_inner_product(v.vv, v.vv) AS HUGEINT) AS nb2
+  FROM q CROSS JOIN v
+)
+SELECT query_id, vec_id,
+       CAST(CASE WHEN na2 * nb2 = 0 THEN 0
+                 ELSE (CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+                      * ((1000000000000 * dot * dot) // (na2 * nb2))
+            END AS BIGINT) AS score_x1e12
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY query_id
+  ORDER BY CASE WHEN na2 * nb2 = 0 THEN 0
+                ELSE (CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+                     * ((1000000000000 * dot * dot) // (na2 * nb2)) END DESC,
+           vec_id
+) <= 10
+"""
+
+
+def q23_embedding_neardup(sf_dir: str, t_num: int = 7, t_den: int = 20):
+    """Embedding-cosine near-dup pairs via same-label blocking + in-group
+    brute force (the label column is the IVF-coarse-bucket analogue).
+
+    INTEGER-EXACT semantics (SQL-oracled, _Q23_SQL): vectors quantize to
+    floor(x*1000) int64 and a pair passes iff dot > 0 and
+    t_den^2 * dot^2 >= t_num^2 * |a|^2 * |b|^2 — i.e. cosine >= t_num/t_den
+    as an exact rational, no float compare anywhere. The query pins
+    t=7/20=0.35 so the check is non-trivial on the near-orthogonal synthetic
+    embeddings (max same-label cos there ~0.47); production near-dup use is
+    t=19/20=0.95 (the pytest plants near-identical vectors and runs at that
+    threshold). Output score is cos2_x1e6 = (10^6*dot^2)//(|a|^2*|b|^2).
 
     Partitioning assumption / group-size bound: the blocking key must keep
-    each group to G rows with G^2 * 8 bytes of similarity per chunk row in a
-    task heap — the matmul is CHUNKED (1024 rows x G per step, vectorized
-    threshold per chunk), so peak memory is O(chunk * G), not O(G^2). With
-    G ~ 100k that is ~0.8 GB per chunk step: acceptable; beyond that the
-    label must be refined (e.g. IVF sub-clustering) before this stage."""
+    each group to G rows; the int64 matmul is CHUNKED (1024 x G per step),
+    so peak memory is O(chunk * G), not O(G^2). With G ~ 100k that is
+    ~0.8 GB per chunk step: acceptable; beyond that the label must be
+    refined (e.g. IVF sub-clustering) before this stage."""
     ds = _emb_dataset(sf_dir)
+    tn2, td2 = t_num * t_num, t_den * t_den
 
     def pairs(group: pa.Table) -> pa.Table:
         from medical_ocr_service_ray.stages.ann import _stack_embeddings
 
-        emb = _stack_embeddings(group)
+        v = np.floor(_stack_embeddings(group).astype(np.float64) * 1000.0).astype(np.int64)
         ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
         order = np.argsort(ids)
-        emb, ids = emb[order], ids[order]
-        norms = np.linalg.norm(emb, axis=1)
-        norms[norms == 0] = 1.0
-        unit = emb / norms[:, None]
+        v, ids = v[order], ids[order]
+        nb2 = (v * v).sum(axis=1)  # |v|^2, int64
         n = len(ids)
         a_o, b_o, s_o = [], [], []
         chunk = 1024
+        t_f = t_num / t_den
+        nb2f = nb2.astype(np.float64)
         for i0 in range(0, n, chunk):
             i1 = min(i0 + chunk, n)
-            sims = unit[i0:i1] @ unit.T  # (chunk, n)
-            # upper triangle only: j > global row index
-            for local in range(i1 - i0):
-                row = sims[local]
-                gi = i0 + local
-                js = np.nonzero(row[gi + 1 :] >= 0.95)[0] + gi + 1
-                for j in js:
-                    a_o.append(int(ids[gi]))
-                    b_o.append(int(ids[j]))
-                    s_o.append(float(np.floor(row[j] * 1000)))
+            dots = v[i0:i1] @ v.T  # (chunk, n) int64, exact
+            # float PRE-mask with margin (never excludes a true positive:
+            # float64 cosine of int64 inputs is within ~1e-14), then the
+            # EXACT rational test td2*dot^2 >= tn2*na2*nb2 in Python ints —
+            # overflow-free for any vector scale, and only evaluated on the
+            # tiny candidate set
+            denf = np.sqrt(nb2f[i0:i1, None] * nb2f[None, :])
+            denf[denf == 0] = 1.0
+            cosf = dots / denf
+            upper = np.arange(n)[None, :] > np.arange(i0, i1)[:, None]
+            cand = (dots > 0) & (cosf >= t_f - 1e-9) & upper
+            for li, j in zip(*np.nonzero(cand)):
+                gi = i0 + int(li)
+                d = int(dots[li, j])
+                den = int(nb2[gi]) * int(nb2[j])
+                if den == 0 or td2 * d * d < tn2 * den:
+                    continue
+                a_o.append(int(ids[gi]))
+                b_o.append(int(ids[j]))
+                s_o.append((10**6 * d * d) // den)
         return pa.table(
             {
                 "vec_a": pa.array(a_o, pa.int64()),
                 "vec_b": pa.array(b_o, pa.int64()),
-                "cos_x1000": pa.array(s_o, pa.float64()),
+                "cos2_x1e6": pa.array(s_o, pa.int64()),
             }
         )
 
     out = ds.groupby("label").map_groups(pairs, batch_format="pyarrow").to_pandas()
     # stable schema even when no pair passes the threshold
-    if list(out.columns) != ["vec_a", "vec_b", "cos_x1000"]:
+    if list(out.columns) != ["vec_a", "vec_b", "cos2_x1e6"]:
         out = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                             "vec_b": pd.Series(dtype="int64"),
-                            "cos_x1000": pd.Series(dtype="float64")})
+                            "cos2_x1e6": pd.Series(dtype="int64")})
     return out
+
+
+# t = 7/20: the constants 400 (=t_den^2) and 49 (=t_num^2) mirror the
+# query's default exactly — the whole test is integer arithmetic.
+_Q23_SQL = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vv
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(list_inner_product(a.vv, b.vv) AS HUGEINT) AS dot,
+         CAST(list_inner_product(a.vv, a.vv) AS HUGEINT) AS na2,
+         CAST(list_inner_product(b.vv, b.vv) AS HUGEINT) AS nb2
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       CAST((1000000 * dot * dot) // (na2 * nb2) AS BIGINT) AS cos2_x1e6
+FROM p
+WHERE dot > 0 AND na2 * nb2 > 0 AND 400 * dot * dot >= 49 * na2 * nb2
+"""
 
 
 # --------------------------------------------------------------------- q24-q26
@@ -1235,10 +1431,29 @@ def q26_media_features(sf_dir: str):
 
 def q27_assemble_conversations(sf_dir: str):
     """Per-conversation ordered document assembly (T7 invariant + M12 text
-    builder analogue). Non-SQL (depends on extraction output)."""
+    builder analogue). SQL-oracled via the materialized extraction view:
+    string_agg(... ORDER BY turn_idx) re-derives the ordered document, so
+    the check exercises exactly the distributed risk — stable per-group
+    ordering through the bucketed shuffle."""
     from medical_ocr_service_ray.pipelines.assemble import assemble_conversations
 
+    _extraction_view_dir(sf_dir)
     return assemble_conversations(_extracted_ordered(sf_dir))
+
+
+_Q27_SQL = """
+WITH doc AS (
+  SELECT conv_id,
+         COUNT(*) AS n_turns,
+         string_agg(upper(role) || ': ' || extracted_text, chr(10)
+                    ORDER BY turn_idx) AS document
+  FROM read_parquet('/tmp/mosr_extraction_view/current/*.parquet')
+  GROUP BY conv_id
+)
+SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns, document,
+       CAST(length(document) AS BIGINT) AS doc_chars
+FROM doc
+"""
 
 
 def q28_sessionize_events(sf_dir: str):
@@ -1603,11 +1818,58 @@ def q38_pack_sequences(sf_dir: str):
     assigned to exactly one pack with total whitespace tokens <= 512
     (oversize docs get singleton packs); greedy first-fit in ascending
     doc_id order inside each hash bucket, so the result is a pure function
-    of the ids (invariant to input partitioning). Non-SQL (order-dependent
-    greedy); pytest oracle asserts the invariants."""
+    of the ids (invariant to input partitioning). SQL-oracled: the greedy
+    simulation is reproduced exactly by a recursive CTE that advances one
+    document per bucket per step, carrying the open-pack state as parallel
+    (remaining, seq) lists (_Q38_SQL); pytest asserts the invariants."""
     from medical_ocr_service_ray.stages.sampling import pack_sequences
 
     return pack_sequences(_read(sf_dir, "documents", ["doc_id", "text"]), max_tokens=512)
+
+
+# Recursive first-fit simulation: `sim` steps through each bucket's docs in
+# doc_id order; `j` is the first open pack with room (list_position = 0/NULL
+# when none -> open a new pack). Recursion depth = max docs per bucket.
+_Q38_SQL = r"""
+WITH RECURSIVE counted AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         doc_id % 16 AS bucket
+  FROM documents
+), ranked AS (
+  SELECT doc_id, n_tokens, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM counted
+), sim(bucket, i, rems, seqs, next_seq, doc_id, n_tokens, seq) AS (
+  SELECT bucket, 0, CAST([] AS BIGINT[]), CAST([] AS BIGINT[]), 0,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM (SELECT DISTINCT bucket FROM ranked)
+  UNION ALL
+  SELECT s.bucket, s.i + 1,
+         CASE WHEN COALESCE(t.j, 0) = 0
+              THEN list_append(s.rems, greatest(0, 512 - d.n_tokens))
+              ELSE list_transform(range(1, len(s.rems) + 1),
+                                  x -> CASE WHEN x = t.j THEN s.rems[x] - d.n_tokens
+                                            ELSE s.rems[x] END)
+         END,
+         CASE WHEN COALESCE(t.j, 0) = 0 THEN list_append(s.seqs, s.next_seq) ELSE s.seqs END,
+         CASE WHEN COALESCE(t.j, 0) = 0 THEN s.next_seq + 1 ELSE s.next_seq END,
+         d.doc_id, d.n_tokens,
+         CASE WHEN COALESCE(t.j, 0) = 0 THEN s.next_seq ELSE s.seqs[t.j] END
+  FROM sim s
+  JOIN ranked d ON d.bucket = s.bucket AND d.rn = s.i + 1
+  CROSS JOIN LATERAL (
+    SELECT list_position(list_transform(s.rems, r -> r >= d.n_tokens), true) AS j
+  ) t
+), assigned AS (
+  SELECT doc_id, n_tokens, bucket * 4294967296 + seq AS pack_id
+  FROM sim WHERE i > 0
+)
+SELECT doc_id, n_tokens, pack_id,
+       CAST(SUM(n_tokens) OVER (PARTITION BY pack_id) AS BIGINT) AS pack_tokens
+FROM assigned
+"""
 
 
 def q40_approx_quantiles(sf_dir: str):
@@ -1644,9 +1906,11 @@ def q39_corpus_prep(sf_dir: str):
           -> context-length sequence packing (<= 512 tokens per pack)
 
     Returns (doc_id, n_tokens, pack_id, pack_tokens) for the packed train
-    corpus. Non-SQL end-to-end (greedy packing); every constituent stage has
-    its own SQL or pytest gate (q7/q11/q35/q38); the composition invariants
-    are gated in tests/test_sampling.py::TestCorpusPrep."""
+    corpus. SQL-oracled END-TO-END (_q39_sql): DuckDB sha256 window dedup ->
+    the q11 quality formula -> the q35 Knuth split -> the q38 recursive
+    first-fit simulation, composed over the same survivor set; the
+    composition invariants are additionally gated in
+    tests/test_sampling.py::TestCorpusPrep."""
     from medical_ocr_service_ray.stages.dedup import add_sha_batch
     from medical_ocr_service_ray.stages.sampling import hash_split, pack_sequences
 
@@ -1679,6 +1943,66 @@ def q39_corpus_prep(sf_dir: str):
         keep_train, batch_format="pyarrow", zero_copy_batch=True
     )
     return pack_sequences(train, max_tokens=512)
+
+
+def _q39_sql() -> str:
+    """The q39 chain composed in DuckDB: each CTE mirrors one engine stage
+    (dedup=q7 semantics, quality=q11 formula, split=q35 Knuth arithmetic,
+    packing=q38 recursive first-fit over the surviving train docs)."""
+    stop = " + ".join(sql_occurrences("p", s) for s in STOPWORDS)
+    punct = " + ".join(sql_occurrences("text", c) for c in (".", ",", "!"))
+    return rf"""
+WITH RECURSIVE uniq AS (
+  SELECT doc_id, text
+  FROM (SELECT doc_id, text,
+               row_number() OVER (PARTITION BY sha256(COALESCE(text, ''))
+                                  ORDER BY doc_id) AS rn
+        FROM documents)
+  WHERE rn = 1
+), qbase AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+         END AS n_tokens
+  FROM uniq
+), qscored AS (
+  SELECT doc_id, n_tokens, {stop} AS stop_hits, {punct} AS punct_count FROM qbase
+), ranked AS (
+  SELECT doc_id, n_tokens, doc_id % 16 AS bucket,
+         row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+  FROM qscored
+  WHERE least(n_tokens, 200) * 2 + least(stop_hits * 10, 100) * 3
+        + least(punct_count * 5, 100) >= 150
+    AND ((doc_id * 2654435761) % 4294967296) % 100 < 80
+), sim(bucket, i, rems, seqs, next_seq, doc_id, n_tokens, seq) AS (
+  SELECT bucket, 0, CAST([] AS BIGINT[]), CAST([] AS BIGINT[]), 0,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM (SELECT DISTINCT bucket FROM ranked)
+  UNION ALL
+  SELECT s.bucket, s.i + 1,
+         CASE WHEN COALESCE(t.j, 0) = 0
+              THEN list_append(s.rems, greatest(0, 512 - d.n_tokens))
+              ELSE list_transform(range(1, len(s.rems) + 1),
+                                  x -> CASE WHEN x = t.j THEN s.rems[x] - d.n_tokens
+                                            ELSE s.rems[x] END)
+         END,
+         CASE WHEN COALESCE(t.j, 0) = 0 THEN list_append(s.seqs, s.next_seq) ELSE s.seqs END,
+         CASE WHEN COALESCE(t.j, 0) = 0 THEN s.next_seq + 1 ELSE s.next_seq END,
+         d.doc_id, d.n_tokens,
+         CASE WHEN COALESCE(t.j, 0) = 0 THEN s.next_seq ELSE s.seqs[t.j] END
+  FROM sim s
+  JOIN ranked d ON d.bucket = s.bucket AND d.rn = s.i + 1
+  CROSS JOIN LATERAL (
+    SELECT list_position(list_transform(s.rems, r -> r >= d.n_tokens), true) AS j
+  ) t
+), assigned AS (
+  SELECT doc_id, n_tokens, bucket * 4294967296 + seq AS pack_id
+  FROM sim WHERE i > 0
+)
+SELECT doc_id, n_tokens, pack_id,
+       CAST(SUM(n_tokens) OVER (PARTITION BY pack_id) AS BIGINT) AS pack_tokens
+FROM assigned
+"""
 
 
 # ------------------------------------------------------------------ registry
@@ -1742,10 +2066,14 @@ ORACLE_SQL = {
     "q13_minhash_pairs": _q13_sql(),
     "q14_simhash_pairs": _Q14_SQL,
     "q15_ngram_jaccard": _Q15_SQL,
+    "q17_conv_stats": _Q17_SQL,
     "q18_semi_anti_join": _Q18_SQL,
     "q19_distinct_event_types": _Q19_SQL,
     "q20_fingerprints": _q20_sql(),
     "q21_hourly_user_windows": _Q21_SQL,
+    "q22_ann_cosine_topk": _Q22_SQL,
+    "q23_embedding_neardup": _Q23_SQL,
+    "q27_assemble_conversations": _Q27_SQL,
     "q28_sessionize_events": _Q28_SQL,
     "q29_join_revenue_by_priority": _Q29_SQL,
     "q30_dedup_clusters": _q30_sql(),
@@ -1753,6 +2081,8 @@ ORACLE_SQL = {
     "q33_revenue_by_nation": _Q33_SQL,
     "q34_distinct_users_by_type": _Q34_SQL,
     "q35_train_test_split": _Q35_SQL,
+    "q38_pack_sequences": _Q38_SQL,
+    "q39_corpus_prep": _q39_sql(),
     "q36_sliding_windows": _Q36_SQL,
     "q37_stratified_sample": _Q37_SQL,
     # q16/q17/q22/q23: non-SQL-expressible (streaming extraction, float knn,

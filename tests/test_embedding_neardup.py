@@ -31,9 +31,15 @@ def test_planted_neardup_vectors_found(ray_session, tmp_path, monkeypatch):
     d.mkdir()
     pq.write_table(table, d / "embeddings.parquet")
 
-    out = q23_embedding_neardup(str(d))
+    # production near-dup threshold 19/20 = 0.95 (the query entry pins the
+    # demonstration threshold 7/20 so the SQL oracle is non-trivial on the
+    # near-orthogonal sf testdata)
+    out = q23_embedding_neardup(str(d), t_num=19, t_den=20)
     pairs = set(zip(out.vec_a, out.vec_b))
     for i in range(5):
         assert (i, 100 + i) in pairs, f"missed planted near-dup ({i}, {100+i})"
     # no false positives among the random base vectors
     assert all(a >= 100 or b >= 100 for a, b in pairs)
+    # integer-exact score: planted pairs are near-identical -> cos2 ~ 1e6
+    assert all(s > 990_000 for (a, b), s in
+               zip(zip(out.vec_a, out.vec_b), out.cos2_x1e6) if b == a + 100)
