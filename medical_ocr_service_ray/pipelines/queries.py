@@ -1368,7 +1368,10 @@ def q24_enriched_extraction(sf_dir: str):
 
 def q25_apply_corrections(sf_dir: str):
     """Corrections overlay join-and-patch (M19/F4: feedback.service.js:306-336).
-    Deterministic synthetic corrections patch every 97th turn."""
+    Deterministic synthetic corrections patch every 97th turn. SQL-oracled:
+    the run persists the corrections table next to the extraction view; the
+    oracle re-applies them as a last-writer-wins join-and-patch in DuckDB
+    (_Q25_SQL), checking the broadcast patch stage against pure SQL."""
     import pyarrow.parquet as _pq
 
     from medical_ocr_service_ray.stages.corrections import apply_corrections, synth_corrections
@@ -1382,6 +1385,25 @@ def q25_apply_corrections(sf_dir: str):
 
     sample_golden = oracle_extract_table(_pq.read_table(first).slice(0, 2000))
     corrections = synth_corrections(sample_golden, every_nth=97)
+
+    # persist the fixture for the DuckDB oracle: seq = list position, the
+    # last-writer-wins tiebreak the applier uses
+    _extraction_view_dir(sf_dir)
+    corr_path = "/tmp/mosr_extraction_view/corrections.parquet"
+    _pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array([r["conv_id"] for r in corrections], pa.string()),
+                "turn_idx": pa.array([int(r["turn_idx"]) for r in corrections], pa.int32()),
+                "field": pa.array([r["field"] for r in corrections], pa.string()),
+                "corrected_value": pa.array(
+                    [r["corrected_value"] for r in corrections], pa.string()
+                ),
+                "seq": pa.array(range(len(corrections)), pa.int64()),
+            }
+        ),
+        corr_path,
+    )
 
     ds = q16_extract_transcripts(sf_dir)
     out = apply_corrections(ds, corrections)
@@ -1399,6 +1421,30 @@ def q25_apply_corrections(sf_dir: str):
         )
 
     return out.map_batches(project, batch_format="pyarrow")
+
+
+# Last-writer-wins patch re-applied in SQL over the persisted extraction
+# view + corrections fixture. corrected_fields counts every patchable field
+# with a correction for the key (extracted_text and content_type).
+_Q25_SQL = """
+WITH corr AS (
+  SELECT conv_id, turn_idx, field, corrected_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, field
+                                     ORDER BY seq DESC) AS rn
+        FROM read_parquet('/tmp/mosr_extraction_view/corrections.parquet'))
+  WHERE rn = 1 AND field IN ('extracted_text', 'content_type')
+), patch AS (
+  SELECT conv_id, turn_idx,
+         COUNT(*) AS n_corrected,
+         MAX(CASE WHEN field = 'extracted_text' THEN corrected_value END) AS new_text
+  FROM corr GROUP BY conv_id, turn_idx
+)
+SELECT v.conv_id, CAST(v.turn_idx AS INTEGER) AS turn_idx,
+       COALESCE(p.new_text, v.extracted_text) AS extracted_text,
+       CAST(COALESCE(p.n_corrected, 0) AS INTEGER) AS n_corrected
+FROM read_parquet('/tmp/mosr_extraction_view/current/*.parquet') v
+LEFT JOIN patch p USING (conv_id, turn_idx)
+"""
 
 
 def q26_media_features(sf_dir: str):
@@ -2073,6 +2119,7 @@ ORACLE_SQL = {
     "q21_hourly_user_windows": _Q21_SQL,
     "q22_ann_cosine_topk": _Q22_SQL,
     "q23_embedding_neardup": _Q23_SQL,
+    "q25_apply_corrections": _Q25_SQL,
     "q27_assemble_conversations": _Q27_SQL,
     "q28_sessionize_events": _Q28_SQL,
     "q29_join_revenue_by_priority": _Q29_SQL,
