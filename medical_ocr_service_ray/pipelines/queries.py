@@ -2051,6 +2051,41 @@ FROM assigned
 """
 
 
+# --------------------------------------------------------------------- q41
+
+def q41_inverted_index(sf_dir: str):
+    """Inverted-index build over the documents table: token -> document
+    frequency, corpus frequency, and the top-5 posting rows by term
+    frequency (tf desc, doc_id asc). Exploded scalar rows -> hash-exact SQL
+    oracle. The retrieval-index analogue of the engine's aggregation
+    pattern: per-batch (token, doc, tf) partials, one token-keyed bucketed
+    combine (stages/text.py:inverted_index)."""
+    return text_stages.inverted_index(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=5
+    )
+
+
+_Q41_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS token
+  FROM documents
+), tf AS (
+  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY token, doc_id
+), agg AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY token
+), ranked AS (
+  SELECT token, doc_id, tf,
+         row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rank
+  FROM tf
+)
+SELECT r.token, CAST(r.rank AS BIGINT) AS rank, r.doc_id, r.tf, a.df, a.cf
+FROM ranked r JOIN agg a USING (token)
+WHERE r.rank <= 5
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2094,6 +2129,7 @@ QUERIES = {
     "q38_pack_sequences": q38_pack_sequences,
     "q39_corpus_prep": q39_corpus_prep,
     "q40_approx_quantiles": q40_approx_quantiles,
+    "q41_inverted_index": q41_inverted_index,
 }
 
 ORACLE_SQL = {
@@ -2132,9 +2168,12 @@ ORACLE_SQL = {
     "q39_corpus_prep": _q39_sql(),
     "q36_sliding_windows": _Q36_SQL,
     "q37_stratified_sample": _Q37_SQL,
-    # q16/q17/q22/q23: non-SQL-expressible (streaming extraction, float knn,
-    # float cosine blocking) -> rows-only driver check + pytest oracles in
-    # tests/. q13/q14/q20/q30 gained exact DuckDB oracles in round 3 by
-    # making their hashes arithmetic (Horner chains + embedded permutation
-    # literals).
+    "q41_inverted_index": _Q41_SQL,
+    # Remaining no-oracle entries (driver falls back to rows-only + pytest):
+    # q16 (streaming extraction itself — its OUTPUT is oracled via q17/q27
+    # views), q24 (enrichment over extraction output), q26 (PNG pixel
+    # features), q31/q40 (sketches, gated by error-bound pytests).
+    # q13/q14/q17/q20/q22/q23/q25/q27/q30/q38/q39 gained exact DuckDB
+    # oracles in round 3 (arithmetic hashes, extraction registered as a
+    # view, recursive-CTE simulations).
 }

@@ -64,3 +64,59 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             ),
         }
     )
+
+
+def inverted_index(docs, k: int = 5, num_buckets: int = 16):
+    """Inverted-index build (search/retrieval-index op, a web-scale pipeline
+    staple): token -> (df, cf, top-k posting by tf). Returns EXPLODED rows
+    (token, rank, doc_id, tf, df, cf), rank 1..k by (tf desc, doc_id asc) —
+    scalar columns only, so the SQL oracle compares hash-exactly.
+
+    Plan: per-batch vectorized (token, doc_id, tf) partial — tf is FINAL per
+    row because a document never spans batches — then ONE bucketed combine
+    keyed on token computes df/cf and the top-k slice vectorized per bucket.
+    At 100 TB the posting explode is the dominant exchange; it moves one row
+    per distinct (doc, token), pre-shrunk from the raw token stream by the
+    in-doc tf fold, and the top-k output is bounded by k x vocabulary."""
+    import numpy as np
+    import pandas as pd
+
+    from medical_ocr_service_ray.functions.hashing import tokens
+    from medical_ocr_service_ray.stages.aggregate import bucketed_combine
+
+    def posting_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        toks = [tokens(x or "") for x in texts]
+        lens = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
+        flat_tok = [w for ts in toks for w in ts]
+        flat_id = np.repeat(np.asarray(ids, dtype=np.int64), lens)
+        df = pd.DataFrame({"token": flat_tok, "doc_id": flat_id})
+        tf = df.groupby(["token", "doc_id"], as_index=False, sort=False).size()
+        return pa.table(
+            {
+                "token": pa.array(tf["token"], pa.string()),
+                "doc_id": pa.array(tf["doc_id"].astype("int64"), pa.int64()),
+                "tf": pa.array(tf["size"].astype("int64"), pa.int64()),
+            }
+        )
+
+    postings = docs.map_batches(posting_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("token", as_index=False).agg(df_docs=("doc_id", "size"), cf=("tf", "sum"))
+        ranked = df.sort_values(["token", "tf", "doc_id"], ascending=[True, False, True])
+        ranked = ranked.assign(rank=ranked.groupby("token").cumcount() + 1)
+        top = ranked[ranked["rank"] <= k].merge(agg, on="token")
+        return pd.DataFrame(
+            {
+                "token": top.token,
+                "rank": top["rank"].astype("int64"),
+                "doc_id": top.doc_id.astype("int64"),
+                "tf": top.tf.astype("int64"),
+                "df": top.df_docs.astype("int64"),
+                "cf": top.cf.astype("int64"),
+            }
+        )
+
+    return bucketed_combine(postings, "token", combine, num_buckets=num_buckets)

@@ -251,3 +251,70 @@ class TestPerLineageAttemptBudget:
         got = _final_table(final)
         expected = oracle_extract_dir(corpus)
         assert got.select(expected.column_names).equals(expected)
+
+
+class TestInvertedIndex:
+    """q41: token -> (df, cf, top-k postings by tf) as exploded scalar rows,
+    hash-exact vs a DuckDB window-function oracle."""
+
+    DOCS = [
+        (1, "the cat sat on the the mat"),
+        (2, "the dog the dog the dog"),
+        (3, ""),
+        (4, "Ünïcödé wörds ünïcödé"),
+        (5, "cat dog cat dog"),  # tf tie -> doc_id asc breaks it
+        (6, "the"), (7, "the"), (8, "the"), (9, "the"), (10, "the"),
+        (11, "the"),  # 7 docs with tf('the')=1 -> k=5 cutoff exercised
+    ]
+
+    def _ray(self, k, num_buckets=4):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.text import inverted_index
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in self.DOCS], pa.int64()),
+                "text": pa.array([x for _, x in self.DOCS], pa.string()),
+            }
+        )
+        out = inverted_index(
+            rd.from_arrow(t).repartition(3), k=k, num_buckets=num_buckets
+        ).to_pandas()
+        return out.sort_values(["token", "rank"]).reset_index(drop=True)
+
+    def _oracle(self, k):
+        import duckdb
+        import pandas as pd
+
+        from medical_ocr_service_ray.pipelines.queries import _Q41_SQL
+
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(self.DOCS, columns=["doc_id", "text"]),
+        )
+        sql = _Q41_SQL.replace("r.rank <= 5", f"r.rank <= {k}")
+        out = con.execute(sql).fetchdf()
+        return out.sort_values(["token", "rank"]).reset_index(drop=True)
+
+    def test_matches_oracle(self, ray_session):
+        got, exp = self._ray(k=5), self._oracle(k=5)
+        pd_assert = __import__("pandas").testing.assert_frame_equal
+        pd_assert(got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    def test_k_cutoff_and_tie_order(self, ray_session):
+        got = self._ray(k=2)
+        the = got[got.token == "the"]
+        assert list(the["rank"]) == [1, 2]
+        # tf desc first (doc 2 has tf=3, doc 1 tf=3 -> doc_id asc)
+        assert the.iloc[0].doc_id == 1 and the.iloc[0].tf == 3
+        assert int(the.df.iloc[0]) == 8  # df counts ALL docs, not just top-k
+        pd_assert = __import__("pandas").testing.assert_frame_equal
+        exp = self._oracle(k=2)
+        pd_assert(got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    def test_bucket_count_invariant(self, ray_session):
+        a, b = self._ray(k=5, num_buckets=2), self._ray(k=5, num_buckets=9)
+        __import__("pandas").testing.assert_frame_equal(a, b)
