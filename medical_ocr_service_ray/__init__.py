@@ -10,3 +10,13 @@ dedup families, ANN search, text analysis, and checkpoint/manifest resume.
 """
 
 __version__ = "0.1.0"
+
+# Install the schema-hash warning filter at import time so it is active in
+# EVERY process that loads this package — Ray workers install it when they
+# deserialize a stage function, which is where the per-batch
+# "Failed to hash the schemas (for deduplication)" noise actually fires
+# (driver-side installation alone leaves worker stderr flooded).
+from medical_ocr_service_ray.config import _silence_schema_hash_warning as _sshw
+
+_sshw()
+del _sshw

@@ -2086,6 +2086,44 @@ WHERE r.rank <= 5
 """
 
 
+# --------------------------------------------------------------------- q42
+
+def q42_user_running_features(sf_dir: str):
+    """Per-user running history features over events: row number, running
+    fixed-point sum of value, whole-second gap since the previous event —
+    the canonical feature-engineering window shape. One hash-keyed exchange
+    (output rows == input rows), vectorized per-bucket kernels, int64
+    arithmetic end-to-end (stages/window.py:running_aggregates)."""
+    from medical_ocr_service_ray.stages.window import running_aggregates
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = running_aggregates(
+        ds,
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        cum_sum_col="value",
+        cum_scale=10000,
+        gap_from="ts",
+        num_buckets=16,
+    )
+    return out.map_batches(
+        lambda df: df[["user_id", "event_id", "rn", "cum_value_x10000", "gap_s"]],
+        batch_format="pandas",
+    )
+
+
+_Q42_SQL = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) OVER w AS BIGINT)
+         AS cum_value_x10000,
+       CAST(COALESCE((epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000, -1)
+         AS BIGINT) AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2130,6 +2168,7 @@ QUERIES = {
     "q39_corpus_prep": q39_corpus_prep,
     "q40_approx_quantiles": q40_approx_quantiles,
     "q41_inverted_index": q41_inverted_index,
+    "q42_user_running_features": q42_user_running_features,
 }
 
 ORACLE_SQL = {
@@ -2169,6 +2208,7 @@ ORACLE_SQL = {
     "q36_sliding_windows": _Q36_SQL,
     "q37_stratified_sample": _Q37_SQL,
     "q41_inverted_index": _Q41_SQL,
+    "q42_user_running_features": _Q42_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16 (streaming extraction itself — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

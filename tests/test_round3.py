@@ -318,3 +318,78 @@ class TestInvertedIndex:
     def test_bucket_count_invariant(self, ray_session):
         a, b = self._ray(k=5, num_buckets=2), self._ray(k=5, num_buckets=9)
         __import__("pandas").testing.assert_frame_equal(a, b)
+
+
+class TestRunningAggregates:
+    """q42: per-key running window features, hash-exact vs SQL windows."""
+
+    def _events(self):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5, 6, 7],
+                "ts": pd.to_datetime(
+                    format="ISO8601",
+                    arg=[
+                        "2026-01-01 00:00:00",
+                        "2026-01-01 00:00:00",  # tie with event 1 -> event_id order
+                        "2026-01-01 00:00:59.999999",  # sub-second gap floors to 59
+                        "2026-01-02 00:00:00",
+                        "2026-01-01 05:00:00",
+                        "2026-01-01 06:30:00",
+                        "2026-03-01 00:00:00",  # singleton user
+                    ]
+                ).astype("datetime64[us]"),
+                "user_id": [10, 10, 10, 10, 20, 20, 30],
+                "value": [1.5, -2.25, 0.0001, 100.0, 3.0, -3.0, 7.0],
+            }
+        )
+
+    def _ray(self, num_buckets=4):
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.window import running_aggregates
+
+        out = running_aggregates(
+            rd.from_pandas(self._events()).repartition(3),
+            key="user_id",
+            order_cols=["ts", "event_id"],
+            cum_sum_col="value",
+            gap_from="ts",
+            num_buckets=num_buckets,
+        ).to_pandas()
+        return out.sort_values(["user_id", "rn"]).reset_index(drop=True)
+
+    def test_matches_sql_windows(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        from medical_ocr_service_ray.pipelines.queries import _Q42_SQL
+
+        con = duckdb.connect()
+        con.register("events", self._events())
+        exp = (
+            con.execute(_Q42_SQL)
+            .fetchdf()
+            .sort_values(["user_id", "rn"])
+            .reset_index(drop=True)
+        )
+        got = self._ray()[["user_id", "event_id", "rn", "cum_value_x10000", "gap_s"]]
+        pd.testing.assert_frame_equal(
+            got, exp[got.columns.tolist()], check_dtype=False
+        )
+
+    def test_semantics(self, ray_session):
+        got = self._ray()
+        u10 = got[got.user_id == 10]
+        assert list(u10.rn) == [1, 2, 3, 4]
+        assert list(u10.event_id) == [1, 2, 3, 4]  # ts tie broken by event_id
+        assert list(u10.gap_s) == [-1, 0, 59, 86340]  # floor, not round
+        assert list(u10.cum_value_x10000) == [15000, -7500, -7499, 992501]
+        assert list(got[got.user_id == 30].gap_s) == [-1]
+
+    def test_bucket_count_invariant(self, ray_session):
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(self._ray(2), self._ray(7))
