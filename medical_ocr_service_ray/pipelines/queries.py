@@ -2124,6 +2124,80 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# --------------------------------------------------------------------- q43
+
+# Fixed retrieval workload (literals shared verbatim with the SQL oracle;
+# 'warehouse' is deliberately out-of-vocabulary to exercise the zero-df path).
+_BM25_QUERIES = {
+    "r1": "fast hash join",
+    "r2": "sort merge join big table",
+    "r3": "stream window agg",
+    "r4": "slow warehouse scan filter query",
+    "r5": "vector data row dup",
+}
+
+
+def q43_bm25_search(sf_dir: str):
+    """Quantized-BM25 top-10 retrieval over documents for a fixed query
+    workload (stages/bm25.py). Integer-exact scores: int64 tf-normalization
+    + per-token 1e6-quantized ln idf, so the DuckDB oracle hash-matches.
+    Two streaming passes: corpus stats (driver-combinable by construction),
+    then broadcast-idf scoring with per-batch partial top-k."""
+    from medical_ocr_service_ray.stages.bm25 import bm25_topk
+
+    return bm25_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]), _BM25_QUERIES, k=10
+    )
+
+
+def _q43_sql() -> str:
+    qvals = ",\n         ".join(
+        f"('{qid}', '{qtext}')" for qid, qtext in _BM25_QUERIES.items()
+    )
+    return rf"""
+WITH qdefs(query_id, qtext) AS (
+  VALUES {qvals}
+), qterms AS (
+  SELECT DISTINCT query_id, unnest(regexp_extract_all(lower(qtext), '[\p{{L}}\p{{N}}_]+')) AS token
+  FROM qdefs
+), toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{{L}}\p{{N}}_]+')) AS token
+  FROM documents
+), docstats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), corpus AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n,
+         (SELECT CAST(COALESCE(SUM(dl), 0) AS BIGINT) FROM docstats) AS l
+), tf AS (
+  SELECT q.query_id, t.doc_id, t.token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks t JOIN (SELECT DISTINCT token, query_id FROM qterms) q USING (token)
+  GROUP BY q.query_id, t.doc_id, t.token
+), df AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks WHERE token IN (SELECT token FROM qterms) GROUP BY token
+), idf AS (
+  SELECT token,
+         CAST(floor(1000000 * ln((2.0 * (g.n + 1)) / (2 * d.df + 1))) AS BIGINT) AS idf_q
+  FROM df d, corpus g WHERE d.df > 0
+), scored AS (
+  SELECT tf.query_id, tf.doc_id,
+         CAST(SUM(i.idf_q * ((22000000 * tf.tf * g.l)
+              // (10 * tf.tf * g.l + 3 * g.l + 9 * ds.dl * g.n))) AS BIGINT) AS score_q
+  FROM tf
+  JOIN idf i USING (token)
+  JOIN docstats ds ON tf.doc_id = ds.doc_id
+  CROSS JOIN corpus g
+  GROUP BY tf.query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, score_q,
+         row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
+  FROM scored WHERE score_q > 0
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_q
+FROM ranked WHERE rank <= 10
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2169,6 +2243,7 @@ QUERIES = {
     "q40_approx_quantiles": q40_approx_quantiles,
     "q41_inverted_index": q41_inverted_index,
     "q42_user_running_features": q42_user_running_features,
+    "q43_bm25_search": q43_bm25_search,
 }
 
 ORACLE_SQL = {
@@ -2209,6 +2284,7 @@ ORACLE_SQL = {
     "q37_stratified_sample": _Q37_SQL,
     "q41_inverted_index": _Q41_SQL,
     "q42_user_running_features": _Q42_SQL,
+    "q43_bm25_search": _q43_sql(),
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16 (streaming extraction itself — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

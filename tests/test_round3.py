@@ -393,3 +393,71 @@ class TestRunningAggregates:
         import pandas as pd
 
         pd.testing.assert_frame_equal(self._ray(2), self._ray(7))
+
+
+class TestBM25:
+    """q43: quantized-BM25 retrieval — integer-exact scoring semantics."""
+
+    CORPUS = [
+        (1, "fast hash join fast hash join fast"),  # dense in all terms
+        (2, "fast join " + "filler " * 200),  # long doc -> length-normalized down
+        (3, "hash"),  # one term, short
+        (4, ""),  # empty doc never matches
+        (5, "sort merge the table"),
+    ]
+
+    def _run(self, queries, k=10):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.bm25 import bm25_topk
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in self.CORPUS], pa.int64()),
+                "text": pa.array([x for _, x in self.CORPUS], pa.string()),
+            }
+        )
+        return bm25_topk(rd.from_arrow(t).repartition(3), queries, k=k)
+
+    def test_relevance_and_length_norm(self, ray_session):
+        out = self._run({"q": "fast hash join"})
+        got = out[out.query_id == "q"]
+        # doc 1 (dense, short) must beat doc 2 (sparse, 200-token filler)
+        assert list(got.doc_id)[:2] == [1, 2] or list(got.doc_id)[0] == 1
+        assert got.iloc[0].doc_id == 1
+        assert 4 not in set(got.doc_id)  # empty doc absent
+        assert 5 not in set(got.doc_id)  # no query term -> absent
+        assert list(got["rank"]) == list(range(1, len(got) + 1))
+        assert (got.score_q > 0).all()
+
+    def test_out_of_vocab_token_ignored(self, ray_session):
+        a = self._run({"q": "fast hash join"})
+        b = self._run({"q": "fast hash join warehouse"})
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_matches_sql_on_unit_corpus(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        from medical_ocr_service_ray.pipelines.queries import _BM25_QUERIES, _q43_sql
+
+        got = self._run(_BM25_QUERIES)
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(self.CORPUS, columns=["doc_id", "text"])
+        )
+        exp = con.execute(_q43_sql()).fetchdf()
+
+        def norm(d):
+            d = d[sorted(d.columns)]
+            return d.sort_values(list(d.columns)).reset_index(drop=True)
+
+        a, b = norm(got), norm(exp)
+        pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+    def test_k_cutoff(self, ray_session):
+        out = self._run({"q": "fast hash join"}, k=1)
+        assert len(out) == 1 and out.iloc[0].doc_id == 1
