@@ -2198,6 +2198,44 @@ FROM ranked WHERE rank <= 10
 """
 
 
+# --------------------------------------------------------------------- q44
+
+def q44_exact_group_quantiles(sf_dir: str):
+    """Exact per-group percentiles of a discrete-valued column via mergeable
+    value-count histograms (stages/quantiles.py) — the exact complement of
+    q40's log-histogram sketch. Exchange volume is O(groups x distinct
+    values), independent of row count."""
+    from medical_ocr_service_ray.stages.quantiles import exact_group_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return exact_group_quantiles(
+        ds,
+        key="l_returnflag",
+        value_col="l_quantity",
+        quantiles=[("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10)],
+        num_buckets=4,
+    )
+
+
+_Q44_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, v, cnt,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum_n,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM counts
+)
+SELECT l_returnflag,
+       CAST(any_value(n) AS BIGINT) AS n,
+       MIN(v) FILTER (WHERE cum_n >= (n * 1 + 3) // 4) AS p25,
+       MIN(v) FILTER (WHERE cum_n >= (n * 1 + 1) // 2) AS p50,
+       MIN(v) FILTER (WHERE cum_n >= (n * 9 + 9) // 10) AS p90
+FROM cum GROUP BY l_returnflag
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2244,6 +2282,7 @@ QUERIES = {
     "q41_inverted_index": q41_inverted_index,
     "q42_user_running_features": q42_user_running_features,
     "q43_bm25_search": q43_bm25_search,
+    "q44_exact_group_quantiles": q44_exact_group_quantiles,
 }
 
 ORACLE_SQL = {
@@ -2285,6 +2324,7 @@ ORACLE_SQL = {
     "q41_inverted_index": _Q41_SQL,
     "q42_user_running_features": _Q42_SQL,
     "q43_bm25_search": _q43_sql(),
+    "q44_exact_group_quantiles": _Q44_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16 (streaming extraction itself — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -461,3 +461,68 @@ class TestBM25:
     def test_k_cutoff(self, ray_session):
         out = self._run({"q": "fast hash join"}, k=1)
         assert len(out) == 1 and out.iloc[0].doc_id == 1
+
+
+class TestExactGroupQuantiles:
+    """q44: exact percentile_disc from mergeable value-count histograms."""
+
+    def _run(self, rows, quantiles, num_buckets=3, nparts=4):
+        import pandas as pd
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.quantiles import exact_group_quantiles
+
+        df = pd.DataFrame(rows, columns=["grp", "val"])
+        return (
+            exact_group_quantiles(
+                rd.from_pandas(df).repartition(nparts),
+                key="grp",
+                value_col="val",
+                quantiles=quantiles,
+                num_buckets=num_buckets,
+            )
+            .to_pandas()
+            .sort_values("grp")
+            .reset_index(drop=True)
+        )
+
+    def test_boundary_ranks(self, ray_session):
+        # n=4 values [10,20,30,40]: p25 -> ceil(1) = 1st = 10; p50 -> 2nd = 20;
+        # p75 -> 3rd = 30; p90 -> ceil(3.6) = 4th = 40
+        rows = [("a", v) for v in (40, 10, 30, 20)]
+        out = self._run(
+            rows, [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)]
+        )
+        r = out.iloc[0]
+        assert (r.n, r.p25, r.p50, r.p75, r.p90) == (4, 10, 20, 30, 40)
+
+    def test_matches_duckdb_percentile_disc(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(7)
+        rows = [
+            (g, int(v))
+            for g in ("x", "y", "z")
+            for v in rng.integers(0, 40, size=997 if g == "y" else 256)
+        ]
+        out = self._run(rows, [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10)])
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(rows, columns=["grp", "val"]))
+        exp = con.execute(
+            """SELECT grp, CAST(COUNT(*) AS BIGINT) n,
+                      percentile_disc(0.25) WITHIN GROUP (ORDER BY val) p25,
+                      percentile_disc(0.5) WITHIN GROUP (ORDER BY val) p50,
+                      percentile_disc(0.9) WITHIN GROUP (ORDER BY val) p90
+               FROM t GROUP BY grp ORDER BY grp"""
+        ).fetchdf()
+        pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+    def test_partitioning_invariant(self, ray_session):
+        import pandas as pd
+
+        rows = [("a", v % 13) for v in range(500)] + [("b", v % 7) for v in range(99)]
+        a = self._run(rows, [("p50", 1, 2)], num_buckets=2, nparts=2)
+        b = self._run(rows, [("p50", 1, 2)], num_buckets=7, nparts=9)
+        pd.testing.assert_frame_equal(a, b)
