@@ -31,6 +31,10 @@ BENCH_QUERIES = [
     "q22_ann_cosine_topk",
     "q36_sliding_windows",
     "q37_stratified_sample",
+    "q41_inverted_index",
+    "q42_user_running_features",
+    "q43_bm25_search",
+    "q44_exact_group_quantiles",
 ]
 
 

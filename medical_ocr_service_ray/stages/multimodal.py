@@ -79,11 +79,12 @@ class MediaDecoderStub:
 
     PNG payloads decode for real (pure-stdlib codec, functions/png.py) —
     reference behavior src/services/image.service.js:186-240 (sharp
-    resize/compress before feature work). Other formats are STUBBED (no
-    pillow/ffmpeg in this container); the deterministic fake keeps every
+    resize/compress before feature work) — and so do RIFF/PCM WAV payloads
+    (functions/audio.py). Remaining formats (JPEG/PDF/video) are STUBBED
+    (no pillow/ffmpeg in this container); the deterministic fake keeps every
     distributed aspect real: per-actor setup, small-batch processing,
-    fixed-size feature output layout. A malformed PNG is an undecodable
-    payload (PngError), not a crash: it takes the fake/passthrough path."""
+    fixed-size feature output layout. A malformed PNG/WAV is an undecodable
+    payload (PngError/WavError), not a crash: it takes the fake path."""
 
     FEATURE_DIM = 64
 
@@ -104,6 +105,17 @@ class MediaDecoderStub:
         except _png.PngError:
             return None
 
+    def _decode_wav(self, payload: bytes):
+        """Real samples for RIFF/PCM payloads, None when not decodable WAV."""
+        from medical_ocr_service_ray.functions import audio as _audio
+
+        if not payload or bytes(payload[:4]) != b"RIFF":
+            return None
+        try:
+            return _audio.decode_wav(payload)
+        except _audio.WavError:
+            return None
+
     def _fake_features(self, payload: bytes) -> np.ndarray:
         if not self.fake:
             raise NotImplementedError(
@@ -120,6 +132,11 @@ class MediaDecoderStub:
         img = self._decode_png(payload)
         if img is not None:
             return image_features(img, self.FEATURE_DIM)
+        wav = self._decode_wav(payload)
+        if wav is not None:
+            from medical_ocr_service_ray.functions.audio import audio_features
+
+            return audio_features(*wav, dim=self.FEATURE_DIM)
         return self._fake_features(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -193,19 +210,33 @@ def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
 
     rng = np.random.default_rng(seed)
     payloads, mimes, metas = [], [], []
-    magics = [b"\xff\xd8\xff", None, b"%PDF", b"JUNK"]
-    names = ["image/jpeg", "image/png", "application/pdf", "application/octet-stream"]
+    from medical_ocr_service_ray.functions.audio import encode_wav
+
+    magics = [b"\xff\xd8\xff", None, b"%PDF", b"JUNK", None]
+    names = [
+        "image/jpeg",
+        "image/png",
+        "application/pdf",
+        "application/octet-stream",
+        "audio/wav",
+    ]
     for i in range(n):
-        k = int(rng.integers(0, 4))
+        k = int(rng.integers(0, 5))
         if k == 1:  # real PNG: random small RGB image
             h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payloads.append(encode_png(img))
+        elif k == 4:  # real WAV: short PCM16 sine + noise
+            rate = int(rng.choice([8000, 16000]))
+            t = np.arange(int(rate * rng.uniform(0.05, 0.3))) / rate
+            wave = 0.5 * np.sin(2 * np.pi * float(rng.uniform(100, 2000)) * t)
+            wave += 0.05 * rng.standard_normal(t.shape)
+            payloads.append(encode_wav(wave, rate))
         else:
             body = rng.integers(0, 256, size=int(rng.integers(500, 4000)), dtype=np.uint8).tobytes()
             payloads.append(magics[k] + body)
         # 10% declared mismatches to exercise the anti-spoof flag
-        mimes.append(names[(k + 1) % 4] if rng.random() < 0.1 else names[k])
+        mimes.append(names[(k + 1) % 5] if rng.random() < 0.1 else names[k])
         metas.append(
             {"width": int(rng.integers(100, 4000)), "height": int(rng.integers(100, 4000)),
              "ms": int(rng.integers(0, 10000))}

@@ -189,3 +189,117 @@ class TestDecoderUsesRealPixels:
         a = stub(batch)
         b = stub(batch)
         assert a.equals(b)
+
+
+class TestWavCodec:
+    def test_roundtrip_pcm16(self):
+        import numpy as np
+
+        from medical_ocr_service_ray.functions.audio import decode_wav, encode_wav
+
+        rate = 16000
+        t = np.arange(1600) / rate
+        mono = 0.5 * np.sin(2 * np.pi * 440 * t)
+        samples, got_rate = decode_wav(encode_wav(mono, rate))
+        assert got_rate == rate and samples.shape == (1600, 1)
+        assert np.abs(samples[:, 0] - mono).max() < 1e-4  # PCM16 quantization
+
+    def test_stereo_and_8bit(self):
+        import struct
+
+        import numpy as np
+
+        from medical_ocr_service_ray.functions.audio import decode_wav, encode_wav
+
+        stereo = np.stack([np.linspace(-1, 1, 100), np.linspace(1, -1, 100)], axis=1)
+        s, r = decode_wav(encode_wav(stereo, 8000))
+        assert s.shape == (100, 2) and r == 8000
+        # hand-build an 8-bit mono file (unsigned PCM)
+        pcm = bytes(range(0, 250))
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(pcm)) + pcm
+        s8, _ = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+        assert s8.shape == (250, 1)
+        assert abs(s8[128, 0]) < 1e-9  # 128 is the 8-bit zero point
+
+    def test_malformed_raises_waverror(self):
+        import pytest
+
+        from medical_ocr_service_ray.functions.audio import WavError, decode_wav
+
+        for bad in (b"", b"RIFFxxxx", b"RIFF\x00\x00\x00\x00WAVE", b"JUNK" * 10):
+            with pytest.raises(WavError):
+                decode_wav(bad)
+
+    def test_unsupported_layout_raises(self):
+        import struct
+
+        import pytest
+
+        from medical_ocr_service_ray.functions.audio import WavError, decode_wav
+
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float32 tag=3
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        with pytest.raises(WavError):
+            decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+class TestDecoderUsesRealAudio:
+    def _batch(self, payloads):
+        import pyarrow as pa
+
+        meta_t = pa.struct(
+            [("width", pa.int32()), ("height", pa.int32()), ("ms", pa.int32())]
+        )
+        return pa.table(
+            {
+                "item_id": pa.array(range(len(payloads)), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "declared_mime": pa.array(["audio/wav"] * len(payloads), pa.string()),
+                "meta": pa.array([None] * len(payloads), meta_t),
+            }
+        )
+
+    def test_features_come_from_samples(self, ray_session):
+        """Silence vs a loud tone must separate in the RMS feature — the
+        blake2b fake could never produce that structure."""
+        import numpy as np
+
+        from medical_ocr_service_ray.functions.audio import encode_wav
+        from medical_ocr_service_ray.stages.multimodal import MediaDecoderStub
+
+        rate = 8000
+        silence = encode_wav(np.zeros(800), rate)
+        tone = encode_wav(0.9 * np.sin(2 * np.pi * 440 * np.arange(800) / rate), rate)
+        out = MediaDecoderStub(op="features")(self._batch([silence, tone]))
+        feats = np.array(out["features"].to_pylist())
+        rms_silence, rms_tone = feats[0, 1], feats[1, 1]
+        assert rms_silence < 1e-6 and rms_tone > 0.5
+        # envelope tail: silence flat at 0, tone energetic everywhere
+        assert feats[0, 4:].max() < 1e-6 and feats[1, 4:].min() > 0.3
+
+    def test_half_silent_envelope_localizes_energy(self, ray_session):
+        import numpy as np
+
+        from medical_ocr_service_ray.functions.audio import encode_wav
+        from medical_ocr_service_ray.stages.multimodal import MediaDecoderStub
+
+        rate = 8000
+        sig = np.concatenate(
+            [np.zeros(4000), 0.8 * np.sin(2 * np.pi * 200 * np.arange(4000) / rate)]
+        )
+        out = MediaDecoderStub(op="features")(self._batch([encode_wav(sig, rate)]))
+        env = np.array(out["features"].to_pylist())[0, 4:]
+        half = len(env) // 2
+        assert env[:half].max() < 1e-6 and env[half:].min() > 0.2
+
+    def test_truncated_wav_takes_fake_path(self, ray_session):
+        """A RIFF payload that fails to parse must not crash the stage."""
+        from medical_ocr_service_ray.stages.multimodal import MediaDecoderStub
+
+        stub = MediaDecoderStub(op="features")
+        a = stub(self._batch([b"RIFF\x10\x00\x00\x00WAVEjunk"]))
+        b = stub(self._batch([b"RIFF\x10\x00\x00\x00WAVEjunk"]))
+        assert a.equals(b) and a.num_rows == 1
