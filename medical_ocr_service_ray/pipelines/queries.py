@@ -43,7 +43,16 @@ from medical_ocr_service_ray.stages.join import BroadcastMapper, SemiAntiFilter
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "rd.Dataset":
     set_engine_shuffle_profile()
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    # Strip file-level pandas metadata: pyarrow 16 schemas carrying a
+    # metadata dict are UNHASHABLE, which defeats Ray's schema-dedup
+    # early-exit and fires its per-unify warning inside every read worker
+    # (where a log filter can't reach). Projected to the requested columns
+    # because read_parquet requires schema/columns to agree.
+    sch = pq.read_schema(path).remove_metadata()
+    if columns:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=sch)
 
 
 def _cents(series: pd.Series, scale: int = 100) -> pd.Series:
