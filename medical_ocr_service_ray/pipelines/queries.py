@@ -2245,6 +2245,50 @@ FROM cum GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------- q45
+
+def q45_incremental_dedup(sf_dir: str):
+    """Incremental exact dedup against a persisted bucketed hash index
+    (stages/incremental.py): ingest the docs with doc_id % 5 < 3 first
+    (building the index), then present the FULL table as a re-delivery
+    batch; the result is only the genuinely new rows. A fresh tmp index per
+    call keeps the query side-effect-free for the driver. The SQL oracle
+    replays the same two-step membership semantics with DuckDB's sha256."""
+    import shutil
+    import tempfile
+
+    from medical_ocr_service_ray.stages.incremental import incremental_exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="mosr_incdedup_")
+    try:
+        batch1 = docs.map_batches(
+            lambda t: t.filter(pa.array(t["doc_id"].to_numpy() % 5 < 3)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        # consume: the index write is the effect we need
+        incremental_exact_dedup(batch1, idx, num_buckets=8).materialize()
+        fresh = incremental_exact_dedup(docs, idx, num_buckets=8)
+        out = fresh.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return out
+
+
+_Q45_SQL = """
+WITH h AS (
+  SELECT doc_id, sha256(COALESCE(text, '')) AS text_sha256 FROM documents
+), ingested AS (
+  SELECT DISTINCT text_sha256 FROM h WHERE doc_id % 5 < 3
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text_sha256
+FROM h
+WHERE text_sha256 NOT IN (SELECT text_sha256 FROM ingested)
+GROUP BY text_sha256
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2292,6 +2336,7 @@ QUERIES = {
     "q42_user_running_features": q42_user_running_features,
     "q43_bm25_search": q43_bm25_search,
     "q44_exact_group_quantiles": q44_exact_group_quantiles,
+    "q45_incremental_dedup": q45_incremental_dedup,
 }
 
 ORACLE_SQL = {
@@ -2334,6 +2379,7 @@ ORACLE_SQL = {
     "q42_user_running_features": _Q42_SQL,
     "q43_bm25_search": _q43_sql(),
     "q44_exact_group_quantiles": _Q44_SQL,
+    "q45_incremental_dedup": _Q45_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16 (streaming extraction itself — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -526,3 +526,71 @@ class TestExactGroupQuantiles:
         a = self._run(rows, [("p50", 1, 2)], num_buckets=2, nparts=2)
         b = self._run(rows, [("p50", 1, 2)], num_buckets=7, nparts=9)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestIncrementalDedup:
+    """q45: dedup a new batch against a persisted bucketed hash index."""
+
+    def _ds(self, rows):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        ).repartition(2)
+
+    def test_two_batches_then_redelivery(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.stages.incremental import incremental_exact_dedup
+
+        idx = tmp_path / "idx"
+        a = [(1, "alpha"), (2, "beta"), (3, "alpha")]  # 3 dups 1 within-batch
+        b = [(10, "beta"), (11, "gamma"), (12, "delta")]
+
+        fresh_a = incremental_exact_dedup(self._ds(a), idx, num_buckets=4).to_pandas()
+        assert sorted(fresh_a.doc_id) == [1, 2]  # min-id kept for 'alpha'
+
+        fresh_b = incremental_exact_dedup(self._ds(b), idx, num_buckets=4).to_pandas()
+        assert sorted(fresh_b.doc_id) == [11, 12]  # 'beta' already indexed
+
+        # exact re-delivery of batch b -> nothing fresh, index byte-stable
+        import pathlib
+
+        before = sorted(p.name for p in pathlib.Path(idx).rglob("part-*.parquet"))
+        again = incremental_exact_dedup(self._ds(b), idx, num_buckets=4).to_pandas()
+        after = sorted(p.name for p in pathlib.Path(idx).rglob("part-*.parquet"))
+        assert len(again) == 0 and before == after
+
+    def test_bucket_count_is_pinned(self, ray_session, tmp_path):
+        import pytest
+
+        from medical_ocr_service_ray.stages.incremental import incremental_exact_dedup
+
+        idx = tmp_path / "idx"
+        incremental_exact_dedup(self._ds([(1, "x")]), idx, num_buckets=4).to_pandas()
+        with pytest.raises(ValueError, match="num_buckets"):
+            incremental_exact_dedup(self._ds([(2, "y")]), idx, num_buckets=8)
+
+    def test_incremental_equals_batch_dedup(self, ray_session, tmp_path):
+        """Union of fresh sets across N incremental runs == one-shot exact
+        dedup of the concatenated corpus (by content hash set)."""
+        import numpy as np
+
+        from medical_ocr_service_ray.stages.incremental import incremental_exact_dedup
+
+        rng = np.random.default_rng(3)
+        corpus = [(i, f"doc {int(rng.integers(0, 40))}") for i in range(120)]
+        idx = tmp_path / "idx"
+        seen = []
+        for lo in range(0, 120, 40):
+            out = incremental_exact_dedup(
+                self._ds(corpus[lo : lo + 40]), idx, num_buckets=4
+            ).to_pandas()
+            seen.extend(out.text_sha256)
+        assert len(seen) == len(set(seen))
+        expected = {t for _, t in corpus}
+        assert len(seen) == len(expected)
