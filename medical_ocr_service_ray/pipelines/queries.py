@@ -2289,6 +2289,22 @@ GROUP BY text_sha256
 """
 
 
+# --------------------------------------------------------------------- q46
+
+def q46_kmeans_clusters(sf_dir: str):
+    """Quantized Lloyd's k-means over the embeddings table (k=8, 4
+    iterations): fit via per-iteration broadcast + one streaming partial-sum
+    pass, then one labeling pass. Integer arithmetic end-to-end makes the
+    result bit-deterministic and partitioning-invariant (pytest equality vs
+    a same-arithmetic numpy reference). Iterative — declared non-SQL-
+    expressible, rows-only driver check (like q31/q40 sketches)."""
+    from medical_ocr_service_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    centroids = kmeans_fit(ds, k=8, iters=4)
+    return kmeans_assign(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), centroids)
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2337,6 +2353,7 @@ QUERIES = {
     "q43_bm25_search": q43_bm25_search,
     "q44_exact_group_quantiles": q44_exact_group_quantiles,
     "q45_incremental_dedup": q45_incremental_dedup,
+    "q46_kmeans_clusters": q46_kmeans_clusters,
 }
 
 ORACLE_SQL = {
@@ -2381,7 +2398,7 @@ ORACLE_SQL = {
     "q44_exact_group_quantiles": _Q44_SQL,
     "q45_incremental_dedup": _Q45_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
-    # q16 (streaming extraction itself — its OUTPUT is oracled via q17/q27
+    # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
     # features), q31/q40 (sketches, gated by error-bound pytests).
     # q13/q14/q17/q20/q22/q23/q25/q27/q30/q38/q39 gained exact DuckDB

@@ -594,3 +594,83 @@ class TestIncrementalDedup:
         assert len(seen) == len(set(seen))
         expected = {t for _, t in corpus}
         assert len(seen) == len(expected)
+
+
+class TestKMeansQuantized:
+    """q46: integer-exact Lloyd's — equality oracle, not tolerance."""
+
+    def _blobs(self, n_per=60, seed=5):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        centers = np.array(
+            [[1.0] * 8 + [0.0] * 8, [0.0] * 8 + [1.0] * 8, [0.5] * 16]
+        )
+        rows = []
+        for ci, c in enumerate(centers):
+            pts = c + 0.05 * rng.standard_normal((n_per, 16))
+            base = len(rows)
+            rows.extend([(base + i, pts[i], ci) for i in range(n_per)])
+        return rows
+
+    def _ds(self, rows, nparts=3):
+        import pandas as pd
+        import ray.data as rd
+
+        df = pd.DataFrame(
+            {
+                "vec_id": [r[0] for r in rows],
+                "embedding": [list(map(float, r[1])) for r in rows],
+            }
+        )
+        return rd.from_pandas(df).repartition(nparts)
+
+    def _numpy_reference(self, rows, k, iters):
+        """Same arithmetic, single process: the correctness oracle."""
+        import numpy as np
+
+        from medical_ocr_service_ray.stages.kmeans import assign, quantize
+
+        ordered = sorted(rows, key=lambda r: r[0])
+        x = quantize(np.stack([r[1] for r in ordered]))
+        cents = x[:k].copy()
+        for _ in range(iters):
+            a = assign(x, cents)
+            new = cents.copy()
+            for j in range(k):
+                sel = x[a == j]
+                if len(sel):
+                    new[j] = sel.sum(axis=0, dtype=np.int64) // len(sel)
+            cents = new
+        return cents, assign(x, cents)
+
+    def test_matches_reference_and_recovers_blobs(self, ray_session):
+        import numpy as np
+
+        from medical_ocr_service_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+        rows = self._blobs()
+        cents = kmeans_fit(self._ds(rows), k=3, iters=4)
+        exp_cents, exp_assign = self._numpy_reference(rows, k=3, iters=4)
+        assert (cents == exp_cents).all()  # bit-exact across the cluster
+
+        out = (
+            kmeans_assign(self._ds(rows), cents)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert (out.cluster.to_numpy() == exp_assign).all()
+        # planted blobs recovered: each true blob maps to ONE cluster id
+        true = np.array([r[2] for r in sorted(rows, key=lambda r: r[0])])
+        for b in range(3):
+            assert len(set(out.cluster[true == b])) == 1
+        assert len(set(out.cluster)) == 3
+
+    def test_partitioning_invariant(self, ray_session):
+        from medical_ocr_service_ray.stages.kmeans import kmeans_fit
+
+        rows = self._blobs(seed=11)
+        a = kmeans_fit(self._ds(rows, nparts=2), k=3, iters=3)
+        b = kmeans_fit(self._ds(rows, nparts=7), k=3, iters=3)
+        assert (a == b).all()
