@@ -72,12 +72,17 @@ def inverted_index(docs, k: int = 5, num_buckets: int = 16):
     (token, rank, doc_id, tf, df, cf), rank 1..k by (tf desc, doc_id asc) —
     scalar columns only, so the SQL oracle compares hash-exactly.
 
-    Plan: per-batch vectorized (token, doc_id, tf) partial — tf is FINAL per
-    row because a document never spans batches — then ONE bucketed combine
-    keyed on token computes df/cf and the top-k slice vectorized per bucket.
-    At 100 TB the posting explode is the dominant exchange; it moves one row
-    per distinct (doc, token), pre-shrunk from the raw token stream by the
-    in-doc tf fold, and the top-k output is bounded by k x vocabulary."""
+    Plan: per-batch vectorized (token, doc_id, tf) fold — tf is FINAL per
+    row because a document never spans batches — then, STILL PER BATCH, a
+    partial top-k by (tf desc, doc_id asc) per token plus per-token
+    (df_part, cf_part) stats rows (marker doc_id = -1). Only those leave
+    the batch, so a hot token (stopword with df ~ corpus size) contributes
+    at most blocks x (k+1) rows to the exchange instead of df rows — the
+    hot-key bound that makes the single token-keyed bucketed combine safe
+    at 100 TB. The combine sums the stats rows and merges the candidate
+    top-k slices (global top-k is a subset of the union of per-batch
+    top-k: every discarded row was dominated by k kept rows in its own
+    batch). Output is bounded by k x vocabulary."""
     import numpy as np
     import pandas as pd
 
@@ -93,19 +98,39 @@ def inverted_index(docs, k: int = 5, num_buckets: int = 16):
         flat_id = np.repeat(np.asarray(ids, dtype=np.int64), lens)
         df = pd.DataFrame({"token": flat_tok, "doc_id": flat_id})
         tf = df.groupby(["token", "doc_id"], as_index=False, sort=False).size()
+        tf = tf.rename(columns={"size": "tf"})
+        # per-token stats partial (one row per distinct token in the batch)
+        stats = tf.groupby("token", as_index=False).agg(
+            df_part=("doc_id", "size"), cf_part=("tf", "sum")
+        )
+        stats["doc_id"] = -1
+        stats["tf"] = 0
+        # per-token partial top-k candidates
+        cand = tf.sort_values(["token", "tf", "doc_id"], ascending=[True, False, True])
+        cand = cand.groupby("token", sort=False).head(k).copy()
+        cand["df_part"] = 0
+        cand["cf_part"] = 0
+        out = pd.concat([cand, stats], ignore_index=True)
         return pa.table(
             {
-                "token": pa.array(tf["token"], pa.string()),
-                "doc_id": pa.array(tf["doc_id"].astype("int64"), pa.int64()),
-                "tf": pa.array(tf["size"].astype("int64"), pa.int64()),
+                "token": pa.array(out["token"], pa.string()),
+                "doc_id": pa.array(out["doc_id"].astype("int64"), pa.int64()),
+                "tf": pa.array(out["tf"].astype("int64"), pa.int64()),
+                "df_part": pa.array(out["df_part"].astype("int64"), pa.int64()),
+                "cf_part": pa.array(out["cf_part"].astype("int64"), pa.int64()),
             }
         )
 
     postings = docs.map_batches(posting_partial, batch_format="pyarrow", zero_copy_batch=True)
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        agg = df.groupby("token", as_index=False).agg(df_docs=("doc_id", "size"), cf=("tf", "sum"))
-        ranked = df.sort_values(["token", "tf", "doc_id"], ascending=[True, False, True])
+        agg = (
+            df[df.doc_id < 0]
+            .groupby("token", as_index=False)
+            .agg(df_docs=("df_part", "sum"), cf=("cf_part", "sum"))
+        )
+        cand = df[df.doc_id >= 0]
+        ranked = cand.sort_values(["token", "tf", "doc_id"], ascending=[True, False, True])
         ranked = ranked.assign(rank=ranked.groupby("token").cumcount() + 1)
         top = ranked[ranked["rank"] <= k].merge(agg, on="token")
         return pd.DataFrame(
