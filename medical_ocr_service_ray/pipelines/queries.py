@@ -2305,6 +2305,505 @@ def q46_kmeans_clusters(sf_dir: str):
     return kmeans_assign(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), centroids)
 
 
+# --------------------------------------------------------------------- q47
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q47_event_type_pivot(sf_dir: str):
+    """Pivot / conditional aggregation: one row per user with event-type
+    counts spread into columns plus purchase value (SUM(CASE WHEN ...) — the
+    reference's per-status dashboard roll-up shape, A2/A5 analogue). user_id
+    cardinality is unbounded at scale, so partial per batch then ONE bucketed
+    combine; the pivot itself is free (it happens inside the partial, before
+    any exchange)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"user_id": df.user_id.astype("int64")})
+        for et in _EVENT_TYPES:
+            out[f"n_{et}"] = (df.event_type == et).astype("int64")
+        v10000 = np.rint(df.value.astype("float64") * 10000).astype("int64")
+        out["purchase_value_x10000"] = np.where(df.event_type == "purchase", v10000, 0)
+        return out.groupby("user_id", as_index=False).sum()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).sum()
+
+    return partial_then_combine(ds, partial, "user_id", combine, num_buckets=16)
+
+
+_Q47_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type='click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type='error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type='view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type='purchase'
+                     THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS purchase_value_x10000
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------- q48
+
+def q48_rollup_revenue(sf_dir: str):
+    """ROLLUP / grouping-sets aggregate: order revenue at three grain levels
+    (region+nation, region, grand total) in ONE pass. Facts carry only a
+    broadcast-mapped dim key; the rollup levels are derived from the
+    (≤ nations) combined result — no second scan, no extra shuffle. At
+    100 TB the custkey map becomes a keyed join (q33's documented caveat);
+    nation/region stay broadcast."""
+    import ray
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    r_name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nk_to_names = {
+        nk: (r_name[rk], nn)
+        for nk, nn, rk in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+    }
+    cust_r = {}
+    cust_n = {}
+    for c, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()):
+        rn, nn = nk_to_names[nk]
+        cust_r[c] = rn
+        cust_n[c] = nn
+    ref_r, ref_n = ray.put(cust_r), ray.put(cust_n)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        return (
+            pd.DataFrame(
+                {
+                    "r_name": df.o_custkey.map(_ray.get(ref_r)),
+                    "n_name": df.o_custkey.map(_ray.get(ref_n)),
+                    "cents": _cents(df.o_totalprice),
+                }
+            )
+            .groupby(["r_name", "n_name"], as_index=False)
+            .agg(p_cents=("cents", "sum"), p_n=("cents", "size"))
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        base = df.groupby(["r_name", "n_name"], as_index=False).agg(
+            revenue_cents=("p_cents", "sum"), n_orders=("p_n", "sum")
+        )
+        lvl0 = base.assign(lvl=0)
+        lvl1 = (
+            base.groupby("r_name", as_index=False)
+            .agg(revenue_cents=("revenue_cents", "sum"), n_orders=("n_orders", "sum"))
+            .assign(n_name="ALL", lvl=1)
+        )
+        lvl2 = pd.DataFrame(
+            {
+                "r_name": ["ALL"],
+                "n_name": ["ALL"],
+                "revenue_cents": [base.revenue_cents.sum()],
+                "n_orders": [base.n_orders.sum()],
+                "lvl": [2],
+            }
+        )
+        out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)
+        out["lvl"] = out.lvl.astype("int64")
+        out["revenue_cents"] = out.revenue_cents.astype("int64")
+        out["n_orders"] = out.n_orders.astype("int64")
+        return out[["r_name", "n_name", "lvl", "revenue_cents", "n_orders"]]
+
+    # ≤ |nations| distinct keys per batch partial => driver combine is exact
+    return driver_combine(orders, partial, combine)
+
+
+_Q48_SQL = """
+WITH rev AS (
+  SELECT r_name, n_name, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+)
+SELECT COALESCE(r_name, 'ALL') AS r_name,
+       COALESCE(n_name, 'ALL') AS n_name,
+       CAST(GROUPING(r_name) + GROUPING(n_name) AS BIGINT) AS lvl,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM rev GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+# --------------------------------------------------------------------- q49
+
+def q49_top_events_per_user(sf_dir: str):
+    """Top-3 events per user by value (row_number() per group over unbounded
+    group cardinality — T1/T3 generalized to per-key). Per-batch partial
+    top-k bounds the exchange to O(users × 3) rows; the bucketed combine
+    re-ranks exactly. Deterministic tiebreak (value desc, event_id asc)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+    K = 3
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "v10000", "event_id"], ascending=[True, False, True]
+        )
+        return df.groupby("user_id", as_index=False).head(K)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(v10000=np.rint(df.value.astype("float64") * 10000).astype("int64"))
+        return topk(df)[["user_id", "event_id", "v10000"]]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = topk(df).copy()
+        out["rank"] = out.groupby("user_id").cumcount().astype("int64") + 1
+        return out[["user_id", "rank", "event_id", "v10000"]]
+
+    return partial_then_combine(ds, partial, "user_id", combine, num_buckets=16)
+
+
+_Q49_SQL = """
+WITH s AS (
+  SELECT user_id, event_id, CAST(round(value * 10000) AS BIGINT) AS v10000 FROM events
+), r AS (
+  SELECT user_id, event_id, v10000,
+         row_number() OVER (PARTITION BY user_id ORDER BY v10000 DESC, event_id) AS rn
+  FROM s
+)
+SELECT user_id, CAST(rn AS BIGINT) AS rank, event_id, v10000 FROM r WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------- q50
+
+_Q50_T1 = "2024-01-15 00:00:00"
+_Q50_T2 = "2024-01-23 00:00:00"
+
+
+def q50_snapshot_delta(sf_dir: str):
+    """Snapshot-delta / CDC operator: diff of the keyed latest-state view
+    ("latest event per user", q8's shape) between two as-of cutoffs, emitting
+    added/changed keys only. Both snapshots are computed in ONE scan + ONE
+    keyed exchange: the partial keeps a per-(user, snapshot) argmax candidate
+    per batch, the bucketed combine finishes the argmax and diffs. The
+    upsert-feed analogue of the reference's last-writer-wins sink (D4)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    t1_us = int(pd.Timestamp(_Q50_T1).value // 1000)
+    t2_us = int(pd.Timestamp(_Q50_T2).value // 1000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df.ts.astype("datetime64[us]").astype("int64")
+        base = pd.DataFrame(
+            {"user_id": df.user_id.astype("int64"), "event_id": df.event_id.astype("int64"), "us": us}
+        )
+        out = []
+        for snap, cutoff in ((1, t1_us), (2, t2_us)):
+            m = base[base.us < cutoff]
+            if len(m):
+                g = (
+                    m.sort_values(["user_id", "us", "event_id"])
+                    .groupby("user_id", as_index=False)
+                    .last()
+                )
+                g["snap"] = snap
+                out.append(g)
+        if not out:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "event_id": pd.Series(dtype="int64"),
+                    "us": pd.Series(dtype="int64"),
+                    "snap": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.sort_values(["user_id", "snap", "us", "event_id"])
+            .groupby(["user_id", "snap"], as_index=False)
+            .last()
+        )
+        p1 = g[g.snap == 1][["user_id", "event_id"]].rename(columns={"event_id": "old_event_id"})
+        p2 = g[g.snap == 2][["user_id", "event_id"]].rename(columns={"event_id": "new_event_id"})
+        m = p2.merge(p1, on="user_id", how="left")
+        m["change_type"] = np.where(m.old_event_id.isna(), "added", "changed")
+        m["old_event_id"] = m.old_event_id.fillna(-1).astype("int64")
+        m = m[m.old_event_id != m.new_event_id]
+        return m[["user_id", "change_type", "old_event_id", "new_event_id"]]
+
+    return partial_then_combine(ds, partial, "user_id", combine, num_buckets=16)
+
+
+_Q50_SQL = f"""
+WITH r1 AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts < TIMESTAMP '{_Q50_T1}'
+), l1 AS (SELECT user_id, event_id AS old_event_id FROM r1 WHERE rn = 1),
+r2 AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts < TIMESTAMP '{_Q50_T2}'
+), l2 AS (SELECT user_id, event_id AS new_event_id FROM r2 WHERE rn = 1)
+SELECT l2.user_id,
+       CASE WHEN l1.user_id IS NULL THEN 'added' ELSE 'changed' END AS change_type,
+       CAST(COALESCE(l1.old_event_id, -1) AS BIGINT) AS old_event_id,
+       l2.new_event_id
+FROM l2 LEFT JOIN l1 USING (user_id)
+WHERE l1.user_id IS NULL OR l1.old_event_id <> l2.new_event_id
+"""
+
+
+# --------------------------------------------------------------------- q51
+
+# probe vocabulary: deliberate typos of corpus tokens (shared verbatim with
+# the SQL oracle); exercises dist 1..n including the out-of-vocab path
+_Q51_VOCAB = ["jion", "scann", "sorrt", "aggg", "windw", "vektor"]
+
+
+def q51_fuzzy_vocab_match(sf_dir: str):
+    """Fuzzy vocabulary matcher (J2/J6 fuzzy fallback analogue): resolve each
+    document's leading token to its nearest probe term by Levenshtein
+    distance, dictionary-encoded per batch (one DP per DISTINCT token —
+    row-count independent for low-cardinality text columns;
+    functions/editdist.py). Stateless Arrow-in/pandas-kernel map_batches —
+    embarrassingly parallel, no exchange."""
+    from medical_ocr_service_ray.functions.editdist import best_match
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = list(_Q51_VOCAB)
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        first_tok = (
+            df.text.astype(str).str.lower().str.extract(r"([a-z]+)", expand=False).fillna("")
+        )
+        bm = best_match(first_tok, vocab)
+        return pd.DataFrame(
+            {
+                "doc_id": df.doc_id.astype("int64"),
+                "first_tok": first_tok,
+                "best_term": bm.best_term,
+                "best_dist": bm.best_dist,
+            }
+        )
+
+    return ds.map_batches(match, batch_format="pandas")
+
+
+def _q51_sql() -> str:
+    vals = ", ".join(f"('{t}')" for t in _Q51_VOCAB)
+    return f"""
+WITH probes(term) AS (VALUES {vals}),
+d AS (
+  SELECT doc_id, COALESCE(regexp_extract(lower(text), '[a-z]+'), '') AS first_tok
+  FROM documents
+), x AS (
+  SELECT doc_id, first_tok, term,
+         CAST(levenshtein(first_tok, term) AS BIGINT) AS dist,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY levenshtein(first_tok, term), term) AS rn
+  FROM d CROSS JOIN probes
+)
+SELECT doc_id, first_tok, term AS best_term, dist AS best_dist FROM x WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------- q52
+
+_Q52_OPS_RE = "join|scan|sort|merge"
+
+
+def q52_regex_fields(sf_dir: str):
+    """Regex field extraction (M10/M16 narrative-regex analogue as a generic
+    operator): pull structured columns out of free text with compiled,
+    vectorized patterns — first token + occurrence counts. Pattern semantics
+    are the intersection of Python re and RE2 (plain alternation of distinct
+    literals) so the DuckDB oracle matches exactly."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        text = df.text.astype(str)
+        return pd.DataFrame(
+            {
+                "doc_id": df.doc_id.astype("int64"),
+                "first_tok": text.str.lower().str.extract(r"([a-z]+)", expand=False).fillna(""),
+                "n_ops": text.str.count(_Q52_OPS_RE).astype("int64"),
+                "n_spark": text.str.count("spark").astype("int64"),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas")
+
+
+_Q52_SQL = f"""
+SELECT doc_id,
+       COALESCE(regexp_extract(lower(text), '[a-z]+'), '') AS first_tok,
+       CAST(len(regexp_extract_all(text, '{_Q52_OPS_RE}')) AS BIGINT) AS n_ops,
+       CAST(len(regexp_extract_all(text, 'spark')) AS BIGINT) AS n_spark
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------- q53
+
+def q53_funnel(sf_dir: str):
+    """Ordered-sequence funnel over the event stream: users reaching
+    view -> click(after) -> purchase(after), strict timestamp ordering.
+    The per-user stage times need all of a user's rows co-located once:
+    project to (user, type, us) at the read (3 int/short cols), ONE keyed
+    exchange, vectorized per-bucket stage computation, then a bounded
+    (3-row) driver sum. The sessionize/q28 family's analysis complement."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df.event_type.isin(["view", "click", "purchase"])]
+        return pd.DataFrame(
+            {
+                "user_id": m.user_id.astype("int64"),
+                "event_type": m.event_type,
+                "us": m.ts.astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    def stages(df: pd.DataFrame) -> pd.DataFrame:
+        t1 = (
+            df[df.event_type == "view"].groupby("user_id").us.min().rename("t1").reset_index()
+        )
+        b = df[df.event_type == "click"].merge(t1, on="user_id")
+        t2 = b[b.us > b.t1].groupby("user_id").us.min().rename("t2").reset_index()
+        c = df[df.event_type == "purchase"].merge(t2, on="user_id")
+        t3 = c[c.us > c.t2].groupby("user_id").us.min().rename("t3").reset_index()
+        return pd.DataFrame({"n1": [len(t1)], "n2": [len(t2)], "n3": [len(t3)]})
+
+    counts = bucketed_combine(
+        ds.map_batches(project, batch_format="pandas"), "user_id", stages, num_buckets=16
+    ).to_pandas()  # bounded: one row per bucket
+    return pd.DataFrame(
+        {
+            "stage": pd.array([1, 2, 3], dtype="int64"),
+            "n_users": pd.array(
+                [int(counts.n1.sum()), int(counts.n2.sum()), int(counts.n3.sum())],
+                dtype="int64",
+            ),
+        }
+    )
+
+
+_Q53_SQL = """
+WITH a AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), b AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN a USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > a.t1 GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN b USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > b.t2 GROUP BY 1
+)
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), (SELECT CAST(COUNT(*) AS BIGINT) FROM a)),
+  (CAST(2 AS BIGINT), (SELECT CAST(COUNT(*) AS BIGINT) FROM b)),
+  (CAST(3 AS BIGINT), (SELECT CAST(COUNT(*) AS BIGINT) FROM c))) AS f(stage, n_users)
+"""
+
+
+# --------------------------------------------------------------------- q54
+
+_TOOL_VIEW_KEY: list = [None]  # last (sf_dir, session) written to .../current
+
+
+def _tool_view_dir(sf_dir: str) -> str:
+    """Project the transcript corpus's tool-call rows (conv_id, turn_idx,
+    tool) to the FIXED path /tmp/mosr_tool_view/current so the static SQL
+    oracle reads the same rows the distributed query aggregates (same
+    mechanism as _extraction_view_dir / q17)."""
+    import shutil as _shutil
+
+    from medical_ocr_service_ray.synth import ensure_transcripts_for_sf
+
+    out = "/tmp/mosr_tool_view/current"
+    key = _session_key(sf_dir)
+    if _TOOL_VIEW_KEY[0] == key:
+        return out
+    corpus = ensure_transcripts_for_sf(sf_dir)
+    files = sorted(str(p) for p in Path(corpus).glob("*.parquet"))
+    sch = pq.read_schema(files[0]).remove_metadata()
+    sch = pa.schema([sch.field(c) for c in ["conv_id", "turn_idx", "role", "tool"]])
+    ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "role", "tool"], schema=sch)
+
+    def project(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t["role"], "tool"))
+        return m.select(["conv_id", "turn_idx", "tool"])
+
+    _shutil.rmtree(out, ignore_errors=True)
+    ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True).write_parquet(out)
+    _TOOL_VIEW_KEY[0] = key
+    return out
+
+
+def q54_tool_transitions(sf_dir: str):
+    """Agent-transcript analytics: tool-call transition bigram counts
+    (prev_tool -> next_tool within a conversation, turn order). The adjacency
+    needs each conversation co-located once: ONE keyed exchange on conv_id,
+    vectorized shift inside each bucket, then a bounded
+    (tools² × buckets) driver sum. North-rule-native: this is the kind of
+    corpus statistic a transcript pipeline publishes next to extraction."""
+    view = _tool_view_dir(sf_dir)
+    sch = pa.schema(
+        [pa.field("conv_id", pa.string()), pa.field("turn_idx", pa.int32()), pa.field("tool", pa.string())]
+    )
+    files = sorted(str(p) for p in Path(view).glob("*.parquet"))
+    ds = rd.read_parquet(files, schema=sch)
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"])
+        prev_tool = df.tool.shift(1)
+        same_conv = df.conv_id.eq(df.conv_id.shift(1))
+        m = pd.DataFrame(
+            {"prev_tool": prev_tool[same_conv], "next_tool": df.tool[same_conv]}
+        )
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "prev_tool": pd.Series(dtype="object"),
+                    "next_tool": pd.Series(dtype="object"),
+                    "p_n": pd.Series(dtype="int64"),
+                }
+            )
+        return m.groupby(["prev_tool", "next_tool"], as_index=False).agg(
+            p_n=("next_tool", "size")
+        )
+
+    counts = bucketed_combine(ds, "conv_id", transitions, num_buckets=16).to_pandas()
+    out = counts.groupby(["prev_tool", "next_tool"], as_index=False).agg(n=("p_n", "sum"))
+    out["n"] = out.n.astype("int64")
+    return out
+
+
+_Q54_SQL = """
+WITH t AS (
+  SELECT conv_id, turn_idx, tool
+  FROM read_parquet('/tmp/mosr_tool_view/current/*.parquet')
+), s AS (
+  SELECT conv_id, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+  FROM t
+)
+SELECT prev_tool, tool AS next_tool, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE prev_tool IS NOT NULL
+GROUP BY prev_tool, tool
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2354,6 +2853,14 @@ QUERIES = {
     "q44_exact_group_quantiles": q44_exact_group_quantiles,
     "q45_incremental_dedup": q45_incremental_dedup,
     "q46_kmeans_clusters": q46_kmeans_clusters,
+    "q47_event_type_pivot": q47_event_type_pivot,
+    "q48_rollup_revenue": q48_rollup_revenue,
+    "q49_top_events_per_user": q49_top_events_per_user,
+    "q50_snapshot_delta": q50_snapshot_delta,
+    "q51_fuzzy_vocab_match": q51_fuzzy_vocab_match,
+    "q52_regex_fields": q52_regex_fields,
+    "q53_funnel": q53_funnel,
+    "q54_tool_transitions": q54_tool_transitions,
 }
 
 ORACLE_SQL = {
@@ -2397,6 +2904,14 @@ ORACLE_SQL = {
     "q43_bm25_search": _q43_sql(),
     "q44_exact_group_quantiles": _Q44_SQL,
     "q45_incremental_dedup": _Q45_SQL,
+    "q47_event_type_pivot": _Q47_SQL,
+    "q48_rollup_revenue": _Q48_SQL,
+    "q49_top_events_per_user": _Q49_SQL,
+    "q50_snapshot_delta": _Q50_SQL,
+    "q51_fuzzy_vocab_match": _q51_sql(),
+    "q52_regex_fields": _Q52_SQL,
+    "q53_funnel": _Q53_SQL,
+    "q54_tool_transitions": _Q54_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

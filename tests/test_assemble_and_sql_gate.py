@@ -30,6 +30,14 @@ GATED = [
     "q32_asof_join",
     "q33_revenue_by_nation",
     "q34_distinct_users_by_type",
+    "q47_event_type_pivot",
+    "q48_rollup_revenue",
+    "q49_top_events_per_user",
+    "q50_snapshot_delta",
+    "q51_fuzzy_vocab_match",
+    "q52_regex_fields",
+    "q53_funnel",
+    "q54_tool_transitions",
 ]
 
 
