@@ -35,6 +35,14 @@ BENCH_QUERIES = [
     "q42_user_running_features",
     "q43_bm25_search",
     "q44_exact_group_quantiles",
+    "q47_event_type_pivot",
+    "q48_rollup_revenue",
+    "q49_top_events_per_user",
+    "q50_snapshot_delta",
+    "q51_fuzzy_vocab_match",
+    "q52_regex_fields",
+    "q53_funnel",
+    "q54_tool_transitions",
 ]
 
 
