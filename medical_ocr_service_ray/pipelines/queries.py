@@ -2804,6 +2804,72 @@ GROUP BY prev_tool, tool
 """
 
 
+# --------------------------------------------------------------- q55 / q56
+
+def _q55_sides(sf_dir: str):
+    """Probe = orders projected to (o_orderkey, cents); build = the DISTINCT
+    orderkeys of high-quantity lineitems. Neither side is assumed to fit in
+    one object — this is the large-large semi/anti path (stages/bloom.py)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def hot_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_orderkey": df.l_orderkey[df.l_quantity >= 48].astype("int64").unique()}
+        )
+
+    build = li.map_batches(hot_keys, batch_format="pandas")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_orderkey": df.o_orderkey.astype("int64"), "cents": _cents(df.o_totalprice)}
+        )
+
+    probe = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        project, batch_format="pandas"
+    )
+    # filter sizing is an ESTIMATE (only moves the FPR, never correctness):
+    # high-quantity lines are a thin slice of lineitem
+    n_est = max(1024, pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows // 8)
+    return probe, build, n_est
+
+
+def q55_bloom_semi_join(sf_dir: str):
+    """Large-large EXACT semi join with a Bloom pre-filter: orders having at
+    least one lineitem with l_quantity >= 48. Definite Bloom negatives
+    (~80% of orders here) never enter the exchange; false positives die in
+    the exact per-bucket membership pass, so the result hash-matches the
+    EXISTS oracle (J5 at fact×fact scale; stages/bloom.py)."""
+    from medical_ocr_service_ray.stages.bloom import bloom_semi_join
+
+    probe, build, n_est = _q55_sides(sf_dir)
+    return bloom_semi_join(probe, build, "o_orderkey", n_build_keys=n_est)
+
+
+def q56_bloom_anti_join(sf_dir: str):
+    """Anti variant (J7 at fact×fact scale): orders with NO high-quantity
+    lineitem. Bloom negatives are emitted DIRECTLY (no-false-negative
+    guarantee) — only the possible-positive fraction pays the exchange."""
+    from medical_ocr_service_ray.stages.bloom import bloom_semi_join
+
+    probe, build, n_est = _q55_sides(sf_dir)
+    return bloom_semi_join(probe, build, "o_orderkey", n_build_keys=n_est, anti=True)
+
+
+_Q55_SQL = """
+SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+"""
+
+_Q56_SQL = """
+SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2861,6 +2927,8 @@ QUERIES = {
     "q52_regex_fields": q52_regex_fields,
     "q53_funnel": q53_funnel,
     "q54_tool_transitions": q54_tool_transitions,
+    "q55_bloom_semi_join": q55_bloom_semi_join,
+    "q56_bloom_anti_join": q56_bloom_anti_join,
 }
 
 ORACLE_SQL = {
@@ -2912,6 +2980,8 @@ ORACLE_SQL = {
     "q52_regex_fields": _Q52_SQL,
     "q53_funnel": _Q53_SQL,
     "q54_tool_transitions": _Q54_SQL,
+    "q55_bloom_semi_join": _Q55_SQL,
+    "q56_bloom_anti_join": _Q56_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

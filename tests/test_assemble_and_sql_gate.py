@@ -38,6 +38,8 @@ GATED = [
     "q52_regex_fields",
     "q53_funnel",
     "q54_tool_transitions",
+    "q55_bloom_semi_join",
+    "q56_bloom_anti_join",
 ]
 
 
