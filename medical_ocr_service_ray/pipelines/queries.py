@@ -2870,6 +2870,60 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem l
 """
 
 
+# --------------------------------------------------------------- q57 / q58
+
+def q57_user_journeys(sf_dir: str):
+    """Ordered string aggregation (string_agg ... ORDER BY): each user's
+    event-type journey in strict (ts, event_id) order. A co-location op like
+    q42 — the concatenation is order-sensitive so it cannot pre-reduce
+    across batches; ONE keyed exchange on user_id (3 narrow columns + the
+    short type string), vectorized sort + join inside each bucket."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df.user_id.astype("int64"),
+                "event_type": df.event_type,
+                "us": df.ts.astype("datetime64[us]").astype("int64"),
+                "event_id": df.event_id.astype("int64"),
+            }
+        )
+
+    def journeys(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"])
+        out = df.groupby("user_id", as_index=False).agg(
+            journey=("event_type", ">".join), n_events=("event_type", "size")
+        )
+        out["n_events"] = out.n_events.astype("int64")
+        return out
+
+    return bucketed_combine(
+        ds.map_batches(project, batch_format="pandas"), "user_id", journeys, num_buckets=16
+    )
+
+
+_Q57_SQL = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS journey,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q58_heavy_hitter_tokens(sf_dir: str):
+    """Approximate heavy hitters over document tokens: SpaceSaving sketch
+    per batch (fixed 256 counters however large the corpus), KB-sized
+    driver merge — the approximate counterpart of q41's exact df stats, for
+    when the vocabulary itself is too big to exchange. No SQL oracle
+    (approximate); the sketch's true<=est<=true+err guarantee and
+    guaranteed-presence property are pytest-gated (test_sketch)."""
+    from medical_ocr_service_ray.stages.sketch import approx_heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return approx_heavy_hitters(ds, "text", capacity=256, top=20, split=r"\s+")
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2929,6 +2983,8 @@ QUERIES = {
     "q54_tool_transitions": q54_tool_transitions,
     "q55_bloom_semi_join": q55_bloom_semi_join,
     "q56_bloom_anti_join": q56_bloom_anti_join,
+    "q57_user_journeys": q57_user_journeys,
+    "q58_heavy_hitter_tokens": q58_heavy_hitter_tokens,
 }
 
 ORACLE_SQL = {
@@ -2982,6 +3038,7 @@ ORACLE_SQL = {
     "q54_tool_transitions": _Q54_SQL,
     "q55_bloom_semi_join": _Q55_SQL,
     "q56_bloom_anti_join": _Q56_SQL,
+    "q57_user_journeys": _Q57_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

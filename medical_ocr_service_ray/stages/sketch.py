@@ -203,3 +203,122 @@ def approx_quantiles(
         "num_partials": len(partials),
         **{f"p{int(q * 100)}": merged.quantile(q) for q in quantiles},
     }
+
+
+class SpaceSavingSketch:
+    """SpaceSaving heavy-hitters summary (Metwally et al. 2005), mergeable
+    per Agarwal et al. "Mergeable Summaries" (PODS'12): fixed ``capacity``
+    counters however large the stream; after any merge tree the estimate
+    satisfies ``true <= est <= true + err`` with ``err`` tracked per item,
+    and every item with true count > n/capacity is guaranteed present.
+    The distributed shape matches HllSketch: one sketch per batch (bounded
+    bytes), KB-sized merges — no exchange over the data."""
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.counts: dict = {}  # item -> (count, overestimate_err)
+
+    def add_counts(self, items, counts) -> None:
+        """Bulk-add pre-aggregated (item, count) pairs — the per-batch path
+        runs a vectorized value_counts first, so Python cost is per DISTINCT
+        item, not per row."""
+        for item, c in zip(items, counts):
+            c = int(c)
+            if item in self.counts:
+                cnt, err = self.counts[item]
+                self.counts[item] = (cnt + c, err)
+            elif len(self.counts) < self.capacity:
+                self.counts[item] = (c, 0)
+            else:
+                # evict the current minimum; its count becomes the new
+                # item's overestimate
+                evict = min(self.counts, key=lambda i: self.counts[i][0])
+                mn = self.counts.pop(evict)[0]
+                self.counts[item] = (mn + c, mn)
+
+    def _floor(self) -> int:
+        """Max mass any EVICTED item can have in this sketch: the minimum
+        counter when full, 0 otherwise (nothing was ever evicted)."""
+        if len(self.counts) < self.capacity:
+            return 0
+        return min(c for c, _ in self.counts.values())
+
+    def merge(self, other: "SpaceSavingSketch") -> "SpaceSavingSketch":
+        """Standard mergeable-summaries combine: an item present in only one
+        sketch gets the OTHER sketch's floor added to estimate and error
+        (its true count there is at most that floor — this is what keeps
+        ``true <= est`` through any merge tree), then truncate to the
+        top-capacity estimates with a deterministic tiebreak."""
+        out = SpaceSavingSketch(self.capacity)
+        fa, fb = self._floor(), other._floor()
+        combined: dict = {}
+        for item, (cnt, err) in self.counts.items():
+            if item in other.counts:
+                c2, e2 = other.counts[item]
+                combined[item] = (cnt + c2, err + e2)
+            else:
+                combined[item] = (cnt + fb, err + fb)
+        for item, (cnt, err) in other.counts.items():
+            if item not in self.counts:
+                combined[item] = (cnt + fa, err + fa)
+        kept = sorted(combined.items(), key=lambda kv: (-kv[1][0], str(kv[0])))
+        out.counts = dict(kept[: self.capacity])
+        return out
+
+    def items(self) -> list:
+        """[(item, est_count, overestimate_err)] sorted by est desc, item."""
+        return [
+            (i, c, e)
+            for i, (c, e) in sorted(
+                self.counts.items(), key=lambda kv: (-kv[1][0], str(kv[0]))
+            )
+        ]
+
+    def serialize(self) -> bytes:
+        import json
+
+        return json.dumps(
+            {"cap": self.capacity, "c": [[str(i), c, e] for i, (c, e) in self.counts.items()]}
+        ).encode()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "SpaceSavingSketch":
+        import json
+
+        rec = json.loads(data)
+        sk = cls(rec["cap"])
+        sk.counts = {i: (c, e) for i, c, e in rec["c"]}
+        return sk
+
+
+def approx_heavy_hitters(
+    ds: "rd.Dataset", col: str, capacity: int = 64, top: int = 10, split=None
+) -> "pd.DataFrame":
+    """Approximate top-``top`` most frequent values of ``col`` with a
+    SpaceSaving sketch per batch merged on the driver (partials are
+    capacity-bounded KBs). ``split`` optionally tokenizes each value first
+    (regex string) so the column can be raw text. Returns
+    (item, est_count, max_overestimate) — ``est - err <= true <= est``."""
+    import pandas as pd
+
+    def sketch_batch(df: "pd.DataFrame") -> "pd.DataFrame":
+        s = df[col].astype(str)
+        vals = s.str.split(split).explode() if split else s
+        vals = vals[vals.str.len() > 0]
+        vc = vals.value_counts()
+        sk = SpaceSavingSketch(capacity)
+        sk.add_counts(vc.index.to_numpy(dtype=object), vc.to_numpy())
+        return pd.DataFrame({"sketch": [sk.serialize()]})
+
+    partials = ds.map_batches(sketch_batch, batch_format="pandas").take_all()
+    merged = SpaceSavingSketch(capacity)
+    for row in partials:
+        merged = merged.merge(SpaceSavingSketch.deserialize(row["sketch"]))
+    rows = merged.items()[:top]
+    return pd.DataFrame(
+        {
+            "item": [r[0] for r in rows],
+            "est_count": pd.array([r[1] for r in rows], dtype="int64"),
+            "max_overestimate": pd.array([r[2] for r in rows], dtype="int64"),
+        }
+    )

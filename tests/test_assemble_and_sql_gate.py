@@ -40,6 +40,7 @@ GATED = [
     "q54_tool_transitions",
     "q55_bloom_semi_join",
     "q56_bloom_anti_join",
+    "q57_user_journeys",
 ]
 
 

@@ -114,3 +114,91 @@ class TestLogHistogramQuantiles:
         m = a.merge(b)
         assert m.counts == one.counts and m.zero_count == one.zero_count
         assert m.quantile(0.5) == one.quantile(0.5)
+
+
+class TestSpaceSaving:
+    """q58: mergeable heavy-hitters with the true<=est<=true+err guarantee."""
+
+    def _stream(self, seed=0, n=20000, vocab=400):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        # zipf-ish: heavy head + long tail
+        z = rng.zipf(1.3, size=n) % vocab
+        return [f"tok{v}" for v in z]
+
+    def _exact(self, items):
+        from collections import Counter
+
+        return Counter(items)
+
+    def _tree_merge(self, items, capacity, chunks):
+        from medical_ocr_service_ray.stages.sketch import SpaceSavingSketch
+        import numpy as np
+
+        parts = np.array_split(np.array(items, dtype=object), chunks)
+        sketches = []
+        for p in parts:
+            sk = SpaceSavingSketch(capacity)
+            vals, counts = np.unique(p.astype(str), return_counts=True)
+            sk.add_counts(vals.astype(object), counts)
+            sketches.append(sk)
+        while len(sketches) > 1:  # pairwise tree, like a distributed reduce
+            nxt = [a.merge(b) for a, b in zip(sketches[::2], sketches[1::2])]
+            if len(sketches) % 2:
+                nxt.append(sketches[-1])
+            sketches = nxt
+        return sketches[0]
+
+    def test_bounds_after_tree_merge(self):
+        items = self._stream()
+        exact = self._exact(items)
+        sk = self._tree_merge(items, capacity=128, chunks=9)
+        for item, est, err in sk.items():
+            true = exact[item]
+            assert true <= est, f"{item}: est {est} < true {true}"
+            assert est - err <= true, f"{item}: est-err {est - err} > true {true}"
+
+    def test_heavy_items_guaranteed_present(self):
+        items = self._stream(seed=3)
+        exact = self._exact(items)
+        cap = 128
+        sk = self._tree_merge(items, capacity=cap, chunks=7)
+        present = {i for i, _, _ in sk.items()}
+        threshold = len(items) / cap
+        for item, true in exact.items():
+            if true > threshold:
+                assert item in present, f"heavy item {item} (n={true}) evicted"
+
+    def test_single_sketch_is_exact_under_capacity(self):
+        from medical_ocr_service_ray.stages.sketch import SpaceSavingSketch
+
+        sk = SpaceSavingSketch(16)
+        sk.add_counts(["a", "b", "a", "c"], [3, 1, 2, 4])
+        got = {i: (c, e) for i, c, e in sk.items()}
+        assert got == {"a": (5, 0), "c": (4, 0), "b": (1, 0)}
+
+    def test_serialize_roundtrip(self):
+        from medical_ocr_service_ray.stages.sketch import SpaceSavingSketch
+
+        sk = self._tree_merge(self._stream(seed=5, n=2000), capacity=32, chunks=4)
+        back = SpaceSavingSketch.deserialize(sk.serialize())
+        assert back.capacity == sk.capacity and back.counts == sk.counts
+
+    def test_distributed_matches_guarantees(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        from collections import Counter
+
+        from medical_ocr_service_ray.stages.sketch import approx_heavy_hitters
+
+        items = self._stream(seed=8, n=8000, vocab=200)
+        docs = [" ".join(items[i : i + 40]) for i in range(0, len(items), 40)]
+        ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(5)
+        out = approx_heavy_hitters(ds, "text", capacity=96, top=10, split=r"\s+")
+        exact = Counter(items)
+        true_top = exact.most_common(1)[0][0]
+        assert out.item.iloc[0] == true_top  # dominant token always wins
+        for _, row in out.iterrows():
+            true = exact[row["item"]]
+            assert true <= row.est_count <= true + row.max_overestimate
