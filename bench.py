@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "q52_regex_fields",
     "q53_funnel",
     "q54_tool_transitions",
+    "q55_bloom_semi_join",
+    "q56_bloom_anti_join",
+    "q57_user_journeys",
+    "q58_heavy_hitter_tokens",
 ]
 
 

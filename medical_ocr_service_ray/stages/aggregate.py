@@ -72,9 +72,16 @@ def bucketed_combine(
     first_key: str,
     combine_fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_buckets: int = 16,
+    map_batch_size: int | None = None,
 ) -> "rd.Dataset":
     """Shuffle once on hash(first_key) % num_buckets, then run ``combine_fn``
-    (a vectorized pandas reduction) once per bucket."""
+    (a vectorized pandas reduction) once per bucket.
+
+    ``map_batch_size``: when the input arrives as MANY TINY blocks (e.g. a
+    pre-filter that kept a sliver of each block), the all-to-all's cost is
+    per-block task overhead, not bytes — pass a large batch size so the
+    bucket-stamp pass bundles blocks back together first (measured on the
+    Bloom join: Sort 5.9 s -> sub-second at identical row counts)."""
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -84,8 +91,9 @@ def bucketed_combine(
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return combine_fn(df.drop(columns="__bucket"))
 
+    kw = {"batch_size": map_batch_size} if map_batch_size is not None else {}
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pandas", **kw)
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )

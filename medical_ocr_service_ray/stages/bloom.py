@@ -9,9 +9,8 @@ for 100 TB):
 
 1. **Bloom build** — per-batch partial Bloom bitmaps over the build side's
    keys (a fixed ``m_bits/8``-byte numpy array each, independent of row
-   count), OR-merged in two levels: per-part OR inside one keyed combine,
-   then a driver OR of ≤ ``num_parts`` bitmaps. Driver traffic is
-   ``num_parts × m/8`` bytes regardless of corpus size.
+   count), streamed to a driver OR with no exchange (see ``build_bloom``
+   for why a broadcastable filter never needs more).
 2. **Probe pre-filter** — one ``map_batches`` pass stamps each probe row
    with the Bloom verdict. Definite negatives (no false negatives ever) are
    resolved WITHOUT any exchange: dropped for semi, emitted directly for
@@ -89,34 +88,33 @@ def _test_bits(bitmap: np.ndarray, pos: np.ndarray) -> np.ndarray:
 
 
 def build_bloom(
-    keys_ds: "rd.Dataset", key_col: str, m_bits: int, k: int, num_parts: int = 16
+    keys_ds: "rd.Dataset", key_col: str, m_bits: int, k: int, batch_size: int = 262144
 ) -> bytes:
     """Distributed Bloom build over an int64 key column. Returns the merged
-    bitmap bytes (``m_bits/8`` long). Two-level OR keeps driver traffic at
-    ``num_parts × m/8`` bytes however large the build side is."""
+    bitmap bytes (``m_bits/8`` long).
+
+    Per-batch partial bitmaps stream to a driver OR with NO exchange —
+    driver traffic is ``num_partials × m/8`` bytes, and the OR holds one
+    partial at a time. With the big ``batch_size`` this is a few KB-to-MB
+    per partial for any filter that makes sense to broadcast (the merged
+    bitmap must fit in one object anyway). If the build side ever needed a
+    filter too large to broadcast, the right design is different in kind,
+    not degree: hash-exchange the keys once and keep PARTITIONED sub-blooms
+    colocated with a partitioned probe — don't scale this function."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
         keys = df[key_col].to_numpy()
         if len(keys):
             _set_bits(bitmap, _bit_positions(keys, m_bits, k))
-        # part id only routes the OR tree; any deterministic stamp works
-        part = int(keys[0]) % num_parts if len(keys) else 0
-        return pd.DataFrame({"part": [part], "bloom": [bitmap.tobytes()]})
+        return pd.DataFrame({"bloom": [bitmap.tobytes()]})
 
-    def or_parts(df: pd.DataFrame) -> pd.DataFrame:
-        stacked = np.stack([np.frombuffer(b, dtype=np.uint8) for b in df.bloom])
-        merged = np.bitwise_or.reduce(stacked, axis=0)
-        return pd.DataFrame({"part": df.part.iloc[:1], "bloom": [merged.tobytes()]})
-
-    parts = bucketed_combine(
-        keys_ds.map_batches(partial, batch_format="pandas"),
-        "part",
-        or_parts,
-        num_buckets=num_parts,
-    ).to_pandas()  # bounded: <= num_parts rows of m/8 bytes
-    stacked = np.stack([np.frombuffer(b, dtype=np.uint8) for b in parts.bloom])
-    return np.bitwise_or.reduce(stacked, axis=0).tobytes()
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    partials = keys_ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+    for batch in partials.iter_batches(batch_size=64, batch_format="pandas"):
+        for b in batch.bloom:
+            merged |= np.frombuffer(b, dtype=np.uint8)
+    return merged.tobytes()
 
 
 def _stamp_batch(df: pd.DataFrame, *, bloom_ref, key_col: str, m_bits: int, k: int, keep: bool) -> pd.DataFrame:
@@ -152,7 +150,7 @@ def bloom_semi_join(
     ``n_build_keys`` sizes the filter (an estimate is fine — it only moves
     the FPR, never correctness)."""
     m_bits, k = bloom_params(n_build_keys, fpr)
-    bloom_ref = ray.put(build_bloom(build_keys, key_col, m_bits, k, num_parts=num_buckets))
+    bloom_ref = ray.put(build_bloom(build_keys, key_col, m_bits, k))
     kw = dict(bloom_ref=bloom_ref, key_col=key_col, m_bits=m_bits, k=k)
 
     # possible members -> the exchange; definite negatives (anti only) are
@@ -203,5 +201,10 @@ def bloom_semi_join(
         changed = {c: t for c, t in probe_dtypes.items() if str(out[c].dtype) != str(t)}
         return out.astype(changed) if changed else out
 
-    exact = bucketed_combine(unioned, key_col, membership, num_buckets=num_buckets)
+    # the stamp pass keeps a sliver of each probe block, so the union is
+    # many tiny blocks — bundle them before the exchange or the sort pays
+    # per-block task overhead instead of bytes
+    exact = bucketed_combine(
+        unioned, key_col, membership, num_buckets=num_buckets, map_batch_size=1 << 18
+    )
     return exact.union(negatives) if anti else exact
