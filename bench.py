@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "q56_bloom_anti_join",
     "q57_user_journeys",
     "q58_heavy_hitter_tokens",
+    "q59_chunk_documents",
+    "q60_redact_pii",
 ]
 
 

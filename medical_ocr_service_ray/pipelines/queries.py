@@ -2924,6 +2924,116 @@ def q58_heavy_hitter_tokens(sf_dir: str):
     return approx_heavy_hitters(ds, "text", capacity=256, top=20, split=r"\s+")
 
 
+# --------------------------------------------------------------- q59 / q60
+
+_Q59_SIZE, _Q59_STEP = 200, 150  # 50-char overlap
+
+
+def q59_chunk_documents(sf_dir: str):
+    """RAG-prep document chunking: overlapping fixed-size character windows
+    (size 200, stride 150). Embarrassingly parallel flat-map; vectorized by
+    CHUNK INDEX, not by row — one ``str.slice`` with scalar bounds per
+    chunk ordinal covers every doc long enough, so per-batch cost is
+    O(max_chunks) pandas kernels. Unicode-safe: codepoint slicing on both
+    engines (pandas str.slice == SQL substr on VARCHAR)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        text = df.text.astype(str)
+        lens = text.str.len()
+        out = []
+        max_chunks = int(np.ceil(lens.max() / _Q59_STEP)) if len(df) and lens.max() > 0 else 0
+        for i in range(max_chunks):
+            start = i * _Q59_STEP
+            m = lens > start
+            if not m.any():
+                break
+            piece = text[m].str.slice(start, start + _Q59_SIZE)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": df.doc_id[m].astype("int64"),
+                        "chunk_idx": np.int64(i),
+                        "chunk": piece,
+                        "chunk_chars": piece.str.len().astype("int64"),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "chunk_idx": pd.Series(dtype="int64"),
+                    "chunk": pd.Series(dtype="object"),
+                    "chunk_chars": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return ds.map_batches(chunk, batch_format="pandas")
+
+
+_Q59_SQL = f"""
+SELECT doc_id, CAST(s / {_Q59_STEP} AS BIGINT) AS chunk_idx,
+       substr(text, CAST(s + 1 AS BIGINT), {_Q59_SIZE}) AS chunk,
+       CAST(length(substr(text, CAST(s + 1 AS BIGINT), {_Q59_SIZE})) AS BIGINT) AS chunk_chars
+FROM (SELECT doc_id, text,
+             unnest(range(0, greatest(length(text), 0), {_Q59_STEP})) AS s
+      FROM documents)
+"""
+
+
+# patterns whose semantics are identical in Python re and RE2 (no
+# backrefs/lookaround): applied IN ORDER, global replace
+_REDACT_PATTERNS = [
+    ("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]"),
+    ("\\+?[0-9][0-9 -]{7,}[0-9]", "[PHONE]"),
+    ("[0-9]{6,}", "[ID]"),
+]
+
+
+def redact_text(series: pd.Series, patterns=None) -> tuple[pd.Series, pd.Series]:
+    """Generic multi-pattern PII scrub: sequential global regex replace
+    (compiled once, vectorized str.replace / str.count per pattern).
+    Returns (redacted, total_hits). The M10/M16 regex machinery pointed at
+    the privacy problem every training-data pipeline has."""
+    pats = patterns if patterns is not None else _REDACT_PATTERNS
+    out = series.astype(str)
+    hits = pd.Series(np.zeros(len(series), dtype=np.int64), index=series.index)
+    for pat, repl in pats:
+        hits = hits + out.str.count(pat).astype("int64")
+        out = out.str.replace(pat, repl, regex=True)
+    return out, hits
+
+
+def q60_redact_pii(sf_dir: str):
+    """PII redaction over customer names (the only column in the corpus
+    with real ID digit-runs; emails/phones are exercised by the planted
+    pytest). Stateless vectorized map_batches — no exchange."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        red, hits = redact_text(df.c_name)
+        return pd.DataFrame(
+            {"c_custkey": df.c_custkey.astype("int64"), "redacted": red, "n_hits": hits}
+        )
+
+    return ds.map_batches(scrub, batch_format="pandas")
+
+
+def _q60_sql() -> str:
+    expr = "c_name"
+    hit_terms = []
+    for pat, repl in _REDACT_PATTERNS:
+        hit_terms.append(f"len(regexp_extract_all({expr}, '{pat}'))")
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    hits = " + ".join(hit_terms)
+    return f"""
+SELECT c_custkey, {expr} AS redacted, CAST({hits} AS BIGINT) AS n_hits
+FROM customer
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2985,6 +3095,8 @@ QUERIES = {
     "q56_bloom_anti_join": q56_bloom_anti_join,
     "q57_user_journeys": q57_user_journeys,
     "q58_heavy_hitter_tokens": q58_heavy_hitter_tokens,
+    "q59_chunk_documents": q59_chunk_documents,
+    "q60_redact_pii": q60_redact_pii,
 }
 
 ORACLE_SQL = {
@@ -3039,6 +3151,8 @@ ORACLE_SQL = {
     "q55_bloom_semi_join": _Q55_SQL,
     "q56_bloom_anti_join": _Q56_SQL,
     "q57_user_journeys": _Q57_SQL,
+    "q59_chunk_documents": _Q59_SQL,
+    "q60_redact_pii": _q60_sql(),
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -41,6 +41,8 @@ GATED = [
     "q55_bloom_semi_join",
     "q56_bloom_anti_join",
     "q57_user_journeys",
+    "q59_chunk_documents",
+    "q60_redact_pii",
 ]
 
 
