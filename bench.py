@@ -141,11 +141,13 @@ def run_bench() -> dict:
         headline = min(headline, time.time() - t0)
 
     # ---- representative query suite over the sf tables ----
+    # (skippable for --scaling subruns: the ratio uses only the headline)
     query_secs: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        _consume(QUERIES[name](sf_dir))
-        query_secs[name] = round(time.time() - t0, 3)
+    if os.environ.get("MOSR_BENCH_QUERIES", "1") != "0":
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            _consume(QUERIES[name](sf_dir))
+            query_secs[name] = round(time.time() - t0, 3)
 
     result = {
         "metric": "headline extraction wall-clock (synthetic transcripts sized to sf; "
@@ -168,7 +170,7 @@ def run_scaling() -> dict:
     """Fresh-process runs at two parallelism levels (8 and 32 CPUs)."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), MOSR_BENCH_QUERIES="0")
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
         ).stdout

@@ -12,9 +12,10 @@ sizing, output layout — with the actual codec behind a clearly marked stub
   (M2) — real, pure Python.
 - ``MediaDecoderStub``: actor-pool decode/feature stage. PNG payloads are
   decoded FOR REAL (pure-stdlib codec, functions/png.py: zlib inflate +
-  per-scanline filter reconstruction) — features, resize and re-encode all
-  operate on actual pixel data. Other formats (JPEG/GIF/video) still lack a
-  codec in this container: ``fake=True`` (default) produces deterministic
+  per-scanline filter reconstruction), as are uncompressed 24/32-bit BMPs
+  (functions/bmp.py) — features, resize and re-encode all operate on
+  actual pixel data. Other formats (JPEG/GIF/video) still lack a codec in
+  this container: ``fake=True`` (default) produces deterministic
   pseudo-features (blake2b-seeded) so the distributed plumbing is fully
   testable; ``fake=False`` raises NotImplementedError("real decode needs
   pillow/ffmpeg") at the decode site.
@@ -44,6 +45,7 @@ MEDIA_BATCH_SIZE = 16  # payloads are MB-class: keep batch x concurrency in heap
 _MAGIC = (
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"BM", "image/bmp"),
     (b"GIF8", "image/gif"),
     (b"%PDF", "application/pdf"),
     (b"RIFF", "audio/wav"),
@@ -79,8 +81,9 @@ class MediaDecoderStub:
 
     PNG payloads decode for real (pure-stdlib codec, functions/png.py) —
     reference behavior src/services/image.service.js:186-240 (sharp
-    resize/compress before feature work) — and so do RIFF/PCM WAV payloads
-    (functions/audio.py). Remaining formats (JPEG/PDF/video) are STUBBED
+    resize/compress before feature work) — as do uncompressed BMPs
+    (functions/bmp.py) and RIFF/PCM WAV payloads (functions/audio.py).
+    Remaining formats (JPEG/PDF/video) are STUBBED
     (no pillow/ffmpeg in this container); the deterministic fake keeps every
     distributed aspect real: per-actor setup, small-batch processing,
     fixed-size feature output layout. A malformed PNG/WAV is an undecodable
@@ -104,6 +107,22 @@ class MediaDecoderStub:
             return _png.decode_png(payload)
         except _png.PngError:
             return None
+
+    def _decode_bmp(self, payload: bytes):
+        """Real pixels for uncompressed 24/32-bit BMPs (functions/bmp.py)."""
+        from medical_ocr_service_ray.functions import bmp as _bmp
+
+        if not payload or bytes(payload[:2]) != b"BM":
+            return None
+        try:
+            return _bmp.decode_bmp(payload)
+        except _bmp.BmpError:
+            return None
+
+    def _decode_image(self, payload: bytes):
+        """Any real raster codec that applies (PNG, then BMP), else None."""
+        img = self._decode_png(payload)
+        return img if img is not None else self._decode_bmp(payload)
 
     def _decode_wav(self, payload: bytes):
         """Real samples for RIFF/PCM payloads, None when not decodable WAV."""
@@ -129,7 +148,7 @@ class MediaDecoderStub:
     def _features(self, payload: bytes) -> np.ndarray:
         from medical_ocr_service_ray.functions.png import image_features
 
-        img = self._decode_png(payload)
+        img = self._decode_image(payload)
         if img is not None:
             return image_features(img, self.FEATURE_DIM)
         wav = self._decode_wav(payload)
@@ -156,9 +175,10 @@ class MediaDecoderStub:
             tw, th = self.target
             out_payloads, metas = [], []
             for p, old_meta in zip(payloads, batch["meta"].to_pylist()):
-                img = self._decode_png(p)
+                img = self._decode_image(p)
                 if img is not None:
                     # real pixel path: nearest-neighbor resize + re-encode
+                    # (normalized container is PNG, whatever arrived)
                     out_payloads.append(encode_png(resize_nearest(img, tw, th)))
                     metas.append({"width": tw, "height": th, "ms": 0})
                 else:
@@ -203,29 +223,37 @@ def media_pipeline(ds, op: str = "features", concurrency=(1, 4)):
 
 
 def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
-    """Deterministic media fixture: REAL decodable PNG payloads (encoded with
-    the stdlib codec, so q26's features come from actual pixel data) mixed
-    with fake JPEG/PDF/unknown payloads that only carry valid magic numbers."""
+    """Deterministic media fixture: REAL decodable PNG/BMP/WAV payloads
+    (encoded with the stdlib codecs, so q26's features come from actual
+    pixel/sample data) mixed with fake JPEG/PDF/unknown payloads that only
+    carry valid magic numbers."""
     from medical_ocr_service_ray.functions.png import encode_png
 
     rng = np.random.default_rng(seed)
     payloads, mimes, metas = [], [], []
     from medical_ocr_service_ray.functions.audio import encode_wav
 
-    magics = [b"\xff\xd8\xff", None, b"%PDF", b"JUNK", None]
+    magics = [b"\xff\xd8\xff", None, b"%PDF", b"JUNK", None, None]
     names = [
         "image/jpeg",
         "image/png",
         "application/pdf",
         "application/octet-stream",
         "audio/wav",
+        "image/bmp",
     ]
     for i in range(n):
-        k = int(rng.integers(0, 5))
+        k = int(rng.integers(0, 6))
         if k == 1:  # real PNG: random small RGB image
             h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payloads.append(encode_png(img))
+        elif k == 5:  # real BMP: random small RGB image
+            from medical_ocr_service_ray.functions.bmp import encode_bmp
+
+            h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(img))
         elif k == 4:  # real WAV: short PCM16 sine + noise
             rate = int(rng.choice([8000, 16000]))
             t = np.arange(int(rate * rng.uniform(0.05, 0.3))) / rate
@@ -236,7 +264,7 @@ def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
             body = rng.integers(0, 256, size=int(rng.integers(500, 4000)), dtype=np.uint8).tobytes()
             payloads.append(magics[k] + body)
         # 10% declared mismatches to exercise the anti-spoof flag
-        mimes.append(names[(k + 1) % 5] if rng.random() < 0.1 else names[k])
+        mimes.append(names[(k + 1) % 6] if rng.random() < 0.1 else names[k])
         metas.append(
             {"width": int(rng.integers(100, 4000)), "height": int(rng.integers(100, 4000)),
              "ms": int(rng.integers(0, 10000))}
