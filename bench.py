@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "q58_heavy_hitter_tokens",
     "q59_chunk_documents",
     "q60_redact_pii",
+    "q61_range_join_shipments",
+    "q62_band_join_activity",
 ]
 
 

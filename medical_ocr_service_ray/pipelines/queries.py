@@ -3034,6 +3034,62 @@ FROM customer
 """
 
 
+# --------------------------------------------------------------------- q61
+
+def q61_range_join_shipments(sf_dir: str):
+    """Keyed range join (equi key + time window): every order with the count
+    and int64-exact revenue of lineitems shipped within 90 days of the order
+    date. One tagged-union bucket shuffle + per-bucket cumulative-sum double
+    asof probe — no (order x lineitem) pair explosion (stages/rangejoin.py).
+    The reference's nearest analogue is its SQL date-filtered reporting
+    (database/migration_core_tables.sql windowed queries)."""
+    from medical_ocr_service_ray.stages.rangejoin import range_join_orders_lineitem
+
+    return range_join_orders_lineitem(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]),
+    )
+
+
+_Q61_SQL = """
+SELECT o.o_orderkey,
+       CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_shipped_90d,
+       CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                         * CAST(ROUND((1 - l.l_discount) * 100) AS BIGINT)), 0)
+            AS BIGINT) AS rev4_90d
+FROM orders o LEFT JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+GROUP BY o.o_orderkey
+"""
+
+
+# --------------------------------------------------------------------- q62
+
+def q62_band_join_activity(sf_dir: str):
+    """Pure band join (no equi key): for each purchase event, the count of
+    ALL events within +/-1 hour — per-row temporal context density. Time
+    sliced into 2h buckets, probes fanned out x3, one searchsorted per
+    bucket (stages/rangejoin.py); partial counts combine per probe id."""
+    from medical_ocr_service_ray.stages.rangejoin import band_join_events
+
+    return band_join_events(
+        _read(sf_dir, "events", ["event_id", "ts", "event_type"]),
+        band_seconds=3600,
+        probe_type="purchase",
+    )
+
+
+_Q62_SQL = """
+SELECT p.event_id, CAST(COUNT(e.event_id) AS BIGINT) AS n_nearby
+FROM events p JOIN events e
+  ON e.ts BETWEEN p.ts - INTERVAL 3600 SECOND AND p.ts + INTERVAL 3600 SECOND
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -3097,6 +3153,8 @@ QUERIES = {
     "q58_heavy_hitter_tokens": q58_heavy_hitter_tokens,
     "q59_chunk_documents": q59_chunk_documents,
     "q60_redact_pii": q60_redact_pii,
+    "q61_range_join_shipments": q61_range_join_shipments,
+    "q62_band_join_activity": q62_band_join_activity,
 }
 
 ORACLE_SQL = {
@@ -3153,6 +3211,8 @@ ORACLE_SQL = {
     "q57_user_journeys": _Q57_SQL,
     "q59_chunk_documents": _Q59_SQL,
     "q60_redact_pii": _q60_sql(),
+    "q61_range_join_shipments": _Q61_SQL,
+    "q62_band_join_activity": _Q62_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -43,6 +43,8 @@ GATED = [
     "q57_user_journeys",
     "q59_chunk_documents",
     "q60_redact_pii",
+    "q61_range_join_shipments",
+    "q62_band_join_activity",
 ]
 
 
