@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "q60_redact_pii",
     "q61_range_join_shipments",
     "q62_band_join_activity",
+    "q63_weighted_sample",
+    "q65_minmax_normalize",
 ]
 
 

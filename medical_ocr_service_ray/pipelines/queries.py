@@ -3090,6 +3090,165 @@ GROUP BY p.event_id
 """
 
 
+# --------------------------------------------------------------------- q63
+
+def q63_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): rank by ln(u)/w with u derived from the shared Knuth
+    hash (same arithmetic as q35/q37, so DuckDB reproduces the EXACT rows;
+    ln and IEEE division are bit-identical across both engines). Weight =
+    n_chars, k = 50. Per-batch partial top-k -> tiny driver merge (bounded
+    at k rows per input block) — the q12/q3 pattern; no shuffle."""
+    from medical_ocr_service_ray.stages.sampling import KNUTH
+
+    k = 50
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.n_chars > 0]
+        h = (df.doc_id.to_numpy(np.uint64) * np.uint64(KNUTH)) % np.uint64(1 << 32)
+        u = (h.astype(np.float64) + 0.5) / float(1 << 32)
+        key = np.log(u) / df.n_chars.to_numpy(np.float64)
+        out = pd.DataFrame(
+            {
+                "doc_id": df.doc_id.astype("int64").to_numpy(),
+                "n_chars": df.n_chars.astype("int64").to_numpy(),
+                "key": key,
+            }
+        )
+        return out.sort_values(
+            ["key", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    parts = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    top = parts.to_pandas()  # <= k rows per block by construction
+    top = top.sort_values(["key", "doc_id"], ascending=[False, True], kind="mergesort")
+    return top.head(k)[["doc_id", "n_chars"]].reset_index(drop=True)
+
+
+_Q63_SQL = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ln(((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0)
+           / n_chars AS key
+  FROM documents WHERE n_chars > 0
+) ORDER BY key DESC, doc_id LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------- q64
+
+def q64_source_lang_entropy(sf_dir: str):
+    """Label-distribution entropy per corpus source (the dataset-quality
+    check a training pipeline runs before mixing corpora): Shannon entropy
+    of the language mix, 1e6-quantized ln (the q43 idiom) so the oracle
+    hash-matches. entropy_q ~= 1e6 * H(lang | source) in nats. One partial
+    per batch, one bucket shuffle keyed on source."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["source", "lang"], as_index=False).size()
+        return out.rename(columns={"size": "c"})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"], as_index=False).agg(c=("c", "sum"))
+        c = g.c.to_numpy(np.int64)
+        lnq = np.floor(1e6 * np.log(c.astype(np.float64))).astype(np.int64)
+        g = g.assign(clnc=c * lnq)
+        out = g.groupby("source", as_index=False).agg(
+            n_docs=("c", "sum"), s=("clnc", "sum")
+        )
+        n = out.n_docs.to_numpy(np.int64)
+        lnn = np.floor(1e6 * np.log(n.astype(np.float64))).astype(np.int64)
+        # clamp before the floor-div: numpy floors, DuckDB truncates — both
+        # agree on non-negatives, and quantization can push a near-zero
+        # entropy numerator epsilon-negative
+        num = np.maximum(n * lnn - out.s.to_numpy(np.int64), 0)
+        return pd.DataFrame(
+            {
+                "source": out.source,
+                "n_docs": n,
+                "entropy_q": (num // n).astype("int64"),
+            }
+        )
+
+    return partial_then_combine(
+        _read(sf_dir, "documents", ["source", "lang"]), partial, "source", combine
+    )
+
+
+_Q64_SQL = """
+WITH cl AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+), s AS (
+  SELECT source, SUM(c) AS n_docs,
+         SUM(c * CAST(FLOOR(1000000 * LN(c)) AS BIGINT)) AS s
+  FROM cl GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(GREATEST(n_docs * CAST(FLOOR(1000000 * LN(n_docs)) AS BIGINT) - s, 0)
+            // n_docs AS BIGINT) AS entropy_q
+FROM s
+"""
+
+
+# --------------------------------------------------------------------- q65
+
+def q65_minmax_normalize(sf_dir: str):
+    """Per-group min-max feature normalization (classic ML preprocessing):
+    value scaled to [0, 1e6] within its event_type. Two passes: a
+    driver-combined min/max per type (bounded cardinality — the A3
+    pattern), broadcast via ray.put, then a stateless vectorized map.
+    Integer-exact: cents in, floor-div out."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"event_type": df.event_type, "v": _cents(df.value)})
+        return d.groupby("event_type", as_index=False).agg(mn=("v", "min"), mx=("v", "max"))
+
+    def mm_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(mn=("mn", "min"), mx=("mx", "max"))
+
+    mm = driver_combine(ds, mm_partial, mm_combine)
+    ref = ray.put(
+        {t: (int(a), int(b)) for t, a, b in zip(mm.event_type, mm.mn, mm.mx)}
+    )
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(ref)
+        mn = df.event_type.map(lambda t: table[t][0]).to_numpy(np.int64)
+        mx = df.event_type.map(lambda t: table[t][1]).to_numpy(np.int64)
+        v = _cents(df.value).to_numpy()
+        span = mx - mn
+        norm = np.where(span > 0, (v - mn) * 1_000_000 // np.maximum(span, 1), 0)
+        return pd.DataFrame(
+            {
+                "event_id": df.event_id.astype("int64"),
+                "event_type": df.event_type,
+                "norm_q": norm.astype("int64"),
+            }
+        )
+
+    return ds.map_batches(normalize, batch_format="pandas")
+
+
+_Q65_SQL = """
+SELECT event_id, event_type,
+       CASE WHEN mx = mn THEN 0
+            ELSE (CAST(ROUND(value * 100) AS BIGINT) - mn) * 1000000 // (mx - mn)
+       END AS norm_q
+FROM (
+  SELECT event_id, event_type, value,
+         MIN(CAST(ROUND(value * 100) AS BIGINT)) OVER (PARTITION BY event_type) AS mn,
+         MAX(CAST(ROUND(value * 100) AS BIGINT)) OVER (PARTITION BY event_type) AS mx
+  FROM events
+)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -3155,6 +3314,9 @@ QUERIES = {
     "q60_redact_pii": q60_redact_pii,
     "q61_range_join_shipments": q61_range_join_shipments,
     "q62_band_join_activity": q62_band_join_activity,
+    "q63_weighted_sample": q63_weighted_sample,
+    "q64_source_lang_entropy": q64_source_lang_entropy,
+    "q65_minmax_normalize": q65_minmax_normalize,
 }
 
 ORACLE_SQL = {
@@ -3213,6 +3375,9 @@ ORACLE_SQL = {
     "q60_redact_pii": _q60_sql(),
     "q61_range_join_shipments": _Q61_SQL,
     "q62_band_join_activity": _Q62_SQL,
+    "q63_weighted_sample": _Q63_SQL,
+    "q64_source_lang_entropy": _Q64_SQL,
+    "q65_minmax_normalize": _Q65_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

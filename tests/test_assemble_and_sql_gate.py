@@ -45,6 +45,9 @@ GATED = [
     "q60_redact_pii",
     "q61_range_join_shipments",
     "q62_band_join_activity",
+    "q63_weighted_sample",
+    "q64_source_lang_entropy",
+    "q65_minmax_normalize",
 ]
 
 
