@@ -13,15 +13,17 @@
 
 2. **Band join, no equi key** (``band_join_events``): "count rows within
    +/-band of each probe row" — interval self-join on time alone. Plan:
-   slice time into buckets of width 2*band; every build row lands in
-   exactly ONE bucket (its own), every probe is replicated to its bucket
-   +/-1 (fixed 3x fan-out); inside a bucket the band intersected with the
-   bucket's span is a contiguous ts interval, so a single global
-   ``np.searchsorted`` over the bucket's sorted build timestamps answers
-   every probe. Partial counts then combine per probe id (<= 3 partials
-   each). Skew note: a hot time bucket is bounded by bucket width, not key
-   cardinality — at 100 TB shrink the band bucket width (more buckets),
-   never the shuffle bucket count.
+   slice time into chunks of ``chunk_factor * 2 * band``; every probe goes
+   to exactly ONE chunk (its own), build rows are replicated into a
+   neighbor chunk only when they sit within ``band`` of a chunk edge
+   (expected fan-out 1 + 1/chunk_factor, vs 3x for probe replication), so
+   each chunk task holds EVERY build row any of its probes can match and a
+   single ``np.searchsorted`` over the chunk's sorted build timestamps
+   emits final counts directly — ONE all-to-all total, no second
+   per-probe combine exchange (measured: the 2-exchange variant paid
+   ~1.9 s flat per Sort on this box). Skew note: a hot time chunk is
+   bounded by chunk width, not key cardinality — at 100 TB shrink
+   chunk_factor (more chunks), never the shuffle bucket count.
 
 Neither the reference nor Ray Data ships these; the reference's nearest
 analogue is SQL-side windowed reporting (database/migration_*.sql date
@@ -131,7 +133,11 @@ def range_join_orders_lineitem(
             }
         )
 
-    return bucketed_combine(unified, "key", combine, num_buckets=num_buckets)
+    # both prep stages emit many small projected blocks; bundle before the
+    # exchange so the sort pays per-byte, not per-block (aggregate.py note)
+    return bucketed_combine(
+        unified, "key", combine, num_buckets=num_buckets, map_batch_size=1 << 17
+    )
 
 
 def band_join_events(
@@ -139,66 +145,81 @@ def band_join_events(
     band_seconds: int = 3600,
     probe_type: str = "purchase",
     num_buckets: int = 16,
+    chunk_factor: int = 16,
 ) -> "rd.Dataset":
     """Pure (no-equi-key) band self-join: for each event of ``probe_type``,
     count ALL events (any user, any type, the probe itself included) with
     ts within +/- band_seconds. Returns (event_id, n_nearby)."""
     band = int(band_seconds) * 1_000_000
-    width = 2 * band  # bucket width >= band interval length => +/-1 covers
+    # chunk width >> band: probes never replicate; build rows replicate to a
+    # neighbor chunk only from the band-wide strips at the chunk edges
+    cw = int(chunk_factor) * 2 * band
 
     def prep_build(df: pd.DataFrame) -> pd.DataFrame:
         ts = _us(df.ts).to_numpy()
-        return pd.DataFrame(
-            {
-                "tbucket": ts // width,
-                "side": np.int8(0),
-                "ts_us": ts,
-                "event_id": np.int64(-1),
-            }
-        )
+        home = ts // cw
+        parts = [pd.DataFrame({"chunk": home, "side": np.int8(0), "ts_us": ts})]
+        for shifted in (ts - band, ts + band):
+            nb = shifted // cw
+            edge = nb != home
+            if edge.any():
+                parts.append(
+                    pd.DataFrame(
+                        {"chunk": nb[edge], "side": np.int8(0), "ts_us": ts[edge]}
+                    )
+                )
+        out = pd.concat(parts, ignore_index=True)
+        out["event_id"] = np.int64(-1)
+        return out
 
     def prep_probes(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df.event_type == probe_type]
         ts = _us(df.ts).to_numpy()
-        eid = df.event_id.astype("int64").to_numpy()
-        b = ts // width
-        out = []
-        for delta in (-1, 0, 1):  # fixed 3x probe fan-out
-            out.append(
-                pd.DataFrame(
-                    {"tbucket": b + delta, "side": np.int8(1), "ts_us": ts, "event_id": eid}
-                )
-            )
-        return pd.concat(out, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "chunk": ts // cw,
+                "side": np.int8(1),
+                "ts_us": ts,
+                "event_id": df.event_id.astype("int64").to_numpy(),
+            }
+        )
 
     unified = events.map_batches(prep_build, batch_format="pandas").union(
         events.map_batches(prep_probes, batch_format="pandas")
     )
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def per_chunk(df: pd.DataFrame) -> pd.DataFrame:
         pr = df[df.side == 1]
         if pr.empty:
             return pd.DataFrame(
-                {"event_id": pd.Series(dtype="int64"), "pn": pd.Series(dtype="int64")}
+                {"event_id": pd.Series(dtype="int64"), "n_nearby": pd.Series(dtype="int64")}
             )
-        # build rows of every time-bucket in this task, sorted ONCE; each
-        # probe's band clipped to its target bucket's span is a contiguous
-        # interval that only that bucket's build rows can fall in.
-        ts_sorted = np.sort(df[df.side == 0].ts_us.to_numpy())
-        b = pr.tbucket.to_numpy()
-        p = pr.ts_us.to_numpy()
-        lo = np.maximum(p - band, b * width)
-        hi = np.minimum(p + band, (b + 1) * width - 1)
-        cnt = np.searchsorted(ts_sorted, hi, side="right") - np.searchsorted(
-            ts_sorted, lo, side="left"
+        # several chunks share this shuffle bucket; a probe's band must only
+        # see ITS chunk's build rows (replicas of the same build row live in
+        # different chunks, so per-chunk search also prevents double counts).
+        # Composite monotone key: chunk-major, within-chunk ts offset minor.
+        # Offsets span [-band, cw + band) (edge replicas carry a ts just
+        # outside the chunk span), so modulus M = cw + 2*band + 2 keeps the
+        # key strictly lexicographic and a probe's [lo, hi] key range can
+        # never reach another chunk's keys — one searchsorted, no clipping.
+        bd = df[df.side == 0]
+        m = cw + 2 * band + 2
+        bkey = np.sort(
+            bd.chunk.to_numpy() * m + (bd.ts_us.to_numpy() - bd.chunk.to_numpy() * cw)
+            + band + 1
         )
-        cnt = np.where(lo > hi, 0, cnt).astype("int64")
-        return pd.DataFrame({"event_id": pr.event_id.to_numpy(), "pn": cnt})
+        pchunk = pr.chunk.to_numpy()
+        p = pr.ts_us.to_numpy()
+        base = pchunk * m - pchunk * cw + band + 1
+        cnt = np.searchsorted(bkey, base + p + band, side="right") - np.searchsorted(
+            bkey, base + p - band, side="left"
+        )
+        return pd.DataFrame(
+            {"event_id": pr.event_id.to_numpy(), "n_nearby": cnt.astype("int64")}
+        )
 
-    partials = bucketed_combine(unified, "tbucket", per_bucket, num_buckets=num_buckets)
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("event_id", as_index=False).agg(n_nearby=("pn", "sum"))
-        return out.astype({"event_id": "int64", "n_nearby": "int64"})
-
-    return bucketed_combine(partials, "event_id", final, num_buckets=num_buckets)
+    # tiny tagged rows in many blocks: bundle before the exchange so the
+    # sort pays per-byte, not per-block (aggregate.py note)
+    return bucketed_combine(
+        unified, "chunk", per_chunk, num_buckets=num_buckets, map_batch_size=1 << 17
+    )
