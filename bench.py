@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "q62_band_join_activity",
     "q63_weighted_sample",
     "q65_minmax_normalize",
+    "q66_decontaminate",
 ]
 
 

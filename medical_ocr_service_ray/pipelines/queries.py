@@ -3249,6 +3249,111 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------- q66
+
+def q66_decontaminate(sf_dir: str):
+    """Train/test decontamination — the check every LLM data pipeline runs
+    before training: which TEST documents share word-bigram shingles with
+    ANY train document (split = the q35 Knuth arithmetic, so DuckDB
+    reproduces the exact membership). Unlike pairwise Jaccard (q15) this is
+    EXISTENCE per shingle, so there is no O(df^2) pair blowup and no DF cap
+    is needed: shingle explode (distinct per doc, hashed to one int64) ->
+    bucket shuffle on shingle -> per-bucket presence flag + per-doc partial
+    sums -> per-doc combine. Two linear exchanges. Returns
+    (doc_id, n_sh, n_cont, contamination_x1000) for every test doc with
+    >= 1 shingle."""
+    from medical_ocr_service_ray.functions.textstats import _NONWS_RE
+    from medical_ocr_service_ray.stages.sampling import KNUTH
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        all_sh: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            ws = _NONWS_RE.findall((txt or "").lower().strip())
+            shset = set(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+            all_sh.extend(shset)
+            counts[i] = len(shset)
+        key = pd.util.hash_array(np.asarray(all_sh, dtype=object)).astype("int64")
+        rep_ids = np.repeat(ids, counts)
+        is_test = (
+            (rep_ids.astype(np.uint64) * np.uint64(KNUTH)) % np.uint64(1 << 32) % 100
+            >= 80
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(rep_ids, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "n_sh": pa.array(np.repeat(counts, counts), pa.int64()),
+                "is_test": pa.array(is_test, pa.bool_()),
+            }
+        )
+
+    sh = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_shingle_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """All rows of a shingle key share this bucket, so train-presence is
+        globally exact here; emit one partial row per (test doc) in bucket."""
+        pres = (~df.is_test).groupby(df.key).transform("max")
+        te = df[df.is_test]
+        if te.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_sh": pd.Series(dtype="int64"),
+                    "pc": pd.Series(dtype="int64"),
+                }
+            )
+        hit = pres[te.index].to_numpy().astype("int64")
+        return (
+            pd.DataFrame({"doc_id": te.doc_id, "n_sh": te.n_sh, "pc": hit})
+            .groupby(["doc_id", "n_sh"], as_index=False)
+            .agg(pc=("pc", "sum"))
+        )
+
+    partials = bucketed_combine(sh, "key", per_shingle_bucket, num_buckets=16)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["doc_id", "n_sh"], as_index=False).agg(n_cont=("pc", "sum"))
+        return pd.DataFrame(
+            {
+                "doc_id": out.doc_id.astype("int64"),
+                "n_sh": out.n_sh.astype("int64"),
+                "n_cont": out.n_cont.astype("int64"),
+                "contamination_x1000": (
+                    1000 * out.n_cont.to_numpy(np.int64) // out.n_sh.to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return bucketed_combine(partials, "doc_id", per_doc, map_batch_size=1 << 17)
+
+
+_Q66_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS ws,
+         (doc_id * 2654435761) % 4294967296 % 100 >= 80 AS is_test
+  FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT DISTINCT doc_id, is_test, ws[i] || ' ' || ws[i+1] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+), train_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE NOT is_test
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sh,
+       CAST(COUNT(t.shingle) AS BIGINT) AS n_cont,
+       CAST(1000 * COUNT(t.shingle) // COUNT(*) AS BIGINT) AS contamination_x1000
+FROM sh s LEFT JOIN train_sh t ON s.shingle = t.shingle
+WHERE s.is_test
+GROUP BY s.doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -3317,6 +3422,7 @@ QUERIES = {
     "q63_weighted_sample": q63_weighted_sample,
     "q64_source_lang_entropy": q64_source_lang_entropy,
     "q65_minmax_normalize": q65_minmax_normalize,
+    "q66_decontaminate": q66_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -3378,6 +3484,7 @@ ORACLE_SQL = {
     "q63_weighted_sample": _Q63_SQL,
     "q64_source_lang_entropy": _Q64_SQL,
     "q65_minmax_normalize": _Q65_SQL,
+    "q66_decontaminate": _Q66_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

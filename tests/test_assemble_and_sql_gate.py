@@ -48,6 +48,7 @@ GATED = [
     "q63_weighted_sample",
     "q64_source_lang_entropy",
     "q65_minmax_normalize",
+    "q66_decontaminate",
 ]
 
 
