@@ -3354,6 +3354,61 @@ GROUP BY s.doc_id
 """
 
 
+# --------------------------------------------------------------------- q67
+
+def q67_json_field_rollup(sf_dir: str):
+    """Semi-structured field promotion: parse the JSON ``props`` payload
+    per event (stdlib json — a real per-record decode kernel, like the HTML
+    extraction core; there is no vectorized JSON kernel in this container),
+    promote ``$.k`` to a typed column, roll up per event_type. Bounded
+    key cardinality -> the A3 driver_combine pattern. Malformed/missing
+    payloads count as absent, mirroring SQL NULL semantics."""
+    import json
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ks = []
+        for s in df.props:
+            try:
+                v = json.loads(s).get("k") if s else None
+            except (ValueError, AttributeError):
+                v = None
+            ks.append(v if isinstance(v, int) else None)
+        d = pd.DataFrame({"event_type": df.event_type, "k": pd.array(ks, dtype="Int64")})
+        g = d.groupby("event_type", as_index=False).agg(
+            n_events=("k", "size"),
+            n_k=("k", "count"),
+            sum_k=("k", "sum"),
+            max_k=("k", "max"),
+        )
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"),
+            n_k=("n_k", "sum"),
+            sum_k=("sum_k", "sum"),
+            max_k=("max_k", "max"),
+        )
+        for c in ("n_events", "n_k", "sum_k", "max_k"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return driver_combine(ds, partial, combine)
+
+
+_Q67_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -3423,6 +3478,7 @@ QUERIES = {
     "q64_source_lang_entropy": q64_source_lang_entropy,
     "q65_minmax_normalize": q65_minmax_normalize,
     "q66_decontaminate": q66_decontaminate,
+    "q67_json_field_rollup": q67_json_field_rollup,
 }
 
 ORACLE_SQL = {
@@ -3485,6 +3541,7 @@ ORACLE_SQL = {
     "q64_source_lang_entropy": _Q64_SQL,
     "q65_minmax_normalize": _Q65_SQL,
     "q66_decontaminate": _Q66_SQL,
+    "q67_json_field_rollup": _Q67_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

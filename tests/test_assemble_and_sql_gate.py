@@ -49,6 +49,7 @@ GATED = [
     "q64_source_lang_entropy",
     "q65_minmax_normalize",
     "q66_decontaminate",
+    "q67_json_field_rollup",
 ]
 
 
