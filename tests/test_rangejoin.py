@@ -105,6 +105,94 @@ class TestBandJoin:
         # self + ids 1, 2, 5
         assert int(out.n_nearby.iloc[0]) == 4
 
+    def test_randomized_vs_bruteforce(self, ray_session):
+        """200 random events x 3 seeds against an O(n^2) pandas oracle —
+        catches alignment/off-by-one bugs the planted cases can't."""
+        import numpy as np
+
+        from medical_ocr_service_ray.stages.rangejoin import band_join_events
+
+        for seed in (1, 2, 3):
+            rng = np.random.default_rng(seed)
+            n = 200
+            t0 = pd.Timestamp("2024-03-01").value // 1000  # us
+            ts_us = t0 + rng.integers(0, 3_000_000_000, size=n)  # 50 min span
+            types = rng.choice(["purchase", "view", "click"], size=n)
+            events = pd.DataFrame(
+                {
+                    "event_id": np.arange(n, dtype="int64"),
+                    "ts": pd.to_datetime(ts_us, unit="us"),
+                    "event_type": types,
+                }
+            )
+            band_s = int(rng.integers(5, 120))
+            got = (
+                band_join_events(
+                    _ds(events), band_seconds=band_s, probe_type="purchase", num_buckets=5
+                )
+                .to_pandas()
+                .sort_values("event_id")
+                .reset_index(drop=True)
+            )
+            band_us = band_s * 1_000_000
+            probes = events[events.event_type == "purchase"]
+            want = pd.DataFrame(
+                {
+                    "event_id": probes.event_id.to_numpy(),
+                    "n_nearby": [
+                        int(((ts_us >= p - band_us) & (ts_us <= p + band_us)).sum())
+                        for p in ts_us[probes.index.to_numpy()]
+                    ],
+                }
+            ).sort_values("event_id").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_randomized_keyed_vs_bruteforce(self, ray_session):
+        import numpy as np
+
+        from medical_ocr_service_ray.stages.rangejoin import range_join_orders_lineitem
+
+        rng = np.random.default_rng(7)
+        n_orders, n_lines = 60, 400
+        d0 = pd.Timestamp("2024-01-01")
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(n_orders, dtype="int64"),
+                "o_orderdate": d0 + pd.to_timedelta(rng.integers(0, 200, n_orders), unit="D"),
+            }
+        )
+        lineitem = pd.DataFrame(
+            {
+                "l_orderkey": rng.integers(0, n_orders, n_lines).astype("int64"),
+                "l_shipdate": d0 + pd.to_timedelta(rng.integers(0, 300, n_lines), unit="D"),
+                "l_extendedprice": rng.integers(1, 1000, n_lines) / 10.0,
+                "l_discount": rng.integers(0, 50, n_lines) / 100.0,
+            }
+        )
+        got = (
+            range_join_orders_lineitem(_ds(orders), _ds(lineitem), num_buckets=4)
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        m = orders.merge(lineitem, left_on="o_orderkey", right_on="l_orderkey")
+        inwin = m[
+            (m.l_shipdate >= m.o_orderdate)
+            & (m.l_shipdate < m.o_orderdate + pd.Timedelta(days=90))
+        ].copy()
+        inwin["rev4"] = (inwin.l_extendedprice * 100).round().astype("int64") * (
+            (1 - inwin.l_discount) * 100
+        ).round().astype("int64")
+        agg = inwin.groupby("o_orderkey").agg(
+            n_shipped_90d=("l_orderkey", "size"), rev4_90d=("rev4", "sum")
+        )
+        want = (
+            agg.reindex(orders.o_orderkey, fill_value=0)
+            .reset_index()
+            .astype({"n_shipped_90d": "int64", "rev4_90d": "int64"})
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
     def test_no_probes_yields_empty(self, ray_session):
         from medical_ocr_service_ray.stages.rangejoin import band_join_events
 
