@@ -2296,13 +2296,77 @@ def q46_kmeans_clusters(sf_dir: str):
     iterations): fit via per-iteration broadcast + one streaming partial-sum
     pass, then one labeling pass. Integer arithmetic end-to-end makes the
     result bit-deterministic and partitioning-invariant (pytest equality vs
-    a same-arithmetic numpy reference). Iterative — declared non-SQL-
-    expressible, rows-only driver check (like q31/q40 sketches)."""
+    a same-arithmetic numpy reference) — and, since every step is exact
+    int64 (floor-quantize, int argmin with lowest-index ties, floor-divided
+    centroid updates), the WHOLE iteration unrolls into an exact DuckDB
+    oracle (``_q46_sql``): iterative != non-SQL-expressible when the
+    arithmetic is integer and the iteration count is fixed."""
     from medical_ocr_service_ray.stages.kmeans import kmeans_assign, kmeans_fit
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     centroids = kmeans_fit(ds, k=8, iters=4)
     return kmeans_assign(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), centroids)
+
+
+def _q46_sql(k: int = 8, iters: int = 4, dim: int = 64, scale: int = 1024) -> str:
+    """Unrolled Lloyd's iterations as CTE layers. Exactness argument:
+    quantized coords |q| <= ~scale, so dots <= dim*scale^2 ~ 6.7e7 — integer-
+    valued doubles well under 2^53; assignment scores CAST back to BIGINT are
+    exact. Ties -> lowest cluster via the window ORDER BY. Centroid update
+    subtracts the positive floor-mod before dividing, so truncating division
+    equals numpy's floor division on negative sums. Empty clusters keep the
+    previous centroid (COALESCE), mirroring kmeans_fit."""
+    parts = [
+        f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x * {scale} + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+  FROM q ORDER BY vec_id LIMIT {k}
+)"""
+    ]
+    for it in range(1, iters + 1):
+        prev, cur = f"c{it - 1}", f"c{it}"
+        parts.append(
+            f""", a{it} AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT q.vec_id, q.v, c.cluster,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CAST(list_inner_product(c.c, c.c) AS BIGINT)
+                      - 2 * CAST(list_inner_product(q.v, c.c) AS BIGINT),
+                      c.cluster) AS rn
+    FROM q, {prev} c) WHERE rn = 1
+), upd{it} AS (
+  SELECT cluster, list(cj ORDER BY i) AS c FROM (
+    SELECT cluster, i,
+           CAST((s - (((s % n) + n) % n)) / n AS BIGINT) AS cj
+    FROM (
+      SELECT a.cluster, t.i, SUM(a.v[t.i]) AS s, COUNT(*) AS n
+      FROM a{it} a, UNNEST(generate_series(1, {dim})) AS t(i)
+      GROUP BY a.cluster, t.i))
+  GROUP BY cluster
+), {cur} AS (
+  SELECT p.cluster, COALESCE(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN upd{it} u USING (cluster)
+)"""
+        )
+    parts.append(
+        f"""
+SELECT vec_id, cluster FROM (
+  SELECT q.vec_id, c.cluster,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY CAST(list_inner_product(c.c, c.c) AS BIGINT)
+                    - 2 * CAST(list_inner_product(q.v, c.c) AS BIGINT),
+                    c.cluster) AS rn
+  FROM q, c{iters} c) WHERE rn = 1
+"""
+    )
+    return "".join(parts)
 
 
 # --------------------------------------------------------------------- q47
@@ -3540,6 +3604,7 @@ ORACLE_SQL = {
     "q63_weighted_sample": _Q63_SQL,
     "q64_source_lang_entropy": _Q64_SQL,
     "q65_minmax_normalize": _Q65_SQL,
+    "q46_kmeans_clusters": _q46_sql(),
     "q66_decontaminate": _Q66_SQL,
     "q67_json_field_rollup": _Q67_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):

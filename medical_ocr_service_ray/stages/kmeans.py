@@ -41,7 +41,11 @@ SCALE = 1024  # power of two: quantization is exact halving-friendly
 
 
 def quantize(vectors: np.ndarray) -> np.ndarray:
-    return np.rint(np.asarray(vectors, dtype=np.float64) * SCALE).astype(np.int64)
+    # floor(x*SCALE + 0.5), NOT np.rint: the embeddings' float32 mantissas DO
+    # land exactly on .5 after *1024, and half-even (rint) has no DuckDB
+    # equivalent — floor(+0.5) is the same arithmetic in both engines, which
+    # is what lets q46 carry an exact unrolled-SQL oracle
+    return np.floor(np.asarray(vectors, dtype=np.float64) * SCALE + 0.5).astype(np.int64)
 
 
 def assign(q: np.ndarray, centroids: np.ndarray) -> np.ndarray:
