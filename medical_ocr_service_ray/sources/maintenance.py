@@ -1,0 +1,162 @@
+"""Table-maintenance utilities for parquet datasets at scale.
+
+Two operations every 100-TB lake needs and no transform query covers:
+
+- ``compact_parquet``: the small-files problem. Long-running ingest (or a
+  resumable shard writer like pipelines/extraction.py) leaves thousands of
+  KB-class part files; reads then pay per-file open/footer cost instead of
+  per-byte scan cost. Compaction rewrites a directory into
+  ~target-sized files: file count derives from the INPUT BYTES (not row
+  count — rows/byte varies wildly across schemas), the rewrite is a
+  streaming Ray Data read -> repartition -> write (never materializes the
+  table on the driver), and output goes to a fresh directory + atomic
+  rename so a crashed compaction never destroys the input.
+
+- ``collect_parquet_stats``: data-catalog column stats (rows, nulls,
+  min/max) WITHOUT scanning data — parquet footers already carry per-
+  row-group statistics; this reads ONLY metadata (KBs per file regardless
+  of file size) and reduces it. At 100 TB this is the difference between a
+  catalog refresh costing seconds and costing a full-table scan. Footer
+  reads fan out as a Ray Data map over the file list.
+
+Reference analogue: the reference's batch-job bookkeeping scans its upload
+tables for sizes/status (database/migration_ingestion_jobs.sql); these are
+the lake-native equivalents.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+
+def compact_parquet(
+    in_dir: str | Path,
+    out_dir: str | Path,
+    target_mb: int = 128,
+) -> dict:
+    """Rewrite ``in_dir``'s parquet files into ~target_mb files at
+    ``out_dir`` (fresh dir + atomic rename). Returns a summary dict
+    {files_in, files_out, rows, bytes_in}."""
+    import shutil
+
+    in_dir = Path(in_dir)
+    files = sorted(str(p) for p in in_dir.rglob("*.parquet"))
+    if not files:
+        raise ValueError(f"no parquet files under {in_dir}")
+    bytes_in = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-bytes_in // (target_mb << 20)))  # ceil
+
+    tmp = Path(str(out_dir) + ".compacting")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds = rd.read_parquet(files)
+    ds.repartition(int(n_out)).write_parquet(str(tmp))
+
+    rows_in = sum(pq.read_metadata(f).num_rows for f in files)
+    out_files = sorted(str(p) for p in tmp.rglob("*.parquet"))
+    rows_out = sum(pq.read_metadata(f).num_rows for f in out_files)
+    if rows_out != rows_in:  # refuse to publish a lossy rewrite
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(f"compaction row mismatch: {rows_in} in, {rows_out} out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return {
+        "files_in": len(files),
+        "files_out": len(out_files),
+        "rows": rows_out,
+        "bytes_in": bytes_in,
+    }
+
+
+def _stats_of_file(path: str) -> list[dict]:
+    """Per-column stats of ONE file from its footer only."""
+    md = pq.read_metadata(path)
+    schema = md.schema.to_arrow_schema()
+    acc: dict[str, dict] = {
+        name: {"nulls": 0, "min": None, "max": None} for name in schema.names
+    }
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in acc:  # nested leaf (e.g. list element) — skip
+                continue
+            a = acc[name]
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                a["nulls"] += st.null_count
+            if st.has_min_max:
+                a["min"] = st.min if a["min"] is None else min(a["min"], st.min)
+                a["max"] = st.max if a["max"] is None else max(a["max"], st.max)
+    import base64
+    import pickle
+
+    # min/max cross-file reduction must compare NATIVE values (string repr
+    # would sort "9" > "10"); ship them pickled, reduce on the driver
+    return [
+        {
+            "column": name,
+            "rows": md.num_rows,
+            "nulls": a["nulls"],
+            "minmax_b64": base64.b64encode(
+                pickle.dumps((a["min"], a["max"]))
+            ).decode("ascii"),
+        }
+        for name, a in acc.items()
+    ]
+
+
+def collect_parquet_stats(in_dir: str | Path) -> "pd.DataFrame":
+    """Catalog stats for every column under ``in_dir`` — footer reads only,
+    fanned out as Ray tasks over the file list; the per-file rows are tiny
+    (columns x files) so the final reduce is a driver-side pandas groupby."""
+    import pandas as pd
+
+    files = sorted(str(p) for p in Path(in_dir).rglob("*.parquet"))
+    if not files:
+        raise ValueError(f"no parquet files under {in_dir}")
+
+    def per_file(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for p in batch["path"].to_pylist():
+            rows.extend(_stats_of_file(p))
+        return pa.Table.from_pylist(rows)
+
+    parts = (
+        rd.from_items([{"path": f} for f in files])
+        .map_batches(per_file, batch_format="pyarrow", batch_size=8)
+        .to_pandas()  # bounded: columns x files rows of footer metadata
+    )
+
+    import base64
+    import pickle
+
+    rows = []
+    for col, sub in parts.groupby("column"):
+        mins, maxs = [], []
+        for b in sub.minmax_b64:
+            mn, mx = pickle.loads(base64.b64decode(b))
+            if mn is not None:
+                mins.append(mn)
+            if mx is not None:
+                maxs.append(mx)
+        rows.append(
+            {
+                "column": col,
+                "rows": int(sub.rows.sum()),
+                "nulls": int(sub.nulls.sum()),
+                "min": repr(min(mins)) if mins else None,
+                "max": repr(max(maxs)) if maxs else None,
+            }
+        )
+    return (
+        pd.DataFrame(rows).sort_values("column").reset_index(drop=True)
+    )

@@ -1,0 +1,76 @@
+"""Table-maintenance utilities (sources/maintenance.py): small-file
+compaction (row-exact, atomic publish) and footer-only catalog stats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture
+def shardy_dir(tmp_path):
+    """40 tiny parquet shards with a known global min/max and nulls."""
+    rng = np.random.default_rng(3)
+    rows = 0
+    for i in range(40):
+        n = int(rng.integers(50, 150))
+        vals = rng.integers(-1000, 1000, n)
+        t = pa.table(
+            {
+                "id": pa.array(np.arange(rows, rows + n), pa.int64()),
+                "v": pa.array(vals, pa.int64()),
+                "name": pa.array(
+                    [None if rng.random() < 0.1 else f"u{int(x):04d}" for x in vals]
+                ),
+            }
+        )
+        pq.write_table(t, tmp_path / f"part-{i:03d}.parquet")
+        rows += n
+    return tmp_path, rows
+
+
+class TestCompaction:
+    def test_row_exact_and_fewer_files(self, ray_session, shardy_dir, tmp_path):
+        from medical_ocr_service_ray.sources.maintenance import compact_parquet
+
+        in_dir, rows = shardy_dir
+        out = tmp_path / "compacted"
+        res = compact_parquet(in_dir, out, target_mb=1)
+        assert res["rows"] == rows
+        assert res["files_in"] == 40
+        assert res["files_out"] < res["files_in"]
+        got = pq.read_table(out)
+        assert got.num_rows == rows
+        # content identical (order-insensitive)
+        a = pq.read_table(sorted(str(p) for p in in_dir.glob("*.parquet"))).to_pandas()
+        b = got.to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("id").reset_index(drop=True),
+            b.sort_values("id").reset_index(drop=True),
+        )
+
+    def test_no_files_raises(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.sources.maintenance import compact_parquet
+
+        (tmp_path / "empty").mkdir()
+        with pytest.raises(ValueError):
+            compact_parquet(tmp_path / "empty", tmp_path / "out")
+
+
+class TestCatalogStats:
+    def test_matches_full_scan(self, ray_session, shardy_dir):
+        from medical_ocr_service_ray.sources.maintenance import collect_parquet_stats
+
+        in_dir, rows = shardy_dir
+        stats = collect_parquet_stats(in_dir).set_index("column")
+        full = pq.read_table(sorted(str(p) for p in in_dir.glob("*.parquet"))).to_pandas()
+        assert int(stats.loc["v", "rows"]) == rows
+        assert stats.loc["v", "min"] == repr(int(full.v.min()))
+        assert stats.loc["v", "max"] == repr(int(full.v.max()))
+        assert int(stats.loc["name", "nulls"]) == int(full.name.isna().sum())
+        # string column min/max compare natively, not lexicographic-on-repr
+        assert stats.loc["name", "min"] == repr(full.name.dropna().min())
+        assert stats.loc["name", "max"] == repr(full.name.dropna().max())
