@@ -3283,8 +3283,10 @@ def q65_minmax_normalize(sf_dir: str):
 
     def normalize(df: pd.DataFrame) -> pd.DataFrame:
         table = ray.get(ref)
-        mn = df.event_type.map(lambda t: table[t][0]).to_numpy(np.int64)
-        mx = df.event_type.map(lambda t: table[t][1]).to_numpy(np.int64)
+        mn_map = pd.Series({t: v[0] for t, v in table.items()}, dtype="int64")
+        mx_map = pd.Series({t: v[1] for t, v in table.items()}, dtype="int64")
+        mn = df.event_type.map(mn_map).to_numpy(np.int64)
+        mx = df.event_type.map(mx_map).to_numpy(np.int64)
         v = _cents(df.value).to_numpy()
         span = mx - mn
         norm = np.where(span > 0, (v - mn) * 1_000_000 // np.maximum(span, 1), 0)
