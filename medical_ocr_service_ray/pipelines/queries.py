@@ -1931,8 +1931,12 @@ def q40_approx_quantiles(sf_dir: str):
     """Approximate value quantiles over events via a mergeable log-histogram
     sketch (DDSketch-family, <= ~1% relative error at gamma=1.02): one
     KB-sized sketch per batch, merged on the driver — the quantile companion
-    to the HLL distinct sketch (q31). Non-SQL (estimator-specific); pytest
-    bounds the error vs exact in tests/test_sketch.py."""
+    to the HLL distinct sketch (q31). The estimator is DETERMINISTIC (counts
+    in log buckets; ln/pow verified bit-identical numpy vs DuckDB on this
+    box), so unlike q31 it carries an exact SQL oracle that rebuilds the
+    same histogram; error bounds vs exact stay pytest-checked
+    (tests/test_sketch.py). num_partials (a Ray blocking detail) is
+    deliberately NOT in the output — it isn't a property of the data."""
     from medical_ocr_service_ray.stages.sketch import approx_quantiles
 
     res = approx_quantiles(
@@ -1944,9 +1948,37 @@ def q40_approx_quantiles(sf_dir: str):
             "p50": [res["p50"]],
             "p90": [res["p90"]],
             "p99": [res["p99"]],
-            "num_partials": [int(res["num_partials"])],
         }
     )
+
+
+def _q40_sql(gamma: float = 1.02) -> str:
+    """The sketch's histogram, rebuilt in SQL: bucket = CEIL(LN(v)/LN(g))
+    (bit-identical to numpy on this box — verified over the full data and
+    bucket range), rank = q*(n-1), answer = pow(g, b-0.5) of the first
+    bucket whose zero-inclusive cumulative count exceeds the rank."""
+
+    def pick(q: float) -> str:
+        return f"""
+  CASE WHEN {q} * (t.n - 1) < t.z THEN 0.0
+       ELSE (SELECT pow({gamma}, CAST(MIN(b) AS DOUBLE) - 0.5)
+             FROM cum WHERE t.z + cumc > {q} * (t.n - 1)) END"""
+
+    return f"""
+WITH vals AS (SELECT value FROM events WHERE value IS NOT NULL),
+t AS (SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE value <= 0) AS z FROM vals),
+hist AS (
+  SELECT CAST(CEIL(LN(value) / LN({gamma})) AS BIGINT) AS b, COUNT(*) AS c
+  FROM vals WHERE value > 0 GROUP BY 1
+),
+cum AS (SELECT b, SUM(c) OVER (ORDER BY b) AS cumc FROM hist)
+SELECT CAST(t.n AS BIGINT) AS n,
+       {pick(0.5)} AS p50,
+       {pick(0.9)} AS p90,
+       {pick(0.99)} AS p99
+FROM t
+"""
 
 
 def q39_corpus_prep(sf_dir: str):
@@ -3606,6 +3638,7 @@ ORACLE_SQL = {
     "q63_weighted_sample": _Q63_SQL,
     "q64_source_lang_entropy": _Q64_SQL,
     "q65_minmax_normalize": _Q65_SQL,
+    "q40_approx_quantiles": _q40_sql(),
     "q46_kmeans_clusters": _q46_sql(),
     "q66_decontaminate": _Q66_SQL,
     "q67_json_field_rollup": _Q67_SQL,

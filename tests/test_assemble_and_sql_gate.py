@@ -50,6 +50,8 @@ GATED = [
     "q65_minmax_normalize",
     "q66_decontaminate",
     "q67_json_field_rollup",
+    "q40_approx_quantiles",
+    "q46_kmeans_clusters",
 ]
 
 
