@@ -1625,17 +1625,51 @@ def q30_dedup_clusters(sf_dir: str):
 def q31_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct users over events: one mergeable
     sketch per batch, KB-sized merge instead of a row shuffle (the sketch
-    pattern for 10^12-row cardinality). Non-SQL (estimator-specific); pytest
-    bounds the error vs exact in tests/test_sketch.py."""
+    pattern for 10^12-row cardinality). The estimator is deterministic
+    (sha256-derived hashes, exact-integer register sum), so it carries an
+    exact SQL oracle that rebuilds the registers in DuckDB; the error bound
+    vs exact distinct stays pytest-checked (tests/test_sketch.py).
+    num_partials (a Ray blocking detail) is deliberately not in the output."""
     from medical_ocr_service_ray.stages.sketch import approx_distinct
 
     res = approx_distinct(_read(sf_dir, "events", ["user_id"]), "user_id")
-    return pd.DataFrame(
-        {
-            "approx_distinct": [res["approx_distinct"]],
-            "num_partials": [int(res["num_partials"])],
-        }
-    )
+    return pd.DataFrame({"approx_distinct": [res["approx_distinct"]]})
+
+
+def _q31_sql(p: int = 12) -> str:
+    """HLL registers rebuilt in SQL: h = first 8 bytes of sha256(str(id));
+    idx = top p bits (h // 2^(64-p)); rank = leading zeros of the remaining
+    64-p bits + 1 via length(bin(low)) — integer-exact, no float log2.
+    Estimate mirrors HllSketch.estimate(): integer register sum S =
+    sum(2^(64-M)) in HUGEINT (absent registers contribute 2^64 each), then
+    the identical float expression, with the same linear-counting branch."""
+    m = 1 << p
+    low_mod = 1 << (64 - p)
+    cap = 64 - p + 1
+    two64 = "CAST(1 AS HUGEINT) << 64"
+    return f"""
+WITH h AS (
+  SELECT CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS h
+  FROM events
+), reg AS (
+  SELECT h // {low_mod} AS idx,
+         MAX(CASE WHEN h % {low_mod} = 0 THEN {cap}
+                  ELSE {64 - p} - length(bin(h % {low_mod})) + 1 END) AS r
+  FROM h GROUP BY 1
+), s AS (
+  SELECT COUNT(*) AS present,
+         SUM(CAST(1 AS HUGEINT) << (64 - r)) AS s_present
+  FROM reg
+), est AS (
+  SELECT (0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0 * 18446744073709551616.0
+           / CAST(({m} - present) * ({two64}) + s_present AS DOUBLE) AS raw,
+         {m} - present AS zeros
+  FROM s
+)
+SELECT CASE WHEN raw <= 2.5 * {m}.0 AND zeros > 0
+            THEN {m}.0 * LN({m}.0 / zeros) ELSE raw END AS approx_distinct
+FROM est
+"""
 
 
 # --------------------------------------------------------------------- q32
@@ -3638,6 +3672,7 @@ ORACLE_SQL = {
     "q63_weighted_sample": _Q63_SQL,
     "q64_source_lang_entropy": _Q64_SQL,
     "q65_minmax_normalize": _Q65_SQL,
+    "q31_approx_distinct_users": _q31_sql(),
     "q40_approx_quantiles": _q40_sql(),
     "q46_kmeans_clusters": _q46_sql(),
     "q66_decontaminate": _Q66_SQL,

@@ -7,8 +7,9 @@ scale addition for cardinality questions that exact distinct can't answer at
 designed to be mergeable, so the shuffle moves KBs, not rows.
 
 Standard HLL (Flajolet et al. 2007 + small-range linear counting
-correction), deterministic blake2b hashing — results are identical at any
-parallelism / batch split because max() is commutative/associative.
+correction), deterministic sha256-derived hashing — results are identical
+at any parallelism / batch split because max() is commutative/associative,
+and SQL-reproducible because DuckDB ships sha256 (q31's exact oracle).
 """
 
 from __future__ import annotations
@@ -58,8 +59,13 @@ class HllSketch:
     def estimate(self) -> float:
         m = float(self.m)
         alpha = 0.7213 / (1.0 + 1.079 / m)
-        inv = np.power(2.0, -self.registers.astype(np.float64))
-        raw = alpha * m * m / inv.sum()
+        # register sum as an EXACT integer (sum of 2^(64-M_j), a Python int):
+        # the float form sum(2^-M_j) rounds, and its value then depends on
+        # summation ORDER — the integer sum is order-free, which is what
+        # lets the q31 DuckDB oracle reproduce the estimate bit-for-bit
+        vals, cnts = np.unique(self.registers, return_counts=True)
+        s = sum(int(c) << (64 - int(r)) for r, c in zip(vals, cnts))
+        raw = alpha * m * m * 2.0**64 / float(s)
         zeros = int((self.registers == 0).sum())
         if raw <= 2.5 * m and zeros > 0:
             return m * np.log(m / zeros)  # linear counting, small range
@@ -76,10 +82,12 @@ class HllSketch:
 
 
 def hash_column(values: list) -> np.ndarray:
-    """Deterministic 64-bit hashes (blake2b) of arbitrary values."""
+    """Deterministic 64-bit hashes of arbitrary values: the first 8 bytes of
+    sha256(str(v)) — chosen over blake2b because DuckDB ships sha256(), so
+    the whole HLL register build is SQL-reproducible (q31's oracle)."""
     return np.fromiter(
         (
-            int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big")
+            int.from_bytes(hashlib.sha256(str(v).encode()).digest()[:8], "big")
             for v in values
         ),
         dtype=np.uint64,

@@ -52,6 +52,7 @@ GATED = [
     "q67_json_field_rollup",
     "q40_approx_quantiles",
     "q46_kmeans_clusters",
+    "q31_approx_distinct_users",
 ]
 
 
