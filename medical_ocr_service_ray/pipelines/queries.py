@@ -1636,39 +1636,45 @@ def q31_approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"approx_distinct": [res["approx_distinct"]]})
 
 
-def _q31_sql(p: int = 12) -> str:
-    """HLL registers rebuilt in SQL: h = first 8 bytes of sha256(str(id));
-    idx = top p bits (h // 2^(64-p)); rank = leading zeros of the remaining
-    64-p bits + 1 via length(bin(low)) — integer-exact, no float log2.
-    Estimate mirrors HllSketch.estimate(): integer register sum S =
-    sum(2^(64-M)) in HUGEINT (absent registers contribute 2^64 each), then
-    the identical float expression, with the same linear-counting branch."""
+def _hll_estimate_sql(rows_sql: str, p: int = 12) -> str:
+    """Scalar subquery: the HLL estimate of the single-column row source
+    ``rows_sql`` (must SELECT one expression aliased ``v``). Registers
+    rebuilt exactly: h = first 8 bytes of sha256(str(v)); idx = top p bits
+    (h // 2^(64-p)); rank = leading zeros of the remaining 64-p bits + 1
+    via length(bin(low)) — integer-exact, no float log2. Estimate mirrors
+    HllSketch.estimate(): integer register sum S = sum(2^(64-M)) in HUGEINT
+    (absent registers contribute 2^64 each), then the identical float
+    expression, with the same linear-counting branch."""
     m = 1 << p
     low_mod = 1 << (64 - p)
     cap = 64 - p + 1
     two64 = "CAST(1 AS HUGEINT) << 64"
     return f"""
-WITH h AS (
-  SELECT CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS h
-  FROM events
-), reg AS (
-  SELECT h // {low_mod} AS idx,
-         MAX(CASE WHEN h % {low_mod} = 0 THEN {cap}
-                  ELSE {64 - p} - length(bin(h % {low_mod})) + 1 END) AS r
-  FROM h GROUP BY 1
-), s AS (
-  SELECT COUNT(*) AS present,
-         SUM(CAST(1 AS HUGEINT) << (64 - r)) AS s_present
-  FROM reg
-), est AS (
-  SELECT (0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0 * 18446744073709551616.0
-           / CAST(({m} - present) * ({two64}) + s_present AS DOUBLE) AS raw,
-         {m} - present AS zeros
-  FROM s
-)
-SELECT CASE WHEN raw <= 2.5 * {m}.0 AND zeros > 0
-            THEN {m}.0 * LN({m}.0 / zeros) ELSE raw END AS approx_distinct
-FROM est
+(SELECT CASE WHEN raw <= 2.5 * {m}.0 AND zeros > 0
+             THEN {m}.0 * LN({m}.0 / zeros) ELSE raw END
+ FROM (
+   SELECT (0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0 * 18446744073709551616.0
+            / CAST(({m} - present) * ({two64}) + s_present AS DOUBLE) AS raw,
+          {m} - present AS zeros
+   FROM (
+     SELECT COUNT(*) AS present,
+            SUM(CAST(1 AS HUGEINT) << (64 - r)) AS s_present
+     FROM (
+       SELECT h // {low_mod} AS idx,
+              MAX(CASE WHEN h % {low_mod} = 0 THEN {cap}
+                       ELSE {64 - p} - length(bin(h % {low_mod})) + 1 END) AS r
+       FROM (
+         SELECT CAST(('0x' || substr(sha256(CAST(v AS VARCHAR)), 1, 16)) AS UBIGINT) AS h
+         FROM ({rows_sql})
+       ) GROUP BY 1
+     )
+   )
+ ))"""
+
+
+def _q31_sql(p: int = 12) -> str:
+    return f"""
+SELECT {_hll_estimate_sql("SELECT user_id AS v FROM events", p)} AS approx_distinct
 """
 
 
@@ -3541,6 +3547,55 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------- q68
+
+def q68_hll_set_algebra(sf_dir: str):
+    """Sketch set algebra — the audience-overlap question answered without
+    any exact distinct: HLL sketches of purchasing and viewing users, union
+    by register max (merge-then-estimate == estimate-over-union because
+    registers are MAX over rows), intersection by inclusion-exclusion.
+    Deterministic end-to-end (q31's estimator), so the whole algebra has an
+    exact SQL oracle. Returns one row
+    (d_purchase, d_view, d_union, d_intersect)."""
+    from medical_ocr_service_ray.stages.sketch import sketch_distinct
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def only(event_type: str):
+        return ds.map_batches(
+            lambda df, et=event_type: df[df.event_type == et][["user_id"]],
+            batch_format="pandas",
+        )
+
+    sk_p, _ = sketch_distinct(only("purchase"), "user_id")
+    sk_v, _ = sketch_distinct(only("view"), "user_id")
+    d_p, d_v = sk_p.estimate(), sk_v.estimate()
+    d_u = sk_p.merge(sk_v).estimate()
+    return pd.DataFrame(
+        {
+            "d_purchase": [d_p],
+            "d_view": [d_v],
+            "d_union": [d_u],
+            "d_intersect": [d_p + d_v - d_u],
+        }
+    )
+
+
+def _q68_sql() -> str:
+    p = _hll_estimate_sql(
+        "SELECT user_id AS v FROM events WHERE event_type = 'purchase'"
+    )
+    v = _hll_estimate_sql("SELECT user_id AS v FROM events WHERE event_type = 'view'")
+    u = _hll_estimate_sql(
+        "SELECT user_id AS v FROM events WHERE event_type IN ('purchase', 'view')"
+    )
+    return f"""
+SELECT d_purchase, d_view, d_union,
+       d_purchase + d_view - d_union AS d_intersect
+FROM (SELECT {p} AS d_purchase, {v} AS d_view, {u} AS d_union)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -3611,6 +3666,7 @@ QUERIES = {
     "q65_minmax_normalize": q65_minmax_normalize,
     "q66_decontaminate": q66_decontaminate,
     "q67_json_field_rollup": q67_json_field_rollup,
+    "q68_hll_set_algebra": q68_hll_set_algebra,
 }
 
 ORACLE_SQL = {
@@ -3677,6 +3733,7 @@ ORACLE_SQL = {
     "q46_kmeans_clusters": _q46_sql(),
     "q66_decontaminate": _Q66_SQL,
     "q67_json_field_rollup": _Q67_SQL,
+    "q68_hll_set_algebra": _q68_sql(),
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

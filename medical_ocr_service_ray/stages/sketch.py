@@ -95,9 +95,9 @@ def hash_column(values: list) -> np.ndarray:
     )
 
 
-def approx_distinct(ds: "rd.Dataset", col: str, p: int = 12) -> dict:
-    """One HLL per batch -> merge -> estimate. Returns
-    {approx_distinct, sketch_bytes, num_partials}."""
+def sketch_distinct(ds: "rd.Dataset", col: str, p: int = 12) -> tuple["HllSketch", int]:
+    """One HLL per batch -> merged sketch object (for estimate() or further
+    set algebra via merge()). Returns (sketch, num_partials)."""
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
         sk = HllSketch(p)
@@ -108,10 +108,17 @@ def approx_distinct(ds: "rd.Dataset", col: str, p: int = 12) -> dict:
     merged = HllSketch(p)
     for row in partials:
         merged = merged.merge(HllSketch.deserialize(row["sketch"]))
+    return merged, len(partials)
+
+
+def approx_distinct(ds: "rd.Dataset", col: str, p: int = 12) -> dict:
+    """One HLL per batch -> merge -> estimate. Returns
+    {approx_distinct, sketch_bytes, num_partials}."""
+    merged, n_parts = sketch_distinct(ds, col, p)
     return {
         "approx_distinct": float(merged.estimate()),
         "sketch_bytes": merged.m,
-        "num_partials": len(partials),
+        "num_partials": n_parts,
     }
 
 

@@ -53,6 +53,7 @@ GATED = [
     "q40_approx_quantiles",
     "q46_kmeans_clusters",
     "q31_approx_distinct_users",
+    "q68_hll_set_algebra",
 ]
 
 
