@@ -53,7 +53,10 @@ BENCH_QUERIES = [
     "q62_band_join_activity",
     "q63_weighted_sample",
     "q65_minmax_normalize",
+    "q64_source_lang_entropy",
     "q66_decontaminate",
+    "q67_json_field_rollup",
+    "q68_hll_set_algebra",
 ]
 
 
