@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "q66_decontaminate",
     "q67_json_field_rollup",
     "q68_hll_set_algebra",
+    "q69_char_lm_quality",
 ]
 
 

@@ -3596,6 +3596,128 @@ FROM (SELECT {p} AS d_purchase, {v} AS d_view, {u} AS d_union)
 """
 
 
+# --------------------------------------------------------------------- q69
+
+_Q69_SENTINEL = 27  # joins docs in the packed code array; pairs touching it drop
+
+
+def _q69_clean(texts: pd.Series) -> pd.Series:
+    """lower + strip to [a-z ] — vectorized, and the identical regex runs in
+    the SQL oracle (re and RE2 agree on this class)."""
+    return texts.astype(str).str.lower().str.replace("[^a-z ]", "", regex=True)
+
+
+def _q69_codes(cleaned: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """All docs packed into ONE uint8 code array ('a'..'z' -> 0..25,
+    ' ' -> 26) with a sentinel between docs, plus per-doc start offsets —
+    one vectorized pass computes every doc's bigrams, no per-row loop."""
+    joined = "\x7f".join(cleaned)  # \x7f: never in the cleaned alphabet
+    raw = np.frombuffer(joined.encode("ascii"), dtype=np.uint8).astype(np.int64)
+    codes = np.where(raw == 0x7F, _Q69_SENTINEL, np.where(raw == 32, 26, raw - 97))
+    lens = np.array([len(t) for t in cleaned], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens[:-1] + 1)])
+    return codes, starts
+
+
+def q69_char_lm_quality(sf_dir: str):
+    """LM-based quality scoring (the CCNet/Gopher 'perplexity filter'
+    pattern): a char-bigram language model trained on the corpus itself,
+    then every doc scored by its total and mean negative log-likelihood.
+    Two passes: (1) global 27x27 bigram counts — per-batch vectorized
+    bincount partials, driver-combined (729 cells, the A3 bounded-
+    cardinality pattern) and broadcast; (2) per-pair nll values looked up
+    vectorized and summed per doc with np.add.reduceat over the packed code
+    array. 1e6-quantized ln (the q43 idiom) keeps every score int64, so the
+    DuckDB oracle reproduces it exactly. Returns
+    (doc_id, n_bigrams, nll_q_sum, nll_q_avg) for docs with >= 1 bigram."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = _q69_codes(_q69_clean(df.text).tolist())
+        if len(codes) < 2:
+            return pd.DataFrame({"bg": pd.Series(dtype="int64"), "c": pd.Series(dtype="int64")})
+        a, b = codes[:-1], codes[1:]
+        keep = (a != _Q69_SENTINEL) & (b != _Q69_SENTINEL)
+        bg = a[keep] * 27 + b[keep]
+        cnt = np.bincount(bg, minlength=729)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"bg": nz.astype("int64"), "c": cnt[nz].astype("int64")})
+
+    def count_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bg", as_index=False).agg(c=("c", "sum"))
+
+    counts = driver_combine(ds, count_partial, count_combine)
+    cnt_full = np.zeros(729, dtype=np.int64)
+    cnt_full[counts.bg.to_numpy()] = counts.c.to_numpy()
+    row_tot = cnt_full.reshape(27, 27).sum(axis=1)  # pairs starting with a
+    # quantized nll per bigram cell: lnq(rowtot[a] + 27) - lnq(cnt[ab] + 1)
+    lnq = lambda x: np.floor(1e6 * np.log(x.astype(np.float64))).astype(np.int64)  # noqa: E731
+    nll_cell = np.repeat(lnq(row_tot + 27), 27) - lnq(cnt_full + 1)
+    ref = ray.put(nll_cell)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cell = ray.get(ref)
+        cleaned = _q69_clean(df.text).tolist()
+        codes, starts = _q69_codes(cleaned)
+        if len(codes) < 2:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_bigrams": pd.Series(dtype="int64"),
+                    "nll_q_sum": pd.Series(dtype="int64"),
+                    "nll_q_avg": pd.Series(dtype="int64"),
+                }
+            )
+        a, b = codes[:-1], codes[1:]
+        keep = (a != _Q69_SENTINEL) & (b != _Q69_SENTINEL)
+        vals = np.where(keep, cell[np.minimum(a, 26) * 27 + np.minimum(b, 26)], 0)
+        pair_starts = np.minimum(starts, len(vals))
+        sums = np.add.reduceat(np.concatenate([vals, [0]]), pair_starts)
+        # reduceat over doc spans: doc i's pairs live at [starts[i], next-1)
+        # (the -1 pair crosses the sentinel and was zeroed by `keep`)
+        nb = np.maximum(np.diff(np.concatenate([starts, [len(codes) + 1]])) - 2, 0)
+        out = pd.DataFrame(
+            {
+                "doc_id": df.doc_id.astype("int64").to_numpy(),
+                "n_bigrams": nb,
+                "nll_q_sum": sums,
+            }
+        )
+        out = out[out.n_bigrams > 0]
+        out["nll_q_avg"] = out.nll_q_sum // out.n_bigrams
+        return out
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+_Q69_SQL = """
+WITH clean AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+  FROM documents
+), pairs AS (
+  SELECT doc_id, substr(t, i, 2) AS bg, substr(t, i, 1) AS a
+  FROM clean, UNNEST(generate_series(1, length(t) - 1)) AS g(i)
+  WHERE length(t) >= 2
+), cnt AS (
+  SELECT bg, COUNT(*) AS c FROM pairs GROUP BY bg
+), rowt AS (
+  SELECT a, COUNT(*) AS rt FROM pairs GROUP BY a
+), scored AS (
+  SELECT p.doc_id,
+         CAST(FLOOR(1000000 * LN(r.rt + 27)) AS BIGINT)
+           - CAST(FLOOR(1000000 * LN(c.c + 1)) AS BIGINT) AS v
+  FROM pairs p JOIN cnt c USING (bg) JOIN rowt r USING (a)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(v) AS BIGINT) AS nll_q_sum,
+       CAST(SUM(v) // COUNT(*) AS BIGINT) AS nll_q_avg
+FROM scored GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -3667,6 +3789,7 @@ QUERIES = {
     "q66_decontaminate": q66_decontaminate,
     "q67_json_field_rollup": q67_json_field_rollup,
     "q68_hll_set_algebra": q68_hll_set_algebra,
+    "q69_char_lm_quality": q69_char_lm_quality,
 }
 
 ORACLE_SQL = {
@@ -3734,6 +3857,7 @@ ORACLE_SQL = {
     "q66_decontaminate": _Q66_SQL,
     "q67_json_field_rollup": _Q67_SQL,
     "q68_hll_set_algebra": _q68_sql(),
+    "q69_char_lm_quality": _Q69_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -54,6 +54,7 @@ GATED = [
     "q46_kmeans_clusters",
     "q31_approx_distinct_users",
     "q68_hll_set_algebra",
+    "q69_char_lm_quality",
 ]
 
 
