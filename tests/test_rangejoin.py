@@ -147,6 +147,31 @@ class TestBandJoin:
             ).sort_values("event_id").reset_index(drop=True)
             pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
+    def test_hot_chunk_all_events_in_one_band(self, ray_session):
+        """Extreme time skew: every event inside ONE band width — each probe
+        matches everything. The count path must stay O(n log n) (searchsorted
+        over the chunk), never materialize the n^2 pairs."""
+        import numpy as np
+
+        from medical_ocr_service_ray.stages.rangejoin import band_join_events
+
+        rng = np.random.default_rng(11)
+        n = 500
+        t0 = pd.Timestamp("2024-05-01").value // 1000
+        ts_us = t0 + rng.integers(0, 30_000_000, size=n)  # all within 30s
+        events = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype="int64"),
+                "ts": pd.to_datetime(ts_us, unit="us"),
+                "event_type": np.where(np.arange(n) % 5 == 0, "purchase", "view"),
+            }
+        )
+        out = band_join_events(
+            _ds(events), band_seconds=120, probe_type="purchase", num_buckets=4
+        ).to_pandas()
+        assert len(out) == (n + 4) // 5
+        assert (out.n_nearby == n).all()  # every probe sees every event
+
     def test_randomized_keyed_vs_bruteforce(self, ray_session):
         import numpy as np
 
