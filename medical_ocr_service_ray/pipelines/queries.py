@@ -3718,6 +3718,53 @@ FROM scored GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------- q70
+
+def q70_grouped_hll(sf_dir: str):
+    """Sketches as DISTRIBUTED aggregation state: approx distinct users per
+    event_type, with one serialized HLL per (batch, group) partial and the
+    register merge running INSIDE a bucketed combine keyed on the group —
+    the shape q31's driver merge cannot take when the group count is large
+    (per-type here, but the plan is group-cardinality-independent).
+    Deterministic like q31, so it carries the same register-rebuild SQL
+    oracle, one estimate per group. Returns (event_type, approx_users)."""
+    from medical_ocr_service_ray.stages.sketch import HllSketch, hash_column
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, sub in df.groupby("event_type"):
+            sk = HllSketch()
+            sk.add_hashes(hash_column(sub.user_id.tolist()))
+            rows.append({"event_type": et, "sketch": sk.serialize()})
+        return pd.DataFrame(rows)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, sub in df.groupby("event_type"):
+            merged = HllSketch()
+            for b in sub.sketch:
+                merged = merged.merge(HllSketch.deserialize(bytes(b)))
+            rows.append({"event_type": et, "approx_users": float(merged.estimate())})
+        return pd.DataFrame(rows)
+
+    return partial_then_combine(ds, partial, "event_type", combine, num_buckets=4)
+
+
+def _q70_sql() -> str:
+    """Per-group register rebuild: the q31 estimator correlated per
+    event_type (5 groups -> 5 scalar evaluations; DuckDB handles the
+    correlated subquery by decorrelating it)."""
+    est = _hll_estimate_sql(
+        "SELECT user_id AS v FROM events e2 WHERE e2.event_type = g.event_type"
+    )
+    return f"""
+SELECT event_type, {est} AS approx_users
+FROM (SELECT DISTINCT event_type FROM events) g
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -3790,6 +3837,7 @@ QUERIES = {
     "q67_json_field_rollup": q67_json_field_rollup,
     "q68_hll_set_algebra": q68_hll_set_algebra,
     "q69_char_lm_quality": q69_char_lm_quality,
+    "q70_grouped_hll": q70_grouped_hll,
 }
 
 ORACLE_SQL = {
@@ -3858,6 +3906,7 @@ ORACLE_SQL = {
     "q67_json_field_rollup": _Q67_SQL,
     "q68_hll_set_algebra": _q68_sql(),
     "q69_char_lm_quality": _Q69_SQL,
+    "q70_grouped_hll": _q70_sql(),
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

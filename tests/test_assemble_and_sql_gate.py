@@ -55,6 +55,7 @@ GATED = [
     "q31_approx_distinct_users",
     "q68_hll_set_algebra",
     "q69_char_lm_quality",
+    "q70_grouped_hll",
 ]
 
 
