@@ -14,7 +14,8 @@ sizing, output layout — with the actual codec behind a clearly marked stub
   decoded FOR REAL (pure-stdlib codec, functions/png.py: zlib inflate +
   per-scanline filter reconstruction), as are uncompressed 24/32-bit BMPs
   (functions/bmp.py) — features, resize and re-encode all operate on
-  actual pixel data. Other formats (JPEG/GIF/video) still lack a codec in
+  actual pixel data, as are GIFs (functions/gif.py: real LZW + interlace).
+  Other formats (JPEG/video) still lack a codec in
   this container: ``fake=True`` (default) produces deterministic
   pseudo-features (blake2b-seeded) so the distributed plumbing is fully
   testable; ``fake=False`` raises NotImplementedError("real decode needs
@@ -82,7 +83,8 @@ class MediaDecoderStub:
     PNG payloads decode for real (pure-stdlib codec, functions/png.py) —
     reference behavior src/services/image.service.js:186-240 (sharp
     resize/compress before feature work) — as do uncompressed BMPs
-    (functions/bmp.py) and RIFF/PCM WAV payloads (functions/audio.py).
+    (functions/bmp.py), GIFs (functions/gif.py: general LZW, interlace,
+    palettes) and RIFF/PCM WAV payloads (functions/audio.py).
     Remaining formats (JPEG/PDF/video) are STUBBED
     (no pillow/ffmpeg in this container); the deterministic fake keeps every
     distributed aspect real: per-actor setup, small-batch processing,
@@ -119,10 +121,25 @@ class MediaDecoderStub:
         except _bmp.BmpError:
             return None
 
+    def _decode_gif(self, payload: bytes):
+        """Real pixels for GIF payloads (functions/gif.py: general LZW,
+        interlace, global/local palettes; first frame of animations)."""
+        from medical_ocr_service_ray.functions import gif as _gif
+
+        if not payload or bytes(payload[:4]) != b"GIF8":
+            return None
+        try:
+            return _gif.decode_gif(payload)
+        except _gif.GifError:
+            return None
+
     def _decode_image(self, payload: bytes):
-        """Any real raster codec that applies (PNG, then BMP), else None."""
-        img = self._decode_png(payload)
-        return img if img is not None else self._decode_bmp(payload)
+        """Any real raster codec that applies (PNG, BMP, GIF), else None."""
+        for dec in (self._decode_png, self._decode_bmp, self._decode_gif):
+            img = dec(payload)
+            if img is not None:
+                return img
+        return None
 
     def _decode_wav(self, payload: bytes):
         """Real samples for RIFF/PCM payloads, None when not decodable WAV."""
@@ -233,7 +250,7 @@ def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
     payloads, mimes, metas = [], [], []
     from medical_ocr_service_ray.functions.audio import encode_wav
 
-    magics = [b"\xff\xd8\xff", None, b"%PDF", b"JUNK", None, None]
+    magics = [b"\xff\xd8\xff", None, b"%PDF", b"JUNK", None, None, None]
     names = [
         "image/jpeg",
         "image/png",
@@ -241,9 +258,10 @@ def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
         "application/octet-stream",
         "audio/wav",
         "image/bmp",
+        "image/gif",
     ]
     for i in range(n):
-        k = int(rng.integers(0, 6))
+        k = int(rng.integers(0, 7))
         if k == 1:  # real PNG: random small RGB image
             h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -254,6 +272,13 @@ def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
             h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payloads.append(encode_bmp(img))
+        elif k == 6:  # real GIF: palette image (some interlaced)
+            from medical_ocr_service_ray.functions.gif import encode_gif
+
+            h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            pal = rng.integers(0, 256, size=(int(rng.integers(2, 32)), 3), dtype=np.uint8)
+            img = pal[rng.integers(0, len(pal), size=(h, w))]
+            payloads.append(encode_gif(img, interlace=bool(rng.random() < 0.3)))
         elif k == 4:  # real WAV: short PCM16 sine + noise
             rate = int(rng.choice([8000, 16000]))
             t = np.arange(int(rate * rng.uniform(0.05, 0.3))) / rate
@@ -264,7 +289,7 @@ def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
             body = rng.integers(0, 256, size=int(rng.integers(500, 4000)), dtype=np.uint8).tobytes()
             payloads.append(magics[k] + body)
         # 10% declared mismatches to exercise the anti-spoof flag
-        mimes.append(names[(k + 1) % 6] if rng.random() < 0.1 else names[k])
+        mimes.append(names[(k + 1) % 7] if rng.random() < 0.1 else names[k])
         metas.append(
             {"width": int(rng.integers(100, 4000)), "height": int(rng.integers(100, 4000)),
              "ms": int(rng.integers(0, 10000))}

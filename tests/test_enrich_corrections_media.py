@@ -135,8 +135,8 @@ class TestMultimodal:
             .to_pandas()
         )
         assert set(out.sniffed_mime) <= {
-            "image/jpeg", "image/png", "image/bmp", "application/pdf",
-            "application/octet-stream", "audio/wav",
+            "image/jpeg", "image/png", "image/bmp", "image/gif",
+            "application/pdf", "application/octet-stream", "audio/wav",
         }
         assert out.mime_mismatch.sum() > 0  # the fixture plants ~10% spoofs
         # sniff never trusts the declared column
