@@ -14,8 +14,9 @@ sizing, output layout — with the actual codec behind a clearly marked stub
   decoded FOR REAL (pure-stdlib codec, functions/png.py: zlib inflate +
   per-scanline filter reconstruction), as are uncompressed 24/32-bit BMPs
   (functions/bmp.py) — features, resize and re-encode all operate on
-  actual pixel data, as are GIFs (functions/gif.py: real LZW + interlace).
-  Other formats (JPEG/video) still lack a codec in
+  actual pixel data, as are GIFs (functions/gif.py: real LZW + interlace)
+  and baseline JPEGs (functions/jpeg.py: huffman + IDCT, 4:4:4/4:2:0).
+  Progressive JPEG / PDF-raster / video still lack a codec in
   this container: ``fake=True`` (default) produces deterministic
   pseudo-features (blake2b-seeded) so the distributed plumbing is fully
   testable; ``fake=False`` raises NotImplementedError("real decode needs
@@ -84,8 +85,9 @@ class MediaDecoderStub:
     reference behavior src/services/image.service.js:186-240 (sharp
     resize/compress before feature work) — as do uncompressed BMPs
     (functions/bmp.py), GIFs (functions/gif.py: general LZW, interlace,
-    palettes) and RIFF/PCM WAV payloads (functions/audio.py).
-    Remaining formats (JPEG/PDF/video) are STUBBED
+    palettes), baseline JPEGs (functions/jpeg.py: huffman + IDCT, 4:4:4 and
+    4:2:0) and RIFF/PCM WAV payloads (functions/audio.py).
+    Remaining formats (progressive JPEG/PDF-raster/video) are STUBBED
     (no pillow/ffmpeg in this container); the deterministic fake keeps every
     distributed aspect real: per-actor setup, small-batch processing,
     fixed-size feature output layout. A malformed PNG/WAV is an undecodable
@@ -121,6 +123,18 @@ class MediaDecoderStub:
         except _bmp.BmpError:
             return None
 
+    def _decode_jpeg(self, payload: bytes):
+        """Real pixels for baseline JPEGs (functions/jpeg.py: huffman + IDCT,
+        4:4:4 and 4:2:0; progressive raises -> fake path)."""
+        from medical_ocr_service_ray.functions import jpeg as _jpeg
+
+        if not payload or bytes(payload[:3]) != b"\xff\xd8\xff":
+            return None
+        try:
+            return _jpeg.decode_jpeg(payload)
+        except _jpeg.JpegError:
+            return None
+
     def _decode_gif(self, payload: bytes):
         """Real pixels for GIF payloads (functions/gif.py: general LZW,
         interlace, global/local palettes; first frame of animations)."""
@@ -134,8 +148,9 @@ class MediaDecoderStub:
             return None
 
     def _decode_image(self, payload: bytes):
-        """Any real raster codec that applies (PNG, BMP, GIF), else None."""
-        for dec in (self._decode_png, self._decode_bmp, self._decode_gif):
+        """Any real raster codec that applies (PNG, BMP, GIF, JPEG), else
+        None."""
+        for dec in (self._decode_png, self._decode_bmp, self._decode_gif, self._decode_jpeg):
             img = dec(payload)
             if img is not None:
                 return img
@@ -240,9 +255,9 @@ def media_pipeline(ds, op: str = "features", concurrency=(1, 4)):
 
 
 def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
-    """Deterministic media fixture: REAL decodable PNG/BMP/WAV payloads
-    (encoded with the stdlib codecs, so q26's features come from actual
-    pixel/sample data) mixed with fake JPEG/PDF/unknown payloads that only
+    """Deterministic media fixture: REAL decodable JPEG/PNG/BMP/GIF/WAV
+    payloads (encoded with the stdlib codecs, so q26's features come from
+    actual pixel/sample data) mixed with fake PDF/unknown payloads that only
     carry valid magic numbers."""
     from medical_ocr_service_ray.functions.png import encode_png
 
@@ -262,7 +277,22 @@ def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
     ]
     for i in range(n):
         k = int(rng.integers(0, 7))
-        if k == 1:  # real PNG: random small RGB image
+        if k == 0:  # real JPEG: smooth gradient image (codec-friendly)
+            from medical_ocr_service_ray.functions.jpeg import encode_jpeg
+
+            h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+            base = rng.integers(0, 128, size=3)
+            img = np.stack(
+                [
+                    base[0] + yy * (127.0 / max(h - 1, 1)),
+                    base[1] + xx * (127.0 / max(w - 1, 1)),
+                    base[2] + (yy + xx) * (127.0 / max(h + w - 2, 1)),
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            payloads.append(encode_jpeg(img, quality=85))
+        elif k == 1:  # real PNG: random small RGB image
             h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payloads.append(encode_png(img))
