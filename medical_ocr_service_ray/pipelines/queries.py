@@ -3765,6 +3765,287 @@ FROM (SELECT DISTINCT event_type FROM events) g
 """
 
 
+# --------------------------------------------------------------------- q71
+
+def q71_copurchase_pairs(sf_dir: str):
+    """Market-basket co-occurrence: count part pairs bought in the same
+    order, top-50. The pair expansion runs INSIDE the order-keyed bucket
+    (per-bucket vectorized self-merge), so its cost is sum(basket²) — bounded
+    because baskets are (and at 100 TB remain) small; a degenerate
+    mega-basket would need a per-order cap, which TPC-H-shaped data never
+    hits (≤7 lines/order). Two exchanges total (orderkey buckets → pair-key
+    buckets), then per-batch partial top-k so the driver merge sees
+    O(50 × blocks) rows. Reference analogue: co-occurrence stats over
+    order detail lines (SURVEY.md §2 A4/T3 composition)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="l_orderkey")
+        m = m[m.l_partkey_x < m.l_partkey_y]
+        g = (
+            m.groupby(["l_partkey_x", "l_partkey_y"]).size().reset_index(name="cnt")
+        )
+        return g.rename(columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b"})
+
+    pair_partials = bucketed_combine(ds, "l_orderkey", pairs_per_bucket, num_buckets=32)
+
+    def combine_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["part_a", "part_b"], as_index=False)["cnt"].sum()
+
+    combined = bucketed_combine(pair_partials, "part_a", combine_pairs, num_buckets=16)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["cnt", "part_a", "part_b"], ascending=[False, True, True]
+        ).head(50)
+
+    cand = combined.map_batches(topk, batch_format="pandas").to_pandas()
+    out = topk(cand).reset_index(drop=True)
+    out["cnt"] = out.cnt.astype("int64")
+    return out
+
+
+_Q71_SQL = """
+SELECT l1.l_partkey AS part_a, l2.l_partkey AS part_b, COUNT(*)::BIGINT AS cnt
+FROM lineitem l1
+JOIN lineitem l2
+  ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+GROUP BY 1, 2
+ORDER BY cnt DESC, part_a, part_b
+LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------- q72
+
+def q72_duplicated_span_mass(sf_dir: str):
+    """Substring-level dedup signal (the Lee-et-al training-data op): for
+    every document, the number of 8-token window offsets whose window also
+    occurs in at least one OTHER document. Windows are keyed by the first 8
+    bytes of sha256(window) — the SQL oracle derives the IDENTICAL key
+    (q31's '0x'||substr(sha256(..)) idiom), so even a hash collision would
+    merge the same groups on both sides. Plan: per-batch (window, doc)
+    partial counts → window-keyed bucket combine (flag windows whose
+    distinct-doc count ≥ 2, emit per-doc offset mass) → doc-keyed combine.
+    Two linear exchanges, no pair materialization — unlike a pairwise
+    near-dup join, the output is per-document, so hot windows cost O(docs
+    containing them), never O(d²)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    K = 8
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        docs: list[int] = []
+        hashes: list[int] = []
+        for did, txt in zip(df.doc_id, df.text):
+            toks = txt.split(" ")
+            for o in range(max(len(toks) - K + 1, 0)):
+                h = hashlib.sha256(" ".join(toks[o : o + K]).encode()).digest()[:8]
+                hashes.append(int.from_bytes(h, "big"))
+                docs.append(did)
+        out = pd.DataFrame(
+            {
+                "gh": np.array(hashes, dtype="uint64").view("int64")
+                if hashes
+                else np.array([], dtype="int64"),
+                "doc_id": np.array(docs, dtype="int64"),
+            }
+        )
+        return out.groupby(["gh", "doc_id"]).size().reset_index(name="c")
+
+    partials = ds.map_batches(explode, batch_format="pandas")
+
+    def per_window(df: pd.DataFrame) -> pd.DataFrame:
+        gp = df.groupby(["gh", "doc_id"], as_index=False)["c"].sum()
+        ndocs = gp.groupby("gh")["doc_id"].transform("size")
+        flagged = gp[ndocs >= 2]
+        return flagged.groupby("doc_id", as_index=False)["c"].sum()
+
+    by_window = bucketed_combine(partials, "gh", per_window, num_buckets=16)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", as_index=False)["c"].sum()
+        return out.rename(columns={"c": "dup_spans"}).astype("int64")
+
+    return bucketed_combine(by_window, "doc_id", per_doc, num_buckets=4)
+
+
+_Q72_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         ('0x' || substr(sha256(array_to_string(list_slice(toks, o, o + 7), ' ')), 1, 16))::UBIGINT AS gh
+  FROM t, unnest(range(1, greatest(len(toks) - 6, 1))) AS u(o)
+),
+pg AS (SELECT gh, doc_id, COUNT(*)::BIGINT AS c FROM g GROUP BY 1, 2),
+f AS (SELECT gh FROM pg GROUP BY gh HAVING COUNT(*) >= 2)
+SELECT doc_id, SUM(c)::BIGINT AS dup_spans
+FROM pg JOIN f USING (gh)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------- q73
+
+def q73_customer_spend_leftjoin(sf_dir: str):
+    """LEFT OUTER large-large join (J8 beyond Dataset.join's inner path):
+    every customer with order count + exact-cents spend, customers without
+    orders kept at 0. Orders are pre-reduced per batch BEFORE the exchange
+    (combiner-first), then both sides meet in ONE custkey-bucketed exchange
+    as a tagged union; per bucket a vectorized left merge resolves the outer
+    semantics. No broadcast — both sides stream, so the plan holds when the
+    dimension is also fact-sized."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def opartial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.assign(cents=_cents(df.o_totalprice))
+            .groupby("o_custkey")
+            .agg(n_orders=("cents", "size"), spend_cents=("cents", "sum"))
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": g.o_custkey.astype("int64"),
+                "c_mktsegment": "",
+                "n_orders": g.n_orders.astype("int64"),
+                "spend_cents": g.spend_cents.astype("int64"),
+                "side": np.int8(1),
+            }
+        )
+
+    def cpartial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df.c_custkey.astype("int64"),
+                "c_mktsegment": df.c_mktsegment,
+                "n_orders": np.int64(0),
+                "spend_cents": np.int64(0),
+                "side": np.int8(0),
+            }
+        )
+
+    from medical_ocr_service_ray.sources.readers import union_datasets
+
+    u = union_datasets(
+        cust.map_batches(cpartial, batch_format="pandas"),
+        orders.map_batches(opartial, batch_format="pandas"),
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df.side == 0][["c_custkey", "c_mktsegment"]]
+        right = (
+            df[df.side == 1]
+            .groupby("c_custkey", as_index=False)[["n_orders", "spend_cents"]]
+            .sum()
+        )
+        m = left.merge(right, on="c_custkey", how="left")
+        m["n_orders"] = m.n_orders.fillna(0).astype("int64")
+        m["spend_cents"] = m.spend_cents.fillna(0).astype("int64")
+        return m
+
+    return bucketed_combine(u, "c_custkey", per_bucket, num_buckets=16)
+
+
+_Q73_SQL = """
+SELECT c.c_custkey, c.c_mktsegment,
+       COUNT(o.o_custkey)::BIGINT AS n_orders,
+       COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0)::BIGINT AS spend_cents
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------- q74
+
+def q74_part_skyline(sf_dir: str):
+    """Pareto skyline over part (maximize p_size, minimize price): the
+    non-dominated frontier, computed with the semilattice property —
+    per-batch local skyline, driver final over O(distinct sizes × blocks)
+    candidates, ZERO shuffles (stages/skyline.py). Prices compared in exact
+    integer cents so the NOT EXISTS oracle mirrors bit-for-bit."""
+    from medical_ocr_service_ray.stages.skyline import local_skyline, skyline
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "p_partkey": df.p_partkey.astype("int64"),
+                "p_size": df.p_size.astype("int64"),
+                "price_cents": _cents(df.p_retailprice),
+            }
+        )
+        return local_skyline(out, "p_size", "price_cents")
+
+    sky = skyline(ds.map_batches(prep, batch_format="pandas"), "p_size", "price_cents")
+    return sky.sort_values("p_partkey").reset_index(drop=True)
+
+
+_Q74_SQL = """
+WITH p AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+)
+SELECT p_partkey, p_size, price_cents
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_size >= a.p_size AND b.price_cents <= a.price_cents
+    AND (b.p_size > a.p_size OR b.price_cents < a.price_cents)
+)
+ORDER BY p_partkey
+"""
+
+
+# --------------------------------------------------------------------- q75
+
+def q75_quantity_percent_rank(sf_dir: str):
+    """Per-row CDF / percent_rank within group over a DISCRETE domain — the
+    inverse of q44's quantile selection: a bounded-cardinality value
+    histogram (driver_combine: 3 flags × 50 quantities) turns into a
+    cumulative-rank lookup that is merged back onto every row vectorized
+    (the tiny lookup frame ships in the task closure — broadcast-back, no
+    second shuffle, no per-row Python). Rank arithmetic is integer
+    micro-units so the window-function oracle matches exactly."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_returnflag", "l_quantity"]).size().reset_index(name="c")
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_returnflag", "l_quantity"], as_index=False)["c"].sum()
+
+    hist = driver_combine(ds, partial, comb)
+    hist = hist.sort_values(["l_returnflag", "l_quantity"]).reset_index(drop=True)
+    less = hist.groupby("l_returnflag")["c"].cumsum() - hist["c"]
+    tot = hist.groupby("l_returnflag")["c"].transform("sum")
+    hist["pr_micro"] = np.where(
+        tot > 1, (less * 1_000_000) // (tot - 1), 0
+    ).astype("int64")
+    lookup = hist[["l_returnflag", "l_quantity", "pr_micro"]]
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(lookup, on=["l_returnflag", "l_quantity"], how="left")
+        return m[["l_orderkey", "l_linenumber", "pr_micro"]]
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+_Q75_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN COUNT(*) OVER (PARTITION BY l_returnflag) = 1 THEN 0
+            ELSE ((RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) - 1) * 1000000)
+                 // (COUNT(*) OVER (PARTITION BY l_returnflag) - 1)
+       END AS pr_micro
+FROM lineitem
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -3838,6 +4119,11 @@ QUERIES = {
     "q68_hll_set_algebra": q68_hll_set_algebra,
     "q69_char_lm_quality": q69_char_lm_quality,
     "q70_grouped_hll": q70_grouped_hll,
+    "q71_copurchase_pairs": q71_copurchase_pairs,
+    "q72_duplicated_span_mass": q72_duplicated_span_mass,
+    "q73_customer_spend_leftjoin": q73_customer_spend_leftjoin,
+    "q74_part_skyline": q74_part_skyline,
+    "q75_quantity_percent_rank": q75_quantity_percent_rank,
 }
 
 ORACLE_SQL = {
@@ -3907,6 +4193,11 @@ ORACLE_SQL = {
     "q68_hll_set_algebra": _q68_sql(),
     "q69_char_lm_quality": _Q69_SQL,
     "q70_grouped_hll": _q70_sql(),
+    "q71_copurchase_pairs": _Q71_SQL,
+    "q72_duplicated_span_mass": _Q72_SQL,
+    "q73_customer_spend_leftjoin": _Q73_SQL,
+    "q74_part_skyline": _Q74_SQL,
+    "q75_quantity_percent_rank": _Q75_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -56,6 +56,11 @@ GATED = [
     "q68_hll_set_algebra",
     "q69_char_lm_quality",
     "q70_grouped_hll",
+    "q71_copurchase_pairs",
+    "q72_duplicated_span_mass",
+    "q73_customer_spend_leftjoin",
+    "q74_part_skyline",
+    "q75_quantity_percent_rank",
 ]
 
 
