@@ -4046,6 +4046,105 @@ FROM lineitem
 """
 
 
+# --------------------------------------------------------------------- q76
+
+def q76_copurchase_pagerank(sf_dir: str):
+    """Iterative PageRank over the co-purchase graph (parts linked when
+    bought in the same order) — the graph sibling of q46's iterative
+    k-means: int64 fixed-point damping, 3 rounds, each round = 2 linear
+    keyed exchanges (stages/pagerank.py), edge set materialized ONCE and
+    re-read from the object store per round. The SQL oracle unrolls the 3
+    iterations as chained CTEs with the IDENTICAL integer arithmetic
+    (floor-division contributions, 85//100 damping), so the driver
+    hash-compares exact values. Output: top-100 nodes by final rank."""
+    from medical_ocr_service_ray.stages.pagerank import pagerank_quantized
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def distinct_pairs_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="l_orderkey")
+        m = m[m.l_partkey_x < m.l_partkey_y]
+        g = m[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+        return g.rename(columns={"l_partkey_x": "a", "l_partkey_y": "b"})
+
+    pairs = bucketed_combine(ds, "l_orderkey", distinct_pairs_per_bucket, num_buckets=32)
+
+    def global_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["a", "b"])
+
+    pairs = bucketed_combine(pairs, "a", global_distinct, num_buckets=16, map_batch_size=1 << 17)
+
+    def both_directions(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame({"src": df.a.astype("int64"), "dst": df.b.astype("int64")})
+        rev = pd.DataFrame({"src": df.b.astype("int64"), "dst": df.a.astype("int64")})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    edges = pairs.map_batches(both_directions, batch_format="pandas")
+    ranks = pagerank_quantized(edges, iterations=3, num_buckets=16)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["r", "node"], ascending=[False, True]).head(100)
+
+    cand = ranks.map_batches(topk, batch_format="pandas").to_pandas()
+    out = topk(cand).reset_index(drop=True)
+    return out.rename(columns={"node": "p_partkey", "r": "pr_micro"})
+
+
+def _q76_sql() -> str:
+    iters = []
+    prev = "r0"
+    for i in (1, 2, 3):
+        iters.append(
+            f"""r{i} AS (
+  SELECT e.dst AS node, CAST(150000 + (85 * SUM({prev}.r // d.d)) // 100 AS BIGINT) AS r
+  FROM edges e
+  JOIN deg d ON d.src = e.src
+  JOIN {prev} ON {prev}.node = e.src
+  GROUP BY e.dst
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT src, COUNT(*)::BIGINT AS d FROM edges GROUP BY 1),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+{chain}
+SELECT node AS p_partkey, r AS pr_micro
+FROM r3
+ORDER BY pr_micro DESC, p_partkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------- q77
+
+def q77_name_editdist_pairs(sf_dir: str):
+    """Similarity self-join: all customer pairs whose names are within
+    Levenshtein distance 1, via deletion-neighborhood blocking
+    (stages/simjoin.py) — linear emission, block-local vectorized candidate
+    generation, exact-DP verification with the SAME Levenshtein the DuckDB
+    oracle calls. The oracle is the naive O(n²) cross-join filter, which is
+    exactly what the blocking provably equals."""
+    from medical_ocr_service_ray.stages.simjoin import editdist1_selfjoin
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return editdist1_selfjoin(ds, "c_custkey", "c_name")
+
+
+_Q77_SQL = """
+SELECT c1.c_custkey AS a_key, c2.c_custkey AS b_key
+FROM customer c1
+JOIN customer c2 ON c1.c_custkey < c2.c_custkey
+WHERE levenshtein(c1.c_name, c2.c_name) <= 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -4124,6 +4223,8 @@ QUERIES = {
     "q73_customer_spend_leftjoin": q73_customer_spend_leftjoin,
     "q74_part_skyline": q74_part_skyline,
     "q75_quantity_percent_rank": q75_quantity_percent_rank,
+    "q76_copurchase_pagerank": q76_copurchase_pagerank,
+    "q77_name_editdist_pairs": q77_name_editdist_pairs,
 }
 
 ORACLE_SQL = {
@@ -4198,6 +4299,8 @@ ORACLE_SQL = {
     "q73_customer_spend_leftjoin": _Q73_SQL,
     "q74_part_skyline": _Q74_SQL,
     "q75_quantity_percent_rank": _Q75_SQL,
+    "q76_copurchase_pagerank": _q76_sql(),
+    "q77_name_editdist_pairs": _Q77_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -61,6 +61,8 @@ GATED = [
     "q73_customer_spend_leftjoin",
     "q74_part_skyline",
     "q75_quantity_percent_rank",
+    "q76_copurchase_pagerank",
+    "q77_name_editdist_pairs",
 ]
 
 

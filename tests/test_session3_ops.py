@@ -124,6 +124,84 @@ class TestSession3Queries:
         assert out.n_orders.tolist() == [2, 0, 0]
         assert out.spend_cents.tolist() == [1500, 0, 0]
 
+    def test_pagerank_matches_quantized_reference(self, ray_session):
+        """3-iteration Ray PageRank == a single-process numpy loop with the
+        identical int64 arithmetic, on a small random graph, regardless of
+        input block layout."""
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.pagerank import pagerank_quantized
+
+        rng = np.random.default_rng(13)
+        n_nodes = 40
+        pairs = set()
+        while len(pairs) < 120:
+            a, b = sorted(rng.integers(0, n_nodes, 2).tolist())
+            if a != b:
+                pairs.add((a, b))
+        edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        # reference: same quantized arithmetic
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        r = {s: 1_000_000 for s in deg}
+        for _ in range(3):
+            acc = {}
+            for s, d in edges:
+                acc[d] = acc.get(d, 0) + r[s] // deg[s]
+            r = {k: 150_000 + (85 * v) // 100 for k, v in acc.items()}
+
+        for nblocks in (1, 7):
+            ds = rd.from_pandas(
+                np.array_split(
+                    pd.DataFrame(edges, columns=["src", "dst"]).astype("int64"),
+                    nblocks,
+                )
+            )
+            got = pagerank_quantized(ds, iterations=3, num_buckets=4).to_pandas()
+            got_map = dict(zip(got.node, got.r))
+            assert got_map == r
+
+    def test_editdist1_join_planted(self, ray_session):
+        """Every lev<=1 relation kind is found; distance-2 pairs are not."""
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.simjoin import editdist1_selfjoin
+
+        names = {
+            1: "alpha",   # vs 2: substitution (alphA? no: alpha/alpba)
+            2: "alpba",   # lev(alpha, alpba) = 1
+            3: "alph",    # deletion of 1
+            4: "xalpha",  # insertion at front of 1
+            5: "alpha",   # exact duplicate of 1
+            6: "omega",   # unrelated
+            7: "omeg4x",  # distance 2 from omega
+        }
+        df = pd.DataFrame(
+            {"k": list(names), "s": [names[k] for k in names]}
+        ).astype({"k": "int64"})
+        out = editdist1_selfjoin(rd.from_pandas(df), "k", "s").to_pandas()
+        got = set(zip(out.a_key, out.b_key))
+        expected = {(1, 2), (1, 3), (1, 4), (1, 5), (2, 5), (3, 5), (4, 5)}
+        assert got == expected
+
+    def test_editdist1_hot_block_cap(self, ray_session):
+        """A block larger than max_block is truncated deterministically
+        (smallest keys kept) instead of going quadratic."""
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.simjoin import editdist1_selfjoin
+
+        # 30 identical strings: one block of 30
+        df = pd.DataFrame({"k": np.arange(30, dtype="int64"), "s": "same"})
+        out = editdist1_selfjoin(
+            rd.from_pandas(df), "k", "s", num_buckets=2, max_block=10
+        ).to_pandas()
+        # only pairs among the 10 smallest keys survive the cap
+        assert set(zip(out.a_key, out.b_key)) == {
+            (a, b) for a in range(10) for b in range(10) if a < b
+        }
+
     def test_q75_rank_bounds_and_monotone(self, ray_session):
         from medical_ocr_service_ray.pipelines.queries import (
             q75_quantity_percent_rank,
