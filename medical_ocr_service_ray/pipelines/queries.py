@@ -2380,8 +2380,10 @@ def q46_kmeans_clusters(sf_dir: str):
     return kmeans_assign(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), centroids)
 
 
-def _q46_sql(k: int = 8, iters: int = 4, dim: int = 64, scale: int = 1024) -> str:
-    """Unrolled Lloyd's iterations as CTE layers. Exactness argument:
+def _kmeans_cte_chain(k: int, iters: int, dim: int, scale: int) -> str:
+    """Unrolled Lloyd's iterations as CTE layers ending in ``c{iters}``
+    (cluster, c) plus the quantized input relation ``q`` (vec_id, v).
+    Shared by the q46 and q78 oracles. Exactness argument:
     quantized coords |q| <= ~scale, so dots <= dim*scale^2 ~ 6.7e7 — integer-
     valued doubles well under 2^53; assignment scores CAST back to BIGINT are
     exact. Ties -> lowest cluster via the window ORDER BY. Centroid update
@@ -2426,8 +2428,14 @@ WITH q AS (
   FROM {prev} p LEFT JOIN upd{it} u USING (cluster)
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _q46_sql(k: int = 8, iters: int = 4, dim: int = 64, scale: int = 1024) -> str:
+    """Final labeling pass over the unrolled-Lloyd's chain (_kmeans_cte_chain)."""
+    return (
+        _kmeans_cte_chain(k, iters, dim, scale)
+        + f"""
 SELECT vec_id, cluster FROM (
   SELECT q.vec_id, c.cluster,
          row_number() OVER (
@@ -2438,7 +2446,6 @@ SELECT vec_id, cluster FROM (
   FROM q, c{iters} c) WHERE rn = 1
 """
     )
-    return "".join(parts)
 
 
 # --------------------------------------------------------------------- q47
@@ -4145,6 +4152,70 @@ WHERE levenshtein(c1.c_name, c2.c_name) <= 1
 """
 
 
+# --------------------------------------------------------------------- q78
+
+def q78_ivf_ann(sf_dir: str):
+    """IVF ANN top-10 (the scale path q12's brute force upgrades to): fit
+    the quantized-k-means coarse quantizer (k=8, 2 iterations), probe the
+    query's 2 nearest centroids, score only rows assigned to probed
+    clusters by exact int64 dot product (stages/ann.ivf_topk). Every step
+    is integer arithmetic, so the WHOLE index — fit, assignment, probe,
+    scores, the top-k cut — is rebuilt exactly by the DuckDB oracle
+    (_q78_sql reuses q46's unrolled-Lloyd's CTE chain). Query = the
+    min-vec_id embedding, same convention as q12."""
+    from medical_ocr_service_ray.stages.ann import ivf_topk
+    from medical_ocr_service_ray.stages.kmeans import kmeans_fit, quantize
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    centroids = kmeans_fit(ds, k=8, iters=2)
+    emb = _emb_query_table(sf_dir)
+    min_idx = pc.index(emb["vec_id"], pc.min(emb["vec_id"]).as_py()).as_py()
+    query_q = quantize(np.asarray(emb["embedding"][min_idx].as_py(), dtype=np.float64))
+    return ivf_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        centroids,
+        query_q,
+        nprobe=2,
+        k=10,
+    )
+
+
+def _q78_sql(k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1024,
+             nprobe: int = 2, topk: int = 10) -> str:
+    """q46's unrolled-Lloyd's chain + probe-set + in-probe exact-dot top-k.
+    All scores are integer-valued doubles (< 2^53) cast back to BIGINT, so
+    the ORDER BY ... LIMIT cuts are deterministic with the vec_id tiebreak."""
+    return (
+        _kmeans_cte_chain(k, iters, dim, scale)
+        + f""", qv AS (
+  SELECT v FROM q WHERE vec_id = (SELECT MIN(vec_id) FROM q)
+), probe AS (
+  SELECT c.cluster
+  FROM c{iters} c, qv
+  ORDER BY CAST(list_inner_product(c.c, c.c) AS BIGINT)
+           - 2 * CAST(list_inner_product(qv.v, c.c) AS BIGINT),
+           c.cluster
+  LIMIT {nprobe}
+), af AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT q.vec_id, q.v, c.cluster,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CAST(list_inner_product(c.c, c.c) AS BIGINT)
+                      - 2 * CAST(list_inner_product(q.v, c.c) AS BIGINT),
+                      c.cluster) AS rn
+    FROM q, c{iters} c) WHERE rn = 1
+)
+SELECT a.vec_id, a.cluster,
+       CAST(list_inner_product(a.v, qv.v) AS BIGINT) AS dot_q
+FROM af a, qv
+WHERE a.cluster IN (SELECT cluster FROM probe)
+ORDER BY dot_q DESC, a.vec_id
+LIMIT {topk}
+"""
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -4225,6 +4296,7 @@ QUERIES = {
     "q75_quantity_percent_rank": q75_quantity_percent_rank,
     "q76_copurchase_pagerank": q76_copurchase_pagerank,
     "q77_name_editdist_pairs": q77_name_editdist_pairs,
+    "q78_ivf_ann": q78_ivf_ann,
 }
 
 ORACLE_SQL = {
@@ -4301,6 +4373,7 @@ ORACLE_SQL = {
     "q75_quantity_percent_rank": _Q75_SQL,
     "q76_copurchase_pagerank": _q76_sql(),
     "q77_name_editdist_pairs": _Q77_SQL,
+    "q78_ivf_ann": _q78_sql(),
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

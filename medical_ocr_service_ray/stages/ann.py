@@ -161,3 +161,73 @@ class LshTopK:
                 "score": pa.array(scores[part], pa.float64()),
             }
         )
+
+
+def probe_clusters(query_q: np.ndarray, centroids: np.ndarray, nprobe: int) -> np.ndarray:
+    """The query's ``nprobe`` nearest centroids by exact int64 squared L2
+    (||c||^2 - 2 q.c — the ||q||^2 term is constant), ties -> lowest cluster
+    index. Mirrors stages/kmeans.assign arithmetic so a SQL
+    ``ORDER BY score, cluster LIMIT nprobe`` reproduces the probe set."""
+    cc = (centroids * centroids).sum(axis=1)
+    scores = cc - 2 * (centroids @ query_q)
+    order = np.lexsort((np.arange(len(scores)), scores))
+    return order[:nprobe].astype(np.int64)
+
+
+def ivf_topk(
+    ds: "rd.Dataset",
+    centroids: np.ndarray,
+    query_q: np.ndarray,
+    nprobe: int = 2,
+    k: int = 10,
+) -> pa.Table:
+    """IVF-style ANN (the scale path of the reference's IVFFlat index,
+    src/workers/embedding.worker.js:154-190), integer-exact end to end:
+
+    - coarse quantizer = quantized Lloyd's centroids (stages/kmeans, SCALE
+      1024) — bit-deterministic, so the SQL oracle can rebuild it;
+    - the query probes its ``nprobe`` nearest centroids (driver-side, k×dim
+      ints — tiny); the (centroids, probe-set, query) triple is broadcast
+      ONCE via ray.put, never re-shipped per batch;
+    - one streaming pass: each batch assigns rows to centroids (vectorized
+      int64 L2), keeps only rows in probed clusters, scores them by exact
+      int64 dot vs the quantized query, and emits a per-batch partial top-k;
+    - tiny driver merge (blocks × k rows). No shuffle of the embedding table.
+
+    At 100 TB the same plan holds with k in the thousands: the partial-top-k
+    keeps the exchange O(blocks × k), and the probe filter cuts the scored
+    fraction to ~nprobe/k_clusters of the corpus.
+    """
+    from medical_ocr_service_ray.stages.kmeans import assign, quantize
+
+    probes = probe_clusters(query_q, centroids, nprobe)
+    bundle_ref = ray.put((centroids, set(int(p) for p in probes), query_q))
+
+    def partial(batch: pa.Table, _ref=bundle_ref) -> pa.Table:
+        cents, probe_set, qv = ray.get(_ref)
+        v = quantize(_stack_embeddings(batch))
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        a = assign(v, cents)
+        mask = np.isin(a, np.fromiter(probe_set, dtype=np.int64))
+        v, ids, a = v[mask], ids[mask], a[mask]
+        empty = {
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "dot_q": pa.array([], pa.int64()),
+        }
+        if v.shape[0] == 0:
+            return pa.table(empty)
+        dots = v @ qv  # exact int64: |coord| <= ~scale, dim*scale^2 << 2^63
+        kk = min(k, len(dots))
+        order = np.lexsort((ids, -dots))[:kk]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "cluster": pa.array(a[order], pa.int64()),
+                "dot_q": pa.array(dots[order], pa.int64()),
+            }
+        )
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = merged.sort_values(["dot_q", "vec_id"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(merged.reset_index(drop=True))

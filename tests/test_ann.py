@@ -124,3 +124,64 @@ class TestQuantizedDotVsDuckDB:
             """
         ).df()
         assert (got.dot_q.values == exp.dot_q.values).all()
+
+
+class TestIvfTopK:
+    """IVF probe correctness: the probed-subset top-k must equal a numpy
+    reference that applies the SAME assignment+probe filter, and must be a
+    subset-restricted version of the brute-force answer."""
+
+    def _fit(self, ray_session, emb_table):
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.kmeans import kmeans_fit
+
+        ds = rd.from_arrow(emb_table).repartition(6)
+        return ds, kmeans_fit(ds, k=4, iters=2)
+
+    def test_matches_filtered_numpy(self, ray_session, emb_table):
+        from medical_ocr_service_ray.stages.ann import ivf_topk, probe_clusters
+        from medical_ocr_service_ray.stages.kmeans import assign, quantize
+
+        ds, cents = self._fit(ray_session, emb_table)
+        m = quantize(_matrix(emb_table))
+        query = m[0]
+        probes = set(int(p) for p in probe_clusters(query, cents, nprobe=2))
+        got = ivf_topk(ds, cents, query, nprobe=2, k=10).to_pandas()
+
+        a = assign(m, cents)
+        ids = np.arange(len(m), dtype=np.int64)
+        mask = np.isin(a, np.fromiter(probes, dtype=np.int64))
+        dots = m[mask] @ query
+        sub_ids = ids[mask]
+        order = np.lexsort((sub_ids, -dots))[:10]
+        assert list(got["vec_id"]) == [int(sub_ids[i]) for i in order]
+        assert list(got["dot_q"]) == [int(dots[i]) for i in order]
+        # every returned row really is in a probed cluster
+        assert set(got["cluster"]).issubset(probes)
+
+    def test_partition_invariance(self, ray_session, emb_table):
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.ann import ivf_topk
+        from medical_ocr_service_ray.stages.kmeans import quantize
+
+        _, cents = self._fit(ray_session, emb_table)
+        query = quantize(_matrix(emb_table))[7]
+        one = ivf_topk(rd.from_arrow(emb_table).repartition(1), cents, query).to_pandas()
+        many = ivf_topk(rd.from_arrow(emb_table).repartition(13), cents, query).to_pandas()
+        assert one.equals(many)
+
+    def test_full_probe_equals_brute_force(self, ray_session, emb_table):
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.ann import ivf_topk
+        from medical_ocr_service_ray.stages.kmeans import quantize
+
+        ds, cents = self._fit(ray_session, emb_table)
+        m = quantize(_matrix(emb_table))
+        query = m[3]
+        got = ivf_topk(ds, cents, query, nprobe=4, k=10).to_pandas()
+        dots = m @ query
+        order = np.lexsort((np.arange(len(m)), -dots))[:10]
+        assert list(got["vec_id"]) == [int(i) for i in order]
