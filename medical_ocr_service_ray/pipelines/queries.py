@@ -4216,6 +4216,324 @@ LIMIT {topk}
     )
 
 
+# --------------------------------------------------------------------- q79
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def q79_interval_coverage(sf_dir: str):
+    """Union-of-intervals coverage per key (utilization / uptime op): each
+    event covers [ts, ts + value seconds); per user, merge overlapping
+    intervals and report total covered time + island count. All island
+    detection is vectorized pandas (groupby cummax + shift) inside ONE
+    user-bucketed combine — a user's intervals land in one task, buckets are
+    auto-sized from input bytes, so per-task memory is bounded by design.
+    Time is integer epoch-microseconds end to end, so the window-function
+    oracle (MAX(e) OVER preceding → island cumsum) matches exactly.
+    Reference analogue: session/coverage roll-ups over event streams
+    (SURVEY.md §2.5 A9 keyed metrics family)."""
+    from medical_ocr_service_ray.stages.aggregate import auto_num_buckets, dataset_input_bytes
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    nb = auto_num_buckets(dataset_input_bytes(ds), per_bucket_bytes=256 << 20)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        dur = np.maximum(np.rint(df.value.to_numpy() * 1_000_000).astype("int64"), 1)
+        return pd.DataFrame({"user_id": df.user_id, "s": s, "e": s + dur})
+
+    def merge_islands(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "s", "e"], kind="mergesort").reset_index(drop=True)
+        cummax_e = df.groupby("user_id")["e"].cummax()
+        prev_max = cummax_e.groupby(df["user_id"]).shift(1)
+        new_island = prev_max.isna() | (df["s"] > prev_max)
+        island = new_island.astype("int64").groupby(df["user_id"]).cumsum()
+        isl = (
+            df.assign(island=island)
+            .groupby(["user_id", "island"], as_index=False)
+            .agg(s=("s", "min"), e=("e", "max"))
+        )
+        out = isl.assign(span=isl.e - isl.s).groupby("user_id", as_index=False).agg(
+            covered_us=("span", "sum"), n_islands=("island", "size")
+        )
+        out["n_islands"] = out.n_islands.astype("int64")
+        return out
+
+    return bucketed_combine(
+        ds.map_batches(emit, batch_format="pandas"), "user_id", merge_islands, num_buckets=nb
+    )
+
+
+_Q79_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + GREATEST(CAST(round(value*1000000, 0) AS BIGINT), 1) AS e
+  FROM events
+), w AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv
+), g AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e) AS island
+  FROM w
+), isl AS (
+  SELECT user_id, island, MIN(s) AS s, MAX(e) AS e FROM g GROUP BY user_id, island
+)
+SELECT user_id, SUM(e - s)::BIGINT AS covered_us, COUNT(*)::BIGINT AS n_islands
+FROM isl GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------- q80
+
+def q80_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-activity epoch-week
+    (cohort), distinct active users per (cohort_week, week_offset). Two
+    exchanges: (1) distinct (user, week) pairs bucketed on user — the
+    per-user MIN and the offset expansion happen inside the bucket, and
+    because a user lives in exactly one bucket the per-bucket distinct-user
+    counts per (cohort, offset) are disjoint partials; (2) a tiny combine
+    summing partials over (cohort, offset). No count-distinct shuffle of raw
+    events ever happens. Reference analogue: daily usage + distinct-user
+    roll-ups (SURVEY.md §2.5 A6/A10) generalized to the training-data
+    retention matrix."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        wk = df.ts.to_numpy().astype("datetime64[us]").astype("int64") // _WEEK_US
+        return pd.DataFrame({"user_id": df.user_id, "wk": wk}).drop_duplicates()
+
+    def per_user_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        cohort = df.groupby("user_id")["wk"].transform("min")
+        off = df.wk - cohort
+        part = (
+            pd.DataFrame({"cohort_wk": cohort, "week_offset": off})
+            .groupby(["cohort_wk", "week_offset"])
+            .size()
+            .reset_index(name="n_users")
+        )
+        return part
+
+    partials = partial_then_combine(ds, pairs, "user_id", per_user_bucket)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["cohort_wk", "week_offset"], as_index=False)["n_users"].sum()
+        out["n_users"] = out.n_users.astype("int64")
+        return out
+
+    return bucketed_combine(partials, "cohort_wk", total, num_buckets=4)
+
+
+_Q80_SQL = """
+WITH ue AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+), fw AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM ue GROUP BY user_id
+)
+SELECT f.cohort_wk, u.wk - f.cohort_wk AS week_offset,
+       COUNT(DISTINCT u.user_id)::BIGINT AS n_users
+FROM ue u JOIN fw f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------- q81
+
+def q81_bfs_hops(sf_dir: str):
+    """Bounded-depth BFS (hop distance ≤ 4) from the minimum partkey over the
+    co-purchase graph (q71's edge definition, both directions). Frontier
+    iteration: each hop is one tagged-union bucket join (edges ⋈ frontier on
+    source node) + one min-combine over candidate distances — the PageRank
+    two-exchange pattern (stages/pagerank.py) specialized to reachability.
+    The frontier optimization (expand only nodes discovered last hop) is
+    exactly BFS, so results equal the oracle's level-unrolled MIN chain.
+    Per-hop state is (node, hops) pairs only — never adjacency in one heap."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def edges_per_order(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="l_orderkey")
+        m = m[m.l_partkey_x != m.l_partkey_y]
+        return m[["l_partkey_x", "l_partkey_y"]].drop_duplicates().rename(
+            columns={"l_partkey_x": "src", "l_partkey_y": "dst"}
+        )
+
+    edge_partials = bucketed_combine(ds, "l_orderkey", edges_per_order, num_buckets=32)
+    # dedupe edges once on src buckets; edges stay a distributed Dataset
+    edges = bucketed_combine(
+        edge_partials, "src", lambda df: df.drop_duplicates(), num_buckets=16
+    ).materialize()
+
+    seed = int(
+        _read(sf_dir, "lineitem", ["l_partkey"])
+        .map_batches(
+            lambda t: pa.table({"m": [pc.min(t["l_partkey"]).as_py()]}),
+            batch_format="pyarrow",
+        )
+        .min("m")
+    )
+    dist = rd.from_pandas(pd.DataFrame({"node": [seed], "hops": [0]}))
+
+    for hop in range(1, 5):
+        frontier = dist.filter(
+            lambda r, h=hop: r["hops"] == h - 1
+        )
+
+        def edge_side(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": df.src, "nbr": df.dst, "hops": np.int64(-1)}
+            )
+
+        def frontier_side(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": df.node, "nbr": np.int64(-1), "hops": df.hops}
+            )
+
+        tagged = edges.map_batches(edge_side, batch_format="pandas").union(
+            frontier.map_batches(frontier_side, batch_format="pandas")
+        )
+
+        def expand(df: pd.DataFrame, h=hop) -> pd.DataFrame:
+            f = df[df.hops >= 0]
+            e = df[df.hops < 0]
+            if f.empty or e.empty:
+                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                     "hops": pd.Series([], dtype="int64")})
+            cand = e.merge(f[["node"]].drop_duplicates(), on="node")
+            return pd.DataFrame({"node": cand.nbr, "hops": np.int64(h)}).drop_duplicates()
+
+        cand = bucketed_combine(tagged, "node", expand, num_buckets=16)
+        merged = dist.union(cand)
+
+        def min_hops(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("node", as_index=False)["hops"].min()
+
+        dist = bucketed_combine(merged, "node", min_hops, num_buckets=16).materialize()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={"node": "partkey"})
+        out["hops"] = out.hops.astype("int64")
+        return out[["partkey", "hops"]]
+
+    return dist.map_batches(finish, batch_format="pandas")
+
+
+def _q81_sql(max_hops: int = 4) -> str:
+    lines = [
+        """WITH e AS (
+  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+), d0 AS (SELECT MIN(l_partkey) AS node, 0 AS hops FROM lineitem)"""
+    ]
+    for h in range(1, max_hops + 1):
+        lines.append(
+            f""", d{h} AS (
+  SELECT node, MIN(hops) AS hops FROM (
+    SELECT node, hops FROM d{h-1}
+    UNION ALL
+    SELECT e.dst AS node, d.hops + 1 AS hops
+    FROM d{h-1} d JOIN e ON e.src = d.node WHERE d.hops = {h-1}
+  ) GROUP BY node)"""
+        )
+    lines.append(
+        f"\nSELECT node AS partkey, CAST(hops AS BIGINT) AS hops FROM d{max_hops}"
+    )
+    return "".join(lines)
+
+
+# --------------------------------------------------------------------- q82
+
+def q82_mode_event_type(sf_dir: str):
+    """Mode per group (most frequent event_type per user; ties break to the
+    lexicographically smallest type): per-batch partial counts shrink the
+    exchange to (user, type) pairs, ONE user-bucketed combine sums and takes
+    the per-user argmax via a single vectorized sort + drop_duplicates.
+    Reference analogue: per-entity categorical roll-ups (SURVEY.md §2.5 A4)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "event_type"]).size().reset_index(name="cnt")
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False)["cnt"].sum()
+        g = g.sort_values(
+            ["user_id", "cnt", "event_type"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = g.drop_duplicates("user_id").rename(columns={"event_type": "mode_type"})
+        out["cnt"] = out.cnt.astype("int64")
+        return out[["user_id", "mode_type", "cnt"]]
+
+    return partial_then_combine(ds, partial, "user_id", argmax)
+
+
+_Q82_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_type, cnt::BIGINT AS cnt FROM r WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------- q83
+
+def q83_decayed_engagement(sf_dir: str):
+    """Time-decayed engagement score per user: each event contributes
+    2^20 >> age_weeks (age measured back from the corpus max timestamp,
+    clamped at 20 weeks so the weight floor is 1). All-integer arithmetic —
+    the halving decay is exact bit-shift, so the SQL oracle reproduces the
+    sums bit-for-bit. Pass 1 is a driver max (1 row/batch); pass 2 is the
+    standard partial+combine. The decay pattern is what freshness-weighted
+    training-data sampling uses at scale."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def batch_max(df: pd.DataFrame) -> pd.DataFrame:
+        us = df.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({"m": [us.max()]})
+
+    max_us = int(
+        driver_combine(ds, batch_max, lambda df: pd.DataFrame({"m": [df.m.max()]})).m[0]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        age_wk = np.minimum((max_us - us) // _WEEK_US, 20)
+        w = (1 << 20) >> age_wk
+        return (
+            pd.DataFrame({"user_id": df.user_id, "w": w})
+            .groupby("user_id")
+            .agg(decayed=("w", "sum"), n_events=("w", "size"))
+            .reset_index()
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False).agg(
+            decayed=("decayed", "sum"), n_events=("n_events", "sum")
+        )
+        out["decayed"] = out.decayed.astype("int64")
+        out["n_events"] = out.n_events.astype("int64")
+        return out
+
+    return partial_then_combine(ds, partial, "user_id", combine)
+
+
+_Q83_SQL = """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events)
+SELECT user_id,
+       SUM(1048576 >> CAST(LEAST((mx.m - epoch_us(ts)) // 604800000000, 20) AS INTEGER))::BIGINT AS decayed,
+       COUNT(*)::BIGINT AS n_events
+FROM events, mx GROUP BY user_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -4297,6 +4615,11 @@ QUERIES = {
     "q76_copurchase_pagerank": q76_copurchase_pagerank,
     "q77_name_editdist_pairs": q77_name_editdist_pairs,
     "q78_ivf_ann": q78_ivf_ann,
+    "q79_interval_coverage": q79_interval_coverage,
+    "q80_cohort_retention": q80_cohort_retention,
+    "q81_bfs_hops": q81_bfs_hops,
+    "q82_mode_event_type": q82_mode_event_type,
+    "q83_decayed_engagement": q83_decayed_engagement,
 }
 
 ORACLE_SQL = {
@@ -4374,6 +4697,11 @@ ORACLE_SQL = {
     "q76_copurchase_pagerank": _q76_sql(),
     "q77_name_editdist_pairs": _Q77_SQL,
     "q78_ivf_ann": _q78_sql(),
+    "q79_interval_coverage": _Q79_SQL,
+    "q80_cohort_retention": _Q80_SQL,
+    "q81_bfs_hops": _q81_sql(),
+    "q82_mode_event_type": _Q82_SQL,
+    "q83_decayed_engagement": _Q83_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -63,6 +63,11 @@ GATED = [
     "q75_quantity_percent_rank",
     "q76_copurchase_pagerank",
     "q77_name_editdist_pairs",
+    "q79_interval_coverage",
+    "q80_cohort_retention",
+    "q81_bfs_hops",
+    "q82_mode_event_type",
+    "q83_decayed_engagement",
 ]
 
 

@@ -1,0 +1,184 @@
+"""Round-3 session-4 operators: interval coverage islands, cohort retention,
+BFS hop distance, mode-per-group tie-breaks, exact bit-shift decay.
+
+The sf0.001 DuckDB parity for q79-q83 lives in test_assemble_and_sql_gate's
+GATED list; these tests pin the SEMANTICS on hand-built inputs where the
+edge cases are visible (touching intervals, unreachable nodes, count ties).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _events_parquet(tmp_path, rows: pd.DataFrame) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(rows.ts.to_numpy().astype("datetime64[us]")),
+            "user_id": pa.array(rows.user_id, pa.int64()),
+            "event_type": pa.array(rows.get("event_type", ["x"] * len(rows))),
+            "value": pa.array(rows.value, pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, d / "events.parquet")
+    return str(d)
+
+
+class TestIntervalCoverage:
+    def test_overlap_touch_nest_duplicate(self, ray_session, tmp_path):
+        """[0,5)+[3,9) merge; [9,12) touches e==s and merges (half-open
+        adjacency); [20,21) separate island; nested and duplicate intervals
+        add no new coverage."""
+        from medical_ocr_service_ray.pipelines.queries import q79_interval_coverage
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        rows = pd.DataFrame(
+            {
+                "ts": [base + np.timedelta64(s, "s") for s in [0, 3, 9, 20, 1, 0]],
+                "user_id": [7, 7, 7, 7, 7, 7],
+                "value": [5.0, 6.0, 3.0, 1.0, 2.0, 5.0],  # seconds
+            }
+        )
+        out = q79_interval_coverage(_events_parquet(tmp_path, rows)).to_pandas()
+        assert len(out) == 1
+        # islands: [0,12) and [20,21) -> 13 s coverage, 2 islands
+        assert int(out.covered_us[0]) == 13_000_000
+        assert int(out.n_islands[0]) == 2
+
+    def test_users_independent(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.pipelines.queries import q79_interval_coverage
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        rows = pd.DataFrame(
+            {
+                "ts": [base, base, base + np.timedelta64(10, "s")],
+                "user_id": [1, 2, 2],
+                "value": [1.0, 1.0, 1.0],
+            }
+        )
+        out = (
+            q79_interval_coverage(_events_parquet(tmp_path, rows))
+            .to_pandas()
+            .set_index("user_id")
+        )
+        assert int(out.loc[1].covered_us) == 1_000_000
+        assert int(out.loc[2].covered_us) == 2_000_000
+        assert int(out.loc[2].n_islands) == 2
+
+
+class TestCohortRetention:
+    def test_offsets_and_distinctness(self, ray_session, tmp_path):
+        """Two users in one cohort week; repeated activity in the same week
+        counts once; a later-joining user forms its own cohort."""
+        from medical_ocr_service_ray.pipelines.queries import q80_cohort_retention
+
+        wk = np.timedelta64(7 * 86400, "s")
+        base = np.datetime64("2024-01-04T00:00:00", "us")  # mid-week, any anchor
+        rows = pd.DataFrame(
+            {
+                "ts": [base, base, base + wk, base + wk, base + wk, base + 2 * wk],
+                "user_id": [1, 2, 1, 1, 3, 3],
+                "value": [0.0] * 6,
+            }
+        )
+        out = q80_cohort_retention(_events_parquet(tmp_path, rows)).to_pandas()
+        got = {
+            (int(r.cohort_wk), int(r.week_offset)): int(r.n_users)
+            for r in out.itertuples()
+        }
+        c0 = min(k[0] for k in got)
+        # cohort c0: users 1,2 at offset 0; user 1 again at offset 1 (deduped)
+        assert got[(c0, 0)] == 2
+        assert got[(c0, 1)] == 1
+        # user 3 joined one week later: own cohort, active offsets 0 and 1
+        assert got[(c0 + 1, 0)] == 1
+        assert got[(c0 + 1, 1)] == 1
+
+
+class TestBfsHops:
+    def test_matches_brute_bfs(self, ray_session, tmp_path):
+        """Chain + branch graph built from synthetic orders; node beyond 4
+        hops is absent; unreachable component absent."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from medical_ocr_service_ray.pipelines.queries import q81_bfs_hops
+
+        # orders as baskets: co-purchase edges within each basket
+        baskets = [
+            [1, 2],        # 1-2
+            [2, 3],        # 2-3
+            [3, 4, 5],     # 3-4, 3-5, 4-5
+            [5, 6],        # 5-6
+            [6, 7],        # 6-7  -> 7 is 5 hops from 1: must be absent
+            [100, 101],    # unreachable island
+        ]
+        ok, pk = [], []
+        for i, b in enumerate(baskets):
+            for p in b:
+                ok.append(i)
+                pk.append(p)
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(ok, pa.int64()),
+                    "l_partkey": pa.array(pk, pa.int64()),
+                }
+            ),
+            d / "lineitem.parquet",
+        )
+        out = q81_bfs_hops(str(d)).to_pandas().set_index("partkey").hops.to_dict()
+        assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 3, 6: 4}
+
+
+class TestModeEventType:
+    def test_tie_breaks_lexicographic(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.pipelines.queries import q82_mode_event_type
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        rows = pd.DataFrame(
+            {
+                "ts": [base] * 5,
+                "user_id": [1, 1, 1, 1, 2],
+                "event_type": ["b", "a", "b", "a", "z"],
+                "value": [0.0] * 5,
+            }
+        )
+        out = (
+            q82_mode_event_type(_events_parquet(tmp_path, rows))
+            .to_pandas()
+            .set_index("user_id")
+        )
+        assert out.loc[1].mode_type == "a" and int(out.loc[1].cnt) == 2
+        assert out.loc[2].mode_type == "z" and int(out.loc[2].cnt) == 1
+
+
+class TestDecayedEngagement:
+    def test_exact_bit_shift_weights(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.pipelines.queries import q83_decayed_engagement
+
+        wk = np.timedelta64(7 * 86400, "s")
+        newest = np.datetime64("2024-06-01T00:00:00", "us")
+        rows = pd.DataFrame(
+            {
+                # ages 0, 1, 3, 25(clamped to 20) weeks
+                "ts": [newest, newest - wk, newest - 3 * wk, newest - 25 * wk],
+                "user_id": [9, 9, 9, 9],
+                "value": [0.0] * 4,
+            }
+        )
+        out = q83_decayed_engagement(_events_parquet(tmp_path, rows)).to_pandas()
+        expect = (1 << 20) + (1 << 19) + (1 << 17) + 1
+        assert int(out.decayed[0]) == expect
+        assert int(out.n_events[0]) == 4
