@@ -4534,6 +4534,262 @@ FROM events, mx GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------- q84
+
+def q84_auc_per_type(sf_dir: str):
+    """Exact AUC (Mann-Whitney rank-sum with tie-averaged ranks) per
+    event_type — the classifier-evaluation op a training pipeline runs over
+    billions of scored rows. Label = event_id parity (a deterministic stand-in
+    for a prediction table's label column); score = value quantized to 1e-6.
+    All arithmetic is integer: with average ranks, 2·R_pos is always an
+    integer, so the op reports ``u2 = 2·U`` exactly and the oracle matches
+    bit-for-bit (AUC = u2 / (2·n_pos·n_neg), computed by the consumer).
+
+    Scale shape: per-batch partial counts shrink the exchange to distinct
+    (event_type, score) rows — ranks need only the cumulative count of
+    SMALLER scores, never row-level ranks, so nothing resembling a global
+    sort of raw rows ever happens. One small bucketed combine finishes."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = _cents(df.value, 1_000_000)
+        lab = (df.event_id.to_numpy() % 2 == 1).astype("int64")
+        return (
+            pd.DataFrame({"event_type": df.event_type, "q": q, "lab": lab})
+            .groupby(["event_type", "q"])
+            .agg(n1=("lab", "sum"), t=("lab", "size"))
+            .reset_index()
+        )
+
+    def rank_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "q"], as_index=False).agg(
+            n1=("n1", "sum"), t=("t", "sum")
+        )
+        g = g.sort_values(["event_type", "q"], kind="mergesort")
+        cum = g.groupby("event_type")["t"].cumsum()
+        cless = cum - g.t  # count of strictly smaller scores in the type
+        r2 = g.n1 * (2 * cless + g.t + 1)  # 2 * (avg-rank sum of positives)
+        agg = (
+            g.assign(r2=r2)
+            .groupby("event_type", as_index=False)
+            .agg(r2=("r2", "sum"), n_pos=("n1", "sum"), n=("t", "sum"))
+        )
+        out = pd.DataFrame(
+            {
+                "event_type": agg.event_type,
+                "u2": (agg.r2 - agg.n_pos * (agg.n_pos + 1)).astype("int64"),
+                "n_pos": agg.n_pos.astype("int64"),
+                "n_neg": (agg.n - agg.n_pos).astype("int64"),
+            }
+        )
+        return out
+
+    return partial_then_combine(ds, partial, "event_type", rank_sum)
+
+
+_Q84_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS q,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS lab
+  FROM events
+), c AS (
+  SELECT event_type, q, SUM(lab) AS n1, COUNT(*) AS t FROM s GROUP BY 1, 2
+), w AS (
+  SELECT event_type, q, n1, t,
+         COALESCE(SUM(t) OVER (PARTITION BY event_type ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cless
+  FROM c
+)
+SELECT event_type,
+       (SUM(n1 * (2*cless + t + 1)) - SUM(n1) * (SUM(n1) + 1))::BIGINT AS u2,
+       SUM(n1)::BIGINT AS n_pos, (SUM(t) - SUM(n1))::BIGINT AS n_neg
+FROM w GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------- q85
+
+def q85_length_deciles(sf_dir: str):
+    """Global decile bucketing by document length (curriculum / balanced-batch
+    binning): decile(v) = ceil(10 · cume_dist(v)) — the tie-stable NTILE
+    variant where equal values always share a bucket, so it is deterministic
+    and SQL-exact (CUME_DIST window). Distributed shape: per-batch
+    distinct-length counts -> ONE tiny combine over distinct lengths (bounded
+    by the length domain, not row count) -> the value->decile map is
+    broadcast and stamped in a second streaming pass; no row-level rank or
+    global sort ever materializes."""
+    import ray as _ray
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_chars").size().reset_index(name="c")
+
+    hist = driver_combine(
+        ds, counts, lambda df: df.groupby("n_chars", as_index=False)["c"].sum()
+    ).sort_values("n_chars")
+    n = int(hist.c.sum())
+    cum = hist.c.cumsum().to_numpy()
+    # ceil(10*cum/n) in exact integers
+    decile = (10 * cum + n - 1) // n
+    dec_map_ref = _ray.put(dict(zip(hist.n_chars.to_numpy(), decile)))
+
+    def stamp_and_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(dec_map_ref)
+        d = df.n_chars.map(m)
+        return (
+            pd.DataFrame({"decile": d, "len": df.n_chars})
+            .groupby("decile")
+            .agg(n_docs=("len", "size"), min_len=("len", "min"), max_len=("len", "max"))
+            .reset_index()
+        )
+
+    partials = ds.map_batches(stamp_and_partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("decile", as_index=False).agg(
+            n_docs=("n_docs", "sum"), min_len=("min_len", "min"), max_len=("max_len", "max")
+        )
+        for c in ("decile", "n_docs", "min_len", "max_len"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_combine(partials, "decile", combine, num_buckets=4)
+
+
+_Q85_SQL = """
+WITH c AS (
+  SELECT n_chars,
+         CAST(ceil(10 * CUME_DIST() OVER (ORDER BY n_chars)) AS BIGINT) AS decile
+  FROM documents
+)
+SELECT decile, COUNT(*)::BIGINT AS n_docs,
+       MIN(n_chars)::BIGINT AS min_len, MAX(n_chars)::BIGINT AS max_len
+FROM c GROUP BY decile
+"""
+
+
+# --------------------------------------------------------------------- q86
+
+def q86_fk_integrity(sf_dir: str):
+    """Referential-integrity audit (ingestion data-quality gate): orphan and
+    total counts for three fact->dim edges in one report. Each edge is the
+    EXACT Bloom anti-join (stages/bloom.py): definite Bloom negatives are
+    counted without any exchange, possible-positives pay one bucketed
+    membership pass — large-large safe, no key set ever sits in one heap.
+    Reference analogue: the NOT-EXISTS reconciliation audit
+    (database/migration_ingestion_jobs.sql) generalized to every FK edge."""
+    from medical_ocr_service_ray.stages.bloom import bloom_semi_join
+
+    edges = [
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ]
+    rows = []
+    for name, fact, fk, dim, pk in edges:
+        probe = _read(sf_dir, fact, [fk])
+
+        def rename(df: pd.DataFrame, fk=fk) -> pd.DataFrame:
+            return pd.DataFrame({"k": df[fk].astype("int64")})
+
+        probe = probe.map_batches(rename, batch_format="pandas")
+        build = _read(sf_dir, dim, [pk]).map_batches(
+            lambda df, pk=pk: pd.DataFrame({"k": df[pk].astype("int64").unique()}),
+            batch_format="pandas",
+        )
+        n_dim = _read(sf_dir, dim, [pk]).count()
+        orphans = bloom_semi_join(probe, build, "k", n_build_keys=n_dim, anti=True)
+        rows.append(
+            {"edge": name, "n_orphans": orphans.count(), "n_rows": probe.count()}
+        )
+    out = pd.DataFrame(rows)
+    out["n_orphans"] = out.n_orphans.astype("int64")
+    out["n_rows"] = out.n_rows.astype("int64")
+    return out
+
+
+_Q86_SQL = """
+SELECT 'orders->customer' AS edge,
+       COUNT(*) FILTER (WHERE c.c_custkey IS NULL)::BIGINT AS n_orphans,
+       COUNT(*)::BIGINT AS n_rows
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem->orders',
+       COUNT(*) FILTER (WHERE oo.o_orderkey IS NULL)::BIGINT,
+       COUNT(*)::BIGINT
+FROM lineitem l LEFT JOIN orders oo ON l.l_orderkey = oo.o_orderkey
+UNION ALL
+SELECT 'lineitem->part',
+       COUNT(*) FILTER (WHERE p.p_partkey IS NULL)::BIGINT,
+       COUNT(*)::BIGINT
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+# --------------------------------------------------------------------- q87
+
+def q87_user_gaps_churn(sf_dir: str):
+    """Per-user inter-event gap profile + churn flag: max gap between
+    consecutive events (µs), event count, and churned = (corpus max ts −
+    user's last ts) > 2 weeks. The LAG-window analogue done scale-right:
+    corpus max is a 1-row-per-batch driver reduce; gaps need a user's events
+    co-located and ordered, so ONE keyed exchange on user_id (2 narrow
+    columns) with a vectorized per-bucket sort + shifted diff — the same
+    co-location contract as sessionization (q28)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def batch_max(df: pd.DataFrame) -> pd.DataFrame:
+        us = df.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({"m": [us.max()]})
+
+    max_us = int(
+        driver_combine(ds, batch_max, lambda df: pd.DataFrame({"m": [df.m.max()]})).m[0]
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df.user_id.astype("int64"),
+                "us": df.ts.to_numpy().astype("datetime64[us]").astype("int64"),
+                "event_id": df.event_id.astype("int64"),
+            }
+        )
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id")["us"].shift(1)
+        gap = df.us - prev
+        out = (
+            df.assign(gap=gap)
+            .groupby("user_id", as_index=False)
+            .agg(max_gap_us=("gap", "max"), n_events=("us", "size"), last_us=("us", "max"))
+        )
+        out["max_gap_us"] = out.max_gap_us.fillna(0).astype("int64")
+        out["n_events"] = out.n_events.astype("int64")
+        out["churned"] = ((max_us - out.last_us) > 2 * _WEEK_US).astype("int64")
+        return out[["user_id", "max_gap_us", "n_events", "churned"]]
+
+    return bucketed_combine(
+        ds.map_batches(project, batch_format="pandas"), "user_id", gaps
+    )
+
+
+_Q87_SQL = """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+g AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events
+)
+SELECT user_id, COALESCE(MAX(gap), 0)::BIGINT AS max_gap_us,
+       COUNT(*)::BIGINT AS n_events,
+       CAST((mx.m - MAX(us)) > 1209600000000 AS BIGINT) AS churned
+FROM g, mx GROUP BY user_id, mx.m
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -4620,6 +4876,10 @@ QUERIES = {
     "q81_bfs_hops": q81_bfs_hops,
     "q82_mode_event_type": q82_mode_event_type,
     "q83_decayed_engagement": q83_decayed_engagement,
+    "q84_auc_per_type": q84_auc_per_type,
+    "q85_length_deciles": q85_length_deciles,
+    "q86_fk_integrity": q86_fk_integrity,
+    "q87_user_gaps_churn": q87_user_gaps_churn,
 }
 
 ORACLE_SQL = {
@@ -4702,6 +4962,10 @@ ORACLE_SQL = {
     "q81_bfs_hops": _q81_sql(),
     "q82_mode_event_type": _Q82_SQL,
     "q83_decayed_engagement": _Q83_SQL,
+    "q84_auc_per_type": _Q84_SQL,
+    "q85_length_deciles": _Q85_SQL,
+    "q86_fk_integrity": _Q86_SQL,
+    "q87_user_gaps_churn": _Q87_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

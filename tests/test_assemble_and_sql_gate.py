@@ -68,6 +68,10 @@ GATED = [
     "q81_bfs_hops",
     "q82_mode_event_type",
     "q83_decayed_engagement",
+    "q84_auc_per_type",
+    "q85_length_deciles",
+    "q86_fk_integrity",
+    "q87_user_gaps_churn",
 ]
 
 

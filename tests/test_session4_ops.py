@@ -182,3 +182,138 @@ class TestDecayedEngagement:
         expect = (1 << 20) + (1 << 19) + (1 << 17) + 1
         assert int(out.decayed[0]) == expect
         assert int(out.n_events[0]) == 4
+
+
+class TestAucPerType:
+    def test_perfect_ties_and_reversed(self, ray_session, tmp_path):
+        """Perfect separation -> u2 = 2*n_pos*n_neg (AUC 1); all-equal scores
+        -> u2 = n_pos*n_neg (AUC 0.5); reversed separation -> u2 = 0.
+        Labels are event_id parity (odd = positive)."""
+        from medical_ocr_service_ray.pipelines.queries import q84_auc_per_type
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        # type P: positives (odd ids 1,3) score high, negatives (0,2) low
+        # type T: everyone scores 5.0
+        # type R: positives low, negatives high
+        rows = pd.DataFrame(
+            {
+                "ts": [base] * 12,
+                "user_id": list(range(12)),
+                "event_type": ["P"] * 4 + ["T"] * 4 + ["R"] * 4,
+                "value": [1.0, 9.0, 2.0, 8.0, 5.0, 5.0, 5.0, 5.0, 9.0, 1.0, 8.0, 2.0],
+            }
+        )
+        out = (
+            q84_auc_per_type(_events_parquet(tmp_path, rows))
+            .to_pandas()
+            .set_index("event_type")
+        )
+        assert int(out.loc["P"].u2) == 2 * 2 * 2
+        assert int(out.loc["T"].u2) == 2 * 2
+        assert int(out.loc["R"].u2) == 0
+        assert int(out.loc["P"].n_pos) == 2 and int(out.loc["P"].n_neg) == 2
+
+
+class TestLengthDeciles:
+    def test_ties_share_bucket(self, ray_session, tmp_path):
+        """All-equal lengths land in decile 10 together (cume_dist = 1);
+        distinct lengths spread into per-value deciles."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from medical_ocr_service_ray.pipelines.queries import q85_length_deciles
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        n_chars = [7] * 5 + list(range(100, 105))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(10), pa.int64()),
+                    "text": pa.array(["x"] * 10),
+                    "lang": pa.array(["en"] * 10),
+                    "source": pa.array(["s"] * 10),
+                    "n_chars": pa.array(n_chars, pa.int64()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        out = q85_length_deciles(str(d)).to_pandas().set_index("decile")
+        # the five 7s: cume_dist = 5/10 -> decile 5, all together
+        assert int(out.loc[5].n_docs) == 5
+        assert int(out.loc[5].min_len) == 7 and int(out.loc[5].max_len) == 7
+        # 100..104: cume_dist 6/10..10/10 -> deciles 6..10, one each
+        for dec in range(6, 11):
+            assert int(out.loc[dec].n_docs) == 1
+
+
+class TestFkIntegrity:
+    def test_planted_orphans(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from medical_ocr_service_ray.pipelines.queries import q86_fk_integrity
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(
+            pa.table({"c_custkey": pa.array([1, 2], pa.int64())}),
+            d / "customer.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                    "o_custkey": pa.array([1, 2, 99], pa.int64()),  # 99 orphan
+                }
+            ),
+            d / "orders.parquet",
+        )
+        pq.write_table(
+            pa.table({"p_partkey": pa.array([5], pa.int64())}), d / "part.parquet"
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([10, 77, 12], pa.int64()),  # 77 orphan
+                    "l_partkey": pa.array([5, 5, 6], pa.int64()),      # 6 orphan
+                }
+            ),
+            d / "lineitem.parquet",
+        )
+        out = q86_fk_integrity(str(d)).set_index("edge")
+        assert int(out.loc["orders->customer"].n_orphans) == 1
+        assert int(out.loc["orders->customer"].n_rows) == 3
+        assert int(out.loc["lineitem->orders"].n_orphans) == 1
+        assert int(out.loc["lineitem->part"].n_orphans) == 1
+
+
+class TestUserGapsChurn:
+    def test_gap_and_churn_flags(self, ray_session, tmp_path):
+        """User 1's max gap is the 3-day hole; user 2 stopped 3 weeks before
+        the corpus max -> churned; single-event user has gap 0."""
+        from medical_ocr_service_ray.pipelines.queries import q87_user_gaps_churn
+
+        day = np.timedelta64(86400, "s")
+        end = np.datetime64("2024-06-30T00:00:00", "us")
+        rows = pd.DataFrame(
+            {
+                "ts": [
+                    end - 5 * day, end - 2 * day, end,         # user 1: gaps 3d, 2d
+                    end - 23 * day, end - 21 * day,            # user 2: last 3wk ago
+                    end - 1 * day,                             # user 3: single event
+                ],
+                "user_id": [1, 1, 1, 2, 2, 3],
+                "value": [0.0] * 6,
+            }
+        )
+        out = (
+            q87_user_gaps_churn(_events_parquet(tmp_path, rows))
+            .to_pandas()
+            .set_index("user_id")
+        )
+        assert int(out.loc[1].max_gap_us) == 3 * 86400 * 1_000_000
+        assert int(out.loc[1].churned) == 0
+        assert int(out.loc[2].max_gap_us) == 2 * 86400 * 1_000_000
+        assert int(out.loc[2].churned) == 1
+        assert int(out.loc[3].max_gap_us) == 0 and int(out.loc[3].n_events) == 1
