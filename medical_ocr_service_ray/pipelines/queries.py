@@ -4790,6 +4790,185 @@ FROM g, mx GROUP BY user_id, mx.m
 """
 
 
+# --------------------------------------------------------------------- q88
+
+def q88_mad_outliers(sf_dir: str):
+    """Robust outlier detection per group: discrete median + MAD (median
+    absolute deviation) over the 1e-6-quantized value, and the count of rows
+    beyond 3·MAD — the statistical data-quality gate run before training
+    ingestion. ONE exchange: per-batch (type, value) partial counts; the
+    per-type combine derives the median from the cumulative histogram, then
+    builds the DEVIATION histogram from the SAME histogram (|v−med| with
+    counts — never re-touching rows), takes its median, and counts outliers
+    weighted by cnt. Exchange volume is O(groups × distinct values),
+    independent of row count; all arithmetic integer (q44's disc-quantile
+    rule), so the window-function oracle matches exactly."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"event_type": df.event_type, "v": _cents(df.value, 1_000_000)})
+            .groupby(["event_type", "v"])
+            .size()
+            .reset_index(name="cnt")
+        )
+
+    def _disc_median(sorted_vals: np.ndarray, cnts: np.ndarray) -> int:
+        cum = cnts.cumsum()
+        n = int(cum[-1])
+        return int(sorted_vals[np.searchsorted(cum, (n + 1) // 2)])
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "v"], as_index=False)["cnt"].sum()
+        rows = []
+        for et, sub in g.groupby("event_type"):
+            sub = sub.sort_values("v")
+            v, c = sub.v.to_numpy(), sub.cnt.to_numpy()
+            med = _disc_median(v, c)
+            dev = pd.DataFrame({"d": np.abs(v - med), "cnt": c}).groupby("d", as_index=False)[
+                "cnt"
+            ].sum()
+            mad = _disc_median(dev.d.to_numpy(), dev.cnt.to_numpy())
+            rows.append(
+                {
+                    "event_type": et,
+                    "med": med,
+                    "mad": mad,
+                    "n_outliers": int(c[np.abs(v - med) > 3 * mad].sum()),
+                    "n": int(c.sum()),
+                }
+            )
+        out = pd.DataFrame(rows)
+        for col in ("med", "mad", "n_outliers", "n"):
+            out[col] = out[col].astype("int64")
+        return out
+
+    return partial_then_combine(ds, partial, "event_type", per_type, num_buckets=4)
+
+
+_Q88_SQL = """
+WITH counts AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, v, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum_n,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM counts
+), med AS (
+  SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+         MIN(v) FILTER (WHERE cum_n >= (n + 1) // 2) AS med
+  FROM cum GROUP BY event_type
+), dev AS (
+  SELECT c.event_type, ABS(c.v - m.med) AS d, SUM(c.cnt) AS cnt
+  FROM counts c JOIN med m USING (event_type) GROUP BY 1, 2
+), dcum AS (
+  SELECT event_type, d, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY d) AS cum_n,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM dev
+), mad AS (
+  SELECT event_type, MIN(d) FILTER (WHERE cum_n >= (n + 1) // 2) AS mad
+  FROM dcum GROUP BY event_type
+)
+SELECT m.event_type, m.med::BIGINT AS med, a.mad::BIGINT AS mad,
+       COALESCE(SUM(c.cnt) FILTER (WHERE ABS(c.v - m.med) > 3 * a.mad), 0)::BIGINT AS n_outliers,
+       m.n::BIGINT AS n
+FROM med m JOIN mad a USING (event_type) JOIN counts c USING (event_type)
+GROUP BY m.event_type, m.med, a.mad, m.n
+"""
+
+
+# --------------------------------------------------------------------- q89
+
+def q89_dense_week_grid(sf_dir: str):
+    """Time-series densification (gap filling): per user, one row for EVERY
+    epoch-week between first and last activity — zero-filled weeks included —
+    the grid a feature store feeds to sequence models. Per-batch (user, week)
+    partial counts shrink the exchange; the per-user combine expands spans
+    vectorized (np.repeat over span lengths + offset arange — no Python
+    per-user loop) and left-merges the counts. Output size is the sum of user
+    spans: bounded and explicit, never a cross join."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        wk = df.ts.to_numpy().astype("datetime64[us]").astype("int64") // _WEEK_US
+        return (
+            pd.DataFrame({"user_id": df.user_id, "wk": wk})
+            .groupby(["user_id", "wk"])
+            .size()
+            .reset_index(name="n")
+        )
+
+    def densify(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["user_id", "wk"], as_index=False)["n"].sum()
+        span = c.groupby("user_id", as_index=False)["wk"].agg(["min", "max"])
+        lens = (span["max"] - span["min"] + 1).to_numpy()
+        users = np.repeat(span.user_id.to_numpy(), lens)
+        starts = np.repeat(span["min"].to_numpy(), lens)
+        # offset within each user's span: global arange minus each span start
+        offs = np.arange(lens.sum()) - np.repeat(np.cumsum(lens) - lens, lens)
+        grid = pd.DataFrame({"user_id": users, "wk": starts + offs})
+        out = grid.merge(c, on=["user_id", "wk"], how="left")
+        out["n_events"] = out.n.fillna(0).astype("int64")
+        return out[["user_id", "wk", "n_events"]]
+
+    return partial_then_combine(ds, partial, "user_id", densify)
+
+
+_Q89_SQL = """
+WITH uw AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+c AS (SELECT user_id, wk, COUNT(*)::BIGINT AS n FROM uw GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(wk) AS a, MAX(wk) AS b FROM uw GROUP BY 1),
+grid AS (SELECT user_id, a + u.o AS wk FROM span, unnest(range(0, b - a + 1)) AS u(o))
+SELECT g.user_id, g.wk, COALESCE(c.n, 0)::BIGINT AS n_events
+FROM grid g LEFT JOIN c USING (user_id, wk)
+"""
+
+
+# --------------------------------------------------------------------- q90
+
+def q90_incremental_agg_merge(sf_dir: str):
+    """Incremental materialized-view maintenance: the per-user (spend, count)
+    aggregate is built as a BASE state (even event_ids) and a DELTA state
+    (odd event_ids) in independent passes, then merged state-to-state — the
+    pattern that updates a 100-TB rollup from an hourly delta without
+    rescanning the base. Merge = tagged union of the two partial-state
+    datasets + one keyed combine summing mergeable fields. The oracle is the
+    FULL recompute over all events, so the green hash proves
+    incremental == from-scratch (the invariant that matters)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def state(df: pd.DataFrame, parity: int) -> pd.DataFrame:
+        sub = df[df.event_id % 2 == parity]
+        return (
+            pd.DataFrame({"user_id": sub.user_id, "c": _cents(sub.value)})
+            .groupby("user_id")
+            .agg(spend_cents=("c", "sum"), n_events=("c", "size"))
+            .reset_index()
+        )
+
+    base = ds.map_batches(lambda df: state(df, 0), batch_format="pandas")
+    delta = ds.map_batches(lambda df: state(df, 1), batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False).agg(
+            spend_cents=("spend_cents", "sum"), n_events=("n_events", "sum")
+        )
+        out["spend_cents"] = out.spend_cents.astype("int64")
+        out["n_events"] = out.n_events.astype("int64")
+        return out
+
+    return bucketed_combine(base.union(delta), "user_id", merge)
+
+
+_Q90_SQL = """
+SELECT user_id, SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS spend_cents,
+       COUNT(*)::BIGINT AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -4880,6 +5059,9 @@ QUERIES = {
     "q85_length_deciles": q85_length_deciles,
     "q86_fk_integrity": q86_fk_integrity,
     "q87_user_gaps_churn": q87_user_gaps_churn,
+    "q88_mad_outliers": q88_mad_outliers,
+    "q89_dense_week_grid": q89_dense_week_grid,
+    "q90_incremental_agg_merge": q90_incremental_agg_merge,
 }
 
 ORACLE_SQL = {
@@ -4966,6 +5148,9 @@ ORACLE_SQL = {
     "q85_length_deciles": _Q85_SQL,
     "q86_fk_integrity": _Q86_SQL,
     "q87_user_gaps_churn": _Q87_SQL,
+    "q88_mad_outliers": _Q88_SQL,
+    "q89_dense_week_grid": _Q89_SQL,
+    "q90_incremental_agg_merge": _Q90_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -72,6 +72,9 @@ GATED = [
     "q85_length_deciles",
     "q86_fk_integrity",
     "q87_user_gaps_churn",
+    "q88_mad_outliers",
+    "q89_dense_week_grid",
+    "q90_incremental_agg_merge",
 ]
 
 

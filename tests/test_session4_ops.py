@@ -317,3 +317,75 @@ class TestUserGapsChurn:
         assert int(out.loc[2].max_gap_us) == 2 * 86400 * 1_000_000
         assert int(out.loc[2].churned) == 1
         assert int(out.loc[3].max_gap_us) == 0 and int(out.loc[3].n_events) == 1
+
+
+class TestMadOutliers:
+    def test_median_mad_and_outlier_count(self, ray_session, tmp_path):
+        """Values 1..7 plus a far outlier 1000: med=4(.5 -> disc lower rule
+        picks the (n+1)//2-th), MAD from the deviation histogram, outlier
+        beyond 3*MAD counted once."""
+        from medical_ocr_service_ray.pipelines.queries import q88_mad_outliers
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 1000.0]
+        rows = pd.DataFrame(
+            {
+                "ts": [base] * len(vals),
+                "user_id": list(range(len(vals))),
+                "event_type": ["A"] * len(vals),
+                "value": vals,
+            }
+        )
+        out = q88_mad_outliers(_events_parquet(tmp_path, rows)).to_pandas()
+        # quantized by 1e6; n=8 -> (n+1)//2 = 4 -> 4th smallest = 4
+        assert int(out.med[0]) == 4_000_000
+        # deviations sorted: 0,1e6,1e6,2e6,2e6,3e6,3e6,996e6 -> 4th = 2e6
+        assert int(out.mad[0]) == 2_000_000
+        # |v-med| > 6e6 -> only 1000.0
+        assert int(out.n_outliers[0]) == 1
+        assert int(out.n[0]) == 8
+
+
+class TestDenseWeekGrid:
+    def test_zero_weeks_filled(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.pipelines.queries import q89_dense_week_grid
+
+        wk = np.timedelta64(7 * 86400, "s")
+        base = np.datetime64("2024-01-04T00:00:00", "us")
+        rows = pd.DataFrame(
+            {
+                # user 1: weeks 0 and 3 active -> grid rows for 0,1,2,3
+                # user 2: single week -> one row
+                "ts": [base, base, base + 3 * wk, base + wk],
+                "user_id": [1, 1, 1, 2],
+                "value": [0.0] * 4,
+            }
+        )
+        out = q89_dense_week_grid(_events_parquet(tmp_path, rows)).to_pandas()
+        u1 = out[out.user_id == 1].sort_values("wk")
+        assert u1.n_events.tolist() == [2, 0, 0, 1]
+        assert len(out[out.user_id == 2]) == 1
+        assert int(out[out.user_id == 2].n_events.iloc[0]) == 1
+
+
+class TestIncrementalAggMerge:
+    def test_merged_equals_full(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.pipelines.queries import q90_incremental_agg_merge
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        rows = pd.DataFrame(
+            {
+                "ts": [base] * 6,
+                "user_id": [1, 1, 1, 2, 2, 3],
+                "value": [1.5, 2.25, 3.0, 10.0, 0.5, 7.77],
+            }
+        )
+        out = (
+            q90_incremental_agg_merge(_events_parquet(tmp_path, rows))
+            .to_pandas()
+            .set_index("user_id")
+        )
+        assert int(out.loc[1].spend_cents) == 150 + 225 + 300
+        assert int(out.loc[1].n_events) == 3
+        assert int(out.loc[2].spend_cents) == 1050 and int(out.loc[2].n_events) == 2
+        assert int(out.loc[3].spend_cents) == 777
