@@ -14,7 +14,8 @@ sizing, output layout — with the actual codec behind a clearly marked stub
   decoded FOR REAL (pure-stdlib codec, functions/png.py: zlib inflate +
   per-scanline filter reconstruction), as are uncompressed 24/32-bit BMPs
   (functions/bmp.py) — features, resize and re-encode all operate on
-  actual pixel data, as are GIFs (functions/gif.py: real LZW + interlace)
+  actual pixel data, as are GIFs (functions/gif.py: real LZW + interlace),
+  uncompressed TIFFs (functions/tiff.py: both byte orders, multi-strip)
   and baseline JPEGs (functions/jpeg.py: huffman + IDCT, 4:4:4/4:2:0).
   Progressive JPEG / PDF-raster / video still lack a codec in
   this container: ``fake=True`` (default) produces deterministic
@@ -49,6 +50,8 @@ _MAGIC = (
     (b"\x89PNG\r\n\x1a\n", "image/png"),
     (b"BM", "image/bmp"),
     (b"GIF8", "image/gif"),
+    (b"II*\x00", "image/tiff"),
+    (b"MM\x00*", "image/tiff"),
     (b"%PDF", "application/pdf"),
     (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mpeg"),
@@ -85,8 +88,9 @@ class MediaDecoderStub:
     reference behavior src/services/image.service.js:186-240 (sharp
     resize/compress before feature work) — as do uncompressed BMPs
     (functions/bmp.py), GIFs (functions/gif.py: general LZW, interlace,
-    palettes), baseline JPEGs (functions/jpeg.py: huffman + IDCT, 4:4:4 and
-    4:2:0) and RIFF/PCM WAV payloads (functions/audio.py).
+    palettes), uncompressed TIFFs (functions/tiff.py: both byte orders,
+    multi-strip), baseline JPEGs (functions/jpeg.py: huffman + IDCT, 4:4:4
+    and 4:2:0) and RIFF/PCM WAV payloads (functions/audio.py).
     Remaining formats (progressive JPEG/PDF-raster/video) are STUBBED
     (no pillow/ffmpeg in this container); the deterministic fake keeps every
     distributed aspect real: per-actor setup, small-batch processing,
@@ -147,10 +151,30 @@ class MediaDecoderStub:
         except _gif.GifError:
             return None
 
+    def _decode_tiff(self, payload: bytes):
+        """Real pixels for uncompressed grayscale/RGB TIFFs
+        (functions/tiff.py: both byte orders, multi-strip)."""
+        from medical_ocr_service_ray.functions import tiff as _tiff
+
+        if not payload or bytes(payload[:4]) not in (b"II*\x00", b"MM\x00*"):
+            return None
+        try:
+            img = _tiff.decode_tiff(payload)
+        except _tiff.TiffError:
+            return None
+        # grayscale -> (h, w, 3) so downstream features see one layout
+        return np.repeat(img[:, :, None], 3, axis=2) if img.ndim == 2 else img
+
     def _decode_image(self, payload: bytes):
-        """Any real raster codec that applies (PNG, BMP, GIF, JPEG), else
-        None."""
-        for dec in (self._decode_png, self._decode_bmp, self._decode_gif, self._decode_jpeg):
+        """Any real raster codec that applies (PNG, BMP, GIF, TIFF, JPEG),
+        else None."""
+        for dec in (
+            self._decode_png,
+            self._decode_bmp,
+            self._decode_gif,
+            self._decode_tiff,
+            self._decode_jpeg,
+        ):
             img = dec(payload)
             if img is not None:
                 return img
