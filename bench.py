@@ -58,6 +58,17 @@ BENCH_QUERIES = [
     "q67_json_field_rollup",
     "q68_hll_set_algebra",
     "q69_char_lm_quality",
+    "q72_duplicated_span_mass",
+    "q76_copurchase_pagerank",
+    "q78_ivf_ann",
+    "q79_interval_coverage",
+    "q80_cohort_retention",
+    "q84_auc_per_type",
+    "q86_fk_integrity",
+    "q87_user_gaps_churn",
+    "q88_mad_outliers",
+    "q89_dense_week_grid",
+    "q90_incremental_agg_merge",
 ]
 
 

@@ -55,6 +55,51 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "rd.Data
     return rd.read_parquet(path, columns=columns, schema=sch)
 
 
+def _parquet_num_rows(sf_dir: str, table: str) -> int:
+    """Exact row count from the parquet FOOTER — zero data scan. The 100-TB
+    habit: never run a count job for what the table metadata already
+    records."""
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
+def _parquet_ts_max_us(sf_dir: str, table: str, col: str) -> int | None:
+    """Exact column max (epoch-µs) from parquet row-group STATISTICS — zero
+    data scan (parquet stats maxima are actual column values for
+    timestamps). Returns None when any row group lacks stats, in which case
+    the caller falls back to a scan."""
+    f = pq.ParquetFile(f"{sf_dir}/{table}.parquet")
+    idx = f.schema_arrow.get_field_index(col)
+    best = None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mx = st.max
+        if hasattr(mx, "timestamp"):  # datetime -> epoch µs
+            import calendar
+
+            mx = calendar.timegm(mx.timetuple()) * 1_000_000 + mx.microsecond
+        best = mx if best is None else max(best, mx)
+    return int(best) if best is not None else None
+
+
+def _events_max_us(sf_dir: str) -> int:
+    """Corpus max event timestamp: footer statistics when present, else one
+    1-row-per-batch driver reduce."""
+    stat = _parquet_ts_max_us(sf_dir, "events", "ts")
+    if stat is not None:
+        return stat
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def batch_max(df: pd.DataFrame) -> pd.DataFrame:
+        us = df.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({"m": [us.max()]})
+
+    return int(
+        driver_combine(ds, batch_max, lambda df: pd.DataFrame({"m": [df.m.max()]})).m[0]
+    )
+
+
 def _cents(series: pd.Series, scale: int = 100) -> pd.Series:
     # np.rint (half-even) == SQL round() here: scaled decimals land near
     # integers, never near .5
@@ -4490,18 +4535,12 @@ def q83_decayed_engagement(sf_dir: str):
     2^20 >> age_weeks (age measured back from the corpus max timestamp,
     clamped at 20 weeks so the weight floor is 1). All-integer arithmetic —
     the halving decay is exact bit-shift, so the SQL oracle reproduces the
-    sums bit-for-bit. Pass 1 is a driver max (1 row/batch); pass 2 is the
-    standard partial+combine. The decay pattern is what freshness-weighted
-    training-data sampling uses at scale."""
+    sums bit-for-bit. The corpus max comes from parquet footer statistics
+    (zero scan, exact; falls back to a 1-row-per-batch driver reduce); the
+    main pass is the standard partial+combine. The decay pattern is what
+    freshness-weighted training-data sampling uses at scale."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-
-    def batch_max(df: pd.DataFrame) -> pd.DataFrame:
-        us = df.ts.to_numpy().astype("datetime64[us]").astype("int64")
-        return pd.DataFrame({"m": [us.max()]})
-
-    max_us = int(
-        driver_combine(ds, batch_max, lambda df: pd.DataFrame({"m": [df.m.max()]})).m[0]
-    )
+    max_us = _events_max_us(sf_dir)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         us = df.ts.to_numpy().astype("datetime64[us]").astype("int64")
@@ -4677,8 +4716,12 @@ def q86_fk_integrity(sf_dir: str):
     EXACT Bloom anti-join (stages/bloom.py): definite Bloom negatives are
     counted without any exchange, possible-positives pay one bucketed
     membership pass — large-large safe, no key set ever sits in one heap.
-    Reference analogue: the NOT-EXISTS reconciliation audit
-    (database/migration_ingestion_jobs.sql) generalized to every FK edge."""
+    Table cardinalities come from parquet FOOTERS (zero scan): the dim count
+    only sizes the Bloom filter, the fact count is exact metadata — so each
+    edge costs exactly one dim scan (bloom build) + one fact scan (stamp) +
+    the surviving-fraction exchange, nothing else. Reference analogue: the
+    NOT-EXISTS reconciliation audit (database/migration_ingestion_jobs.sql)
+    generalized to every FK edge."""
     from medical_ocr_service_ray.stages.bloom import bloom_semi_join
 
     edges = [
@@ -4686,24 +4729,63 @@ def q86_fk_integrity(sf_dir: str):
         ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
         ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
     ]
-    rows = []
+    from concurrent.futures import ThreadPoolExecutor
+
+    # dataset construction stays on the main thread (read_parquet's lazy
+    # fsspec imports aren't thread-safe); only the driver-blocking Bloom
+    # builds (a dim scan each) overlap in threads
+    sides = []
     for name, fact, fk, dim, pk in edges:
-        probe = _read(sf_dir, fact, [fk])
 
         def rename(df: pd.DataFrame, fk=fk) -> pd.DataFrame:
-            return pd.DataFrame({"k": df[fk].astype("int64")})
+            # counting needs only (key, multiplicity): per-batch distinct
+            # shrinks the exchange (lineitem ships ~4x fewer rows)
+            g = df[fk].astype("int64").value_counts()
+            return pd.DataFrame({"k": g.index.to_numpy(), "c": g.to_numpy().astype("int64")})
 
-        probe = probe.map_batches(rename, batch_format="pandas")
+        probe = _read(sf_dir, fact, [fk]).map_batches(
+            rename, batch_format="pandas", batch_size=1 << 18
+        )
         build = _read(sf_dir, dim, [pk]).map_batches(
             lambda df, pk=pk: pd.DataFrame({"k": df[pk].astype("int64").unique()}),
             batch_format="pandas",
         )
-        n_dim = _read(sf_dir, dim, [pk]).count()
-        orphans = bloom_semi_join(probe, build, "k", n_build_keys=n_dim, anti=True)
-        rows.append(
-            {"edge": name, "n_orphans": orphans.count(), "n_rows": probe.count()}
+        sides.append((name, probe, build, _parquet_num_rows(sf_dir, dim)))
+
+    def make_edge(side) -> "rd.Dataset":
+        name, probe, build, n_dim = side
+        orphans = bloom_semi_join(
+            probe,
+            build,
+            "k",
+            n_build_keys=n_dim,
+            anti=True,
+            probe_schema=pa.schema([("k", pa.int64()), ("c", pa.int64())]),
         )
-    out = pd.DataFrame(rows)
+        return orphans.map_batches(
+            lambda df, name=name: pd.DataFrame({"edge": [name], "c": [int(df.c.sum())]}),
+            batch_format="pandas",
+        )
+
+    # threads overlap only the driver-blocking Bloom BUILDS; the three edge
+    # pipelines then execute as ONE union consumption (measured: three
+    # concurrent independent executions contend for the same CPUs and run
+    # 2-4x slower than the single fused topology)
+    with ThreadPoolExecutor(len(edges)) as pool:
+        tagged = list(pool.map(make_edge, sides))
+    first, *rest = tagged
+    cdf = first.union(*rest).to_pandas()
+    # a fully-clean table yields only empty zero-column blocks
+    counts = (
+        cdf.groupby("edge")["c"].sum() if "edge" in cdf.columns else pd.Series(dtype="int64")
+    )
+    out = pd.DataFrame(
+        {
+            "edge": [e[0] for e in edges],
+            "n_orphans": [int(counts.get(e[0], 0)) for e in edges],
+            "n_rows": [_parquet_num_rows(sf_dir, e[1]) for e in edges],
+        }
+    )
     out["n_orphans"] = out.n_orphans.astype("int64")
     out["n_rows"] = out.n_rows.astype("int64")
     return out
@@ -4733,19 +4815,12 @@ def q87_user_gaps_churn(sf_dir: str):
     """Per-user inter-event gap profile + churn flag: max gap between
     consecutive events (µs), event count, and churned = (corpus max ts −
     user's last ts) > 2 weeks. The LAG-window analogue done scale-right:
-    corpus max is a 1-row-per-batch driver reduce; gaps need a user's events
-    co-located and ordered, so ONE keyed exchange on user_id (2 narrow
-    columns) with a vectorized per-bucket sort + shifted diff — the same
-    co-location contract as sessionization (q28)."""
+    corpus max comes from parquet footer statistics (zero scan); gaps need a
+    user's events co-located and ordered, so ONE keyed exchange on user_id
+    (2 narrow columns) with a vectorized per-bucket sort + shifted diff —
+    the same co-location contract as sessionization (q28)."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
-
-    def batch_max(df: pd.DataFrame) -> pd.DataFrame:
-        us = df.ts.to_numpy().astype("datetime64[us]").astype("int64")
-        return pd.DataFrame({"m": [us.max()]})
-
-    max_us = int(
-        driver_combine(ds, batch_max, lambda df: pd.DataFrame({"m": [df.m.max()]})).m[0]
-    )
+    max_us = _events_max_us(sf_dir)
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -4959,7 +5034,12 @@ def q90_incremental_agg_merge(sf_dir: str):
         out["n_events"] = out.n_events.astype("int64")
         return out
 
-    return bucketed_combine(base.union(delta), "user_id", merge)
+    # the union doubles the tiny partial-state block count: bundle slivers
+    # before the bucket stamp (PERF_NOTES §14) so the exchange pays bytes,
+    # not per-block task overhead
+    return bucketed_combine(
+        base.union(delta), "user_id", merge, map_batch_size=65536
+    )
 
 
 _Q90_SQL = """

@@ -143,12 +143,15 @@ def bloom_semi_join(
     anti: bool = False,
     fpr: float = 0.01,
     num_buckets: int = 16,
+    probe_schema: "pa.Schema | None" = None,
 ) -> "rd.Dataset":
     """EXACT semi (or anti) join of ``probe`` against the int64 key column
     ``key_col`` of ``build_keys``, with a Bloom pre-filter so only the
     possibly-matching fraction of the probe side enters the exchange.
     ``n_build_keys`` sizes the filter (an estimate is fine — it only moves
-    the FPR, never correctness)."""
+    the FPR, never correctness). Pass ``probe_schema`` when the caller knows
+    it — ``Dataset.schema()`` on a mapped lineage executes a sample task,
+    a measurable constant per call."""
     m_bits, k = bloom_params(n_build_keys, fpr)
     bloom_ref = ray.put(build_bloom(build_keys, key_col, m_bits, k))
     kw = dict(bloom_ref=bloom_ref, key_col=key_col, m_bits=m_bits, k=k)
@@ -157,16 +160,22 @@ def bloom_semi_join(
     # resolved with NO exchange. The two branches fork the probe lineage, so
     # anti scans the probe twice — still far cheaper than shuffling all of it
     # when the build-hit rate is low.
+    # explicit batch_size bundles the read's split blocks (a single parquet
+    # file arrives as ~64 slivers): without it every map stage here runs one
+    # tiny task per sliver and the pipeline is task-overhead-bound
     positives = probe.map_batches(
-        _stamp_batch, fn_kwargs=dict(keep=True, **kw), batch_format="pandas"
+        _stamp_batch, fn_kwargs=dict(keep=True, **kw), batch_format="pandas",
+        batch_size=1 << 18,
     )
     negatives = probe.map_batches(
-        _stamp_batch, fn_kwargs=dict(keep=False, **kw), batch_format="pandas"
+        _stamp_batch, fn_kwargs=dict(keep=False, **kw), batch_format="pandas",
+        batch_size=1 << 18,
     )
 
     # exact membership for the possible-positives: tag-union with the build
     # keys, ONE hash-bucketed exchange, vectorized isin per bucket
-    probe_schema = probe.schema()
+    if probe_schema is None:
+        probe_schema = probe.schema()
     probe_cols = list(probe_schema.names)
     # the union pads build-side rows with nulls, upcasting e.g. int64 ->
     # float64 in the concatenated bucket frame; record the probe's pandas
@@ -188,8 +197,8 @@ def bloom_semi_join(
         out["__tag"] = np.int8(1)
         return out
 
-    unioned = positives.map_batches(tag_probe, batch_format="pandas").union(
-        build_keys.map_batches(tag_build, batch_format="pandas")
+    unioned = positives.map_batches(tag_probe, batch_format="pandas", batch_size=1 << 18).union(
+        build_keys.map_batches(tag_build, batch_format="pandas", batch_size=1 << 18)
     )
 
     def membership(df: pd.DataFrame) -> pd.DataFrame:
