@@ -5049,6 +5049,80 @@ FROM events GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------- q91
+
+def q91_salted_join_revenue(sf_dir: str):
+    """Skew-aware large-large inner join (stages/skewjoin.py): lineitem ⋈
+    orders on orderkey, revenue cents by (o_orderpriority, l_returnflag).
+    Hot keys are detected from bounded per-batch partial counts and split
+    over 8 salts — the probe side's salt spreads a hot key over 8 bucket
+    tasks while the build side replicates only its hot rows 8×. This corpus
+    has no hot orderkeys (the detector returns ∅ and the join degrades to
+    the plain one-exchange hash join, which is the correct behavior); the
+    planted-skew pytest (TestSaltedJoin) is where the salting is proven to
+    both split the hot key across tasks and keep the join exact."""
+    from medical_ocr_service_ray.stages.skewjoin import detect_hot_keys, salted_inner_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_returnflag"])
+
+    def li_project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": df.l_orderkey.astype("int64"),
+                "cents": _cents(df.l_extendedprice),
+                "l_returnflag": df.l_returnflag,
+            }
+        )
+
+    left = li.map_batches(li_project, batch_format="pandas")
+    hot = detect_hot_keys(left, "okey", threshold_frac=0.001)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def o_project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"okey": df.o_orderkey.astype("int64"), "o_orderpriority": df.o_orderpriority}
+        )
+
+    right = orders.map_batches(o_project, batch_format="pandas")
+    joined = salted_inner_join(
+        left,
+        right,
+        "okey",
+        hot_keys=hot,
+        fanout=8,
+        left_schema=pa.schema(
+            [("okey", pa.int64()), ("cents", pa.int64()), ("l_returnflag", pa.string())]
+        ),
+        right_schema=pa.schema([("okey", pa.int64()), ("o_orderpriority", pa.string())]),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["o_orderpriority", "l_returnflag"], as_index=False)
+            .agg(revenue_cents=("cents", "sum"), n=("cents", "size"))
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["o_orderpriority", "l_returnflag"], as_index=False).agg(
+            revenue_cents=("revenue_cents", "sum"), n=("n", "sum")
+        )
+        out["revenue_cents"] = out.revenue_cents.astype("int64")
+        out["n"] = out.n.astype("int64")
+        return out
+
+    return partial_then_combine(joined, partial, "o_orderpriority", combine, num_buckets=4)
+
+
+_Q91_SQL = """
+SELECT o.o_orderpriority, l.l_returnflag,
+       SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT AS revenue_cents,
+       COUNT(*)::BIGINT AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -5142,6 +5216,7 @@ QUERIES = {
     "q88_mad_outliers": q88_mad_outliers,
     "q89_dense_week_grid": q89_dense_week_grid,
     "q90_incremental_agg_merge": q90_incremental_agg_merge,
+    "q91_salted_join_revenue": q91_salted_join_revenue,
 }
 
 ORACLE_SQL = {
@@ -5231,6 +5306,7 @@ ORACLE_SQL = {
     "q88_mad_outliers": _Q88_SQL,
     "q89_dense_week_grid": _Q89_SQL,
     "q90_incremental_agg_merge": _Q90_SQL,
+    "q91_salted_join_revenue": _Q91_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -75,6 +75,7 @@ GATED = [
     "q88_mad_outliers",
     "q89_dense_week_grid",
     "q90_incremental_agg_merge",
+    "q91_salted_join_revenue",
 ]
 
 
