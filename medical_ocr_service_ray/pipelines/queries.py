@@ -5123,6 +5123,198 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------- q92
+
+_DAY_US = 86400 * 1_000_000
+
+
+def q92_rolling_wau(sf_dir: str):
+    """Rolling 7-day active users per epoch-day (the WAU curve): a user
+    counts toward day d when active on any day in [d-6, d]. Windowed
+    COUNT(DISTINCT) does not pre-aggregate — the trick is to move the window
+    to the USER side: per user, merge active days into contribution
+    intervals [day, day+6] (q79's vectorized island merge, one user-bucketed
+    exchange), then the interval set explodes into at most 7x distinct
+    (user, day) rows whose per-day counts ARE the distinct counts (each
+    user contributes each day at most once by construction). Output days are
+    clipped to the observed corpus day range so the curve has no
+    beyond-horizon tail."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    max_day = _events_max_us(sf_dir) // _DAY_US
+
+    def days(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.ts.to_numpy().astype("datetime64[us]").astype("int64") // _DAY_US
+        return pd.DataFrame({"user_id": df.user_id, "day": d}).drop_duplicates()
+
+    def contribution_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates().sort_values(["user_id", "day"], kind="mergesort")
+        s = df.day.to_numpy()
+        e = s + 7  # half-open [day, day+7) == days day..day+6
+        sub = pd.DataFrame({"user_id": df.user_id.to_numpy(), "s": s, "e": e})
+        cummax_e = sub.groupby("user_id")["e"].cummax()
+        prev = cummax_e.groupby(sub.user_id).shift(1)
+        new_island = prev.isna() | (sub.s > prev)
+        island = new_island.astype("int64").groupby(sub.user_id).cumsum()
+        isl = (
+            sub.assign(island=island)
+            .groupby(["user_id", "island"], as_index=False)
+            .agg(s=("s", "min"), e=("e", "max"))
+        )
+        isl["e"] = np.minimum(isl.e, max_day + 1)  # clip to the corpus horizon
+        lens = (isl.e - isl.s).to_numpy()
+        day = np.arange(lens.sum()) - np.repeat(np.cumsum(lens) - lens, lens) + np.repeat(
+            isl.s.to_numpy(), lens
+        )
+        grid = pd.DataFrame({"day": day})
+        return grid.groupby("day").size().reset_index(name="n")
+
+    per_user = partial_then_combine(ds, days, "user_id", contribution_counts)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("day", as_index=False)["n"].sum()
+        out.columns = ["day", "wau"]
+        out["day"] = out.day.astype("int64")
+        out["wau"] = out.wau.astype("int64")
+        return out
+
+    return bucketed_combine(per_user, "day", total, num_buckets=4)
+
+
+_Q92_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+hz AS (SELECT MAX(day) AS max_day FROM ud),
+contrib AS (
+  SELECT DISTINCT ud.user_id, ud.day + u.o AS day
+  FROM ud, hz, unnest(range(0, 7)) AS u(o)
+  WHERE ud.day + u.o <= hz.max_day
+)
+SELECT day, COUNT(*)::BIGINT AS wau FROM contrib GROUP BY day
+"""
+
+
+# --------------------------------------------------------------------- q93
+
+def q93_user_spend_trend(sf_dir: str):
+    """Per-user OLS spend trend (is this account ramping up or churning?):
+    regress spend-cents on week index with ALL-INTEGER sufficient statistics
+    — slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²) reported as exact int64
+    numerator/denominator, so the SQL oracle matches bit-for-bit and the
+    consumer divides. x = weeks since the user's own first week (small),
+    y = cents: every product fits int64 with orders of magnitude to spare.
+    Grouped-regression pattern: one partial+combine, no per-user loop —
+    the x-recentering happens vectorized inside the user bucket."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        wk = df.ts.to_numpy().astype("datetime64[us]").astype("int64") // _WEEK_US
+        return pd.DataFrame(
+            {"user_id": df.user_id, "wk": wk, "cents": _cents(df.value)}
+        )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        base = df.groupby("user_id")["wk"].transform("min")
+        x = (df.wk - base).astype("int64")
+        y = df.cents.astype("int64")
+        g = pd.DataFrame(
+            {"user_id": df.user_id, "x": x, "y": y, "xy": x * y, "xx": x * x}
+        ).groupby("user_id", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"),
+        )
+        out = pd.DataFrame(
+            {
+                "user_id": g.user_id,
+                "slope_num": (g.n * g.sxy - g.sx * g.sy).astype("int64"),
+                "slope_den": (g.n * g.sxx - g.sx * g.sx).astype("int64"),
+                "n_events": g.n.astype("int64"),
+            }
+        )
+        return out
+
+    # x is recentered per user, so the sufficient statistics cannot be
+    # combined across batches — co-locate each user's rows with ONE keyed
+    # exchange (narrow: 3 int columns), same contract as q57/q87
+    return bucketed_combine(
+        ds.map_batches(project, batch_format="pandas"), "user_id", per_user
+    )
+
+
+_Q93_SQL = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), x AS (
+  SELECT user_id, wk - MIN(wk) OVER (PARTITION BY user_id) AS x, cents AS y
+  FROM p
+), s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*y) AS sxy, SUM(x*x) AS sxx
+  FROM x GROUP BY user_id
+)
+SELECT user_id, (n*sxy - sx*sy)::BIGINT AS slope_num,
+       (n*sxx - sx*sx)::BIGINT AS slope_den, n::BIGINT AS n_events
+FROM s
+"""
+
+
+# --------------------------------------------------------------------- q94
+
+def q94_late_events(sf_dir: str):
+    """Event-time vs arrival-order lateness audit (the streaming watermark
+    concept, batch-exact): treating event_id as arrival order per user, an
+    event is LATE when its event time precedes the watermark — the max event
+    time among the user's earlier arrivals — by more than a 1-hour
+    allowed-lateness. Reports per user: late count and max lateness (µs).
+    Running max needs arrival order, so each user's rows co-locate in ONE
+    keyed exchange; inside the bucket it is a vectorized sort + cummax +
+    shift, the q87 shape with the comparison against the shifted running
+    max instead of the neighbor gap."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    HOUR_US = 3600 * 1_000_000
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df.user_id.astype("int64"),
+                "us": df.ts.to_numpy().astype("datetime64[us]").astype("int64"),
+                "event_id": df.event_id.astype("int64"),
+            }
+        )
+
+    def lateness(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        wm = df.groupby("user_id")["us"].cummax().groupby(df.user_id).shift(1)
+        late_by = (wm - df.us - HOUR_US).fillna(-1)
+        df = df.assign(late=(late_by > 0), late_us=late_by.clip(lower=0))
+        out = df.groupby("user_id", as_index=False).agg(
+            n_late=("late", "sum"), max_late_us=("late_us", "max"), n_events=("late", "size")
+        )
+        out["n_late"] = out.n_late.astype("int64")
+        out["max_late_us"] = out.max_late_us.astype("int64")
+        out["n_events"] = out.n_events.astype("int64")
+        return out
+
+    return bucketed_combine(
+        ds.map_batches(project, batch_format="pandas"), "user_id", lateness
+    )
+
+
+_Q94_SQL = """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) FILTER (WHERE wm - us > 3600000000)::BIGINT AS n_late,
+       COALESCE(MAX(GREATEST(wm - us - 3600000000, 0)), 0)::BIGINT AS max_late_us,
+       COUNT(*)::BIGINT AS n_events
+FROM w GROUP BY user_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -5217,6 +5409,9 @@ QUERIES = {
     "q89_dense_week_grid": q89_dense_week_grid,
     "q90_incremental_agg_merge": q90_incremental_agg_merge,
     "q91_salted_join_revenue": q91_salted_join_revenue,
+    "q92_rolling_wau": q92_rolling_wau,
+    "q93_user_spend_trend": q93_user_spend_trend,
+    "q94_late_events": q94_late_events,
 }
 
 ORACLE_SQL = {
@@ -5307,6 +5502,9 @@ ORACLE_SQL = {
     "q89_dense_week_grid": _Q89_SQL,
     "q90_incremental_agg_merge": _Q90_SQL,
     "q91_salted_join_revenue": _Q91_SQL,
+    "q92_rolling_wau": _Q92_SQL,
+    "q93_user_spend_trend": _Q93_SQL,
+    "q94_late_events": _Q94_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

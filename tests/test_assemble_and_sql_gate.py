@@ -76,6 +76,9 @@ GATED = [
     "q89_dense_week_grid",
     "q90_incremental_agg_merge",
     "q91_salted_join_revenue",
+    "q92_rolling_wau",
+    "q93_user_spend_trend",
+    "q94_late_events",
 ]
 
 

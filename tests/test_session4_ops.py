@@ -389,3 +389,79 @@ class TestIncrementalAggMerge:
         assert int(out.loc[1].n_events) == 3
         assert int(out.loc[2].spend_cents) == 1050 and int(out.loc[2].n_events) == 2
         assert int(out.loc[3].spend_cents) == 777
+
+
+class TestRollingWau:
+    def test_window_membership_and_horizon_clip(self, ray_session, tmp_path):
+        """A user active on day 0 contributes to days 0..6; two activity
+        days 10 apart produce two separate 7-day runs; the curve never
+        extends past the corpus max day."""
+        from medical_ocr_service_ray.pipelines.queries import q92_rolling_wau
+
+        day = np.timedelta64(86400, "s")
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        rows = pd.DataFrame(
+            {
+                "ts": [base, base + 10 * day, base + 12 * day],
+                "user_id": [1, 1, 2],
+                "value": [0.0] * 3,
+            }
+        )
+        out = q92_rolling_wau(_events_parquet(tmp_path, rows)).to_pandas()
+        got = dict(zip(out.day.astype(int), out.wau.astype(int)))
+        d0 = min(got)
+        # user1: days 0-6 and 10-12 (clipped at corpus max = day 12)
+        # user2: day 12 only
+        for o in range(0, 7):
+            assert got[d0 + o] == 1
+        assert (d0 + 7) not in got and (d0 + 8) not in got and (d0 + 9) not in got
+        assert got[d0 + 10] == 1 and got[d0 + 11] == 1
+        assert got[d0 + 12] == 2
+        assert max(got) == d0 + 12
+
+
+class TestUserSpendTrend:
+    def test_exact_slope_fraction(self, ray_session, tmp_path):
+        """Linear spend (100, 200, 300 cents over weeks 0,1,2) -> slope
+        exactly 100 cents/week: num/den = 600/6."""
+        from medical_ocr_service_ray.pipelines.queries import q93_user_spend_trend
+
+        wk = np.timedelta64(7 * 86400, "s")
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        rows = pd.DataFrame(
+            {
+                "ts": [base, base + wk, base + 2 * wk, base],
+                "user_id": [1, 1, 1, 2],
+                "value": [1.0, 2.0, 3.0, 5.0],
+            }
+        )
+        out = (
+            q93_user_spend_trend(_events_parquet(tmp_path, rows))
+            .to_pandas()
+            .set_index("user_id")
+        )
+        assert int(out.loc[1].slope_num) == 600 and int(out.loc[1].slope_den) == 6
+        # single point: degenerate regression, both terms zero
+        assert int(out.loc[2].slope_num) == 0 and int(out.loc[2].slope_den) == 0
+
+
+class TestLateEvents:
+    def test_watermark_lateness(self, ray_session, tmp_path):
+        """Arrival order = event_id. Event 3 arrives 2h behind the watermark
+        (late by 1h beyond allowance); event 4 only 30min behind (on time)."""
+        from medical_ocr_service_ray.pipelines.queries import q94_late_events
+
+        h = np.timedelta64(3600, "s")
+        base = np.datetime64("2024-01-01T12:00:00", "us")
+        # event_ids are assigned 0..n-1 by the fixture in arrival order
+        rows = pd.DataFrame(
+            {
+                "ts": [base, base + 4 * h, base + 2 * h, base + 4 * h - np.timedelta64(1800, "s")],
+                "user_id": [1, 1, 1, 1],
+                "value": [0.0] * 4,
+            }
+        )
+        out = q94_late_events(_events_parquet(tmp_path, rows)).to_pandas()
+        assert int(out.n_late[0]) == 1
+        assert int(out.max_late_us[0]) == 3600 * 1_000_000  # 2h behind - 1h allowance
+        assert int(out.n_events[0]) == 4
