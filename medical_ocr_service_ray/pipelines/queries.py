@@ -5315,6 +5315,181 @@ FROM w GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------- q95
+
+def q95_sorted_export(sf_dir: str):
+    """Total-order sorted export (the sorted-final-table need downstream
+    merge joins and binary-searchable archives have) WITHOUT ds.sort's
+    whole-table sample machinery: (1) a bounded driver pass builds exact range
+    boundaries from the distinct-key histogram (keys here are order dates —
+    a small domain; for dense domains the same histogram is the q85 decile
+    map), (2) one streaming pass stamps each row's range, (3) per-range
+    in-bucket sort writes one file per range under /tmp — files are
+    internally sorted AND range-disjoint, so their lexical concatenation is
+    the global ORDER BY. Returns the concatenated read-back (content is
+    oracle-checked; the ORDER property itself is pinned by TestSortedExport
+    because the driver's hash compare is order-insensitive)."""
+    import shutil
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def key_hist(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderdate").size().reset_index(name="c")
+
+    hist = driver_combine(
+        ds, key_hist, lambda df: df.groupby("o_orderdate", as_index=False)["c"].sum()
+    ).sort_values("o_orderdate")
+    n_ranges = 8
+    cum = hist.c.cumsum().to_numpy()
+    total = int(cum[-1])
+    # exact equi-depth boundaries over the distinct-key histogram
+    rng_of_key = dict(
+        zip(hist.o_orderdate, np.minimum((n_ranges * (cum - 1)) // total, n_ranges - 1))
+    )
+    import ray as _ray
+
+    rng_ref = _ray.put(rng_of_key)
+
+    out_dir = Path("/tmp/mosr_q95_sorted") / Path(sf_dir).name
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(rng_ref)
+        df = df.copy()
+        df["__rng"] = df.o_orderdate.map(m).astype("int64")
+        df["cents"] = _cents(df.o_totalprice)
+        return df.drop(columns="o_totalprice")
+
+    def sort_and_write(df: pd.DataFrame) -> pd.DataFrame:
+        rng = int(df.__rng.iloc[0])
+        df = df.drop(columns="__rng").sort_values(
+            ["o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            out_dir / f"range-{rng:04d}.parquet",
+        )
+        return pd.DataFrame({"rng": [rng], "n": [len(df)]})
+
+    stamped = ds.map_batches(stamp, batch_format="pandas", batch_size=1 << 18)
+    written = stamped.groupby("__rng").map_groups(sort_and_write, batch_format="pandas")
+    written.materialize()  # drive the write
+
+    tables = [pq.read_table(p) for p in sorted(out_dir.glob("range-*.parquet"))]
+    return pa.concat_tables(tables)
+
+
+_Q95_SQL = """
+SELECT o_orderkey, o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders
+ORDER BY o_orderdate, o_orderkey
+"""
+
+
+# --------------------------------------------------------------------- q96
+
+def q96_table_checksums(sf_dir: str):
+    """Order-independent table content checksum — validate a 100-TB copy or
+    migration without sorting anything: per row, a deterministic polynomial
+    over its key numeric fields (wrapping int64 arithmetic, the Knuth
+    multiplier family shared with q35/q37), summed per table with wrapping
+    addition. Any dropped/duplicated/bit-flipped row moves the sum. One
+    streaming partial+driver-combine per table, three narrow columns read.
+    SQL mirrors the wrap via 128-bit intermediates reduced mod 2^64."""
+    M = np.int64(-7046029254386353131)  # 2654435761 * 2^32 + 1 class odd mult
+
+    def poly(cols: list[np.ndarray]) -> np.ndarray:
+        acc = np.zeros(len(cols[0]), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for c in cols:
+                acc = acc * M + c.astype("int64")
+        return acc
+
+    specs = {
+        "orders": ("orders", ["o_orderkey", "o_custkey"], lambda df: [
+            df.o_orderkey.to_numpy(), df.o_custkey.to_numpy()
+        ]),
+        "lineitem": ("lineitem", ["l_orderkey", "l_partkey", "l_quantity"], lambda df: [
+            df.l_orderkey.to_numpy(), df.l_partkey.to_numpy(),
+            df.l_quantity.to_numpy().astype("int64"),
+        ]),
+        "events": ("events", ["event_id", "user_id"], lambda df: [
+            df.event_id.to_numpy(), df.user_id.to_numpy()
+        ]),
+    }
+    rows = []
+    for name, (table, cols, extract) in specs.items():
+        ds = _read(sf_dir, table, cols)
+
+        def partial(df: pd.DataFrame, extract=extract) -> pd.DataFrame:
+            with np.errstate(over="ignore"):
+                s = np.int64(poly(extract(df)).sum())
+            return pd.DataFrame({"chk": [s], "n": [np.int64(len(df))]})
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            with np.errstate(over="ignore"):
+                return pd.DataFrame(
+                    {"chk": [np.int64(df.chk.to_numpy().sum())], "n": [df.n.sum()]}
+                )
+
+        agg = driver_combine(ds, partial, combine)
+        rows.append(
+            {"tbl": name, "checksum": int(agg.chk[0]), "n_rows": int(agg.n[0])}
+        )
+    out = pd.DataFrame(rows)
+    out["checksum"] = out.checksum.astype("int64")
+    out["n_rows"] = out.n_rows.astype("int64")
+    return out
+
+
+def _q96_sql() -> str:
+    """Wrapping-int64 polynomial + wrapping sum in SQL. The Horner chain
+    acc = acc*M + c over columns c1..cn equals the flat sum
+    sum_j c_j * M^(n-1-j)  (mod 2^64), so the oracle precomputes each
+    column's constant K_j = M^(n-1-j) mod 2^64 in Python and emits one
+    multiply per column. A naive HUGEINT a*K overflows INT128 (both
+    operands can reach 2^64), so each multiply is split at 32 bits:
+    a*K mod 2^64 = (a0*K0 + 2^32*((a1*K0 + a0*K1) mod 2^32)) mod 2^64 —
+    every intermediate stays under 2^65. The signed representative is
+    restored at the end."""
+    m_u = (-7046029254386353131) % (1 << 64)  # Fibonacci-hash odd multiplier
+    tables = {
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "CAST(l_quantity AS BIGINT)"],
+        "events": ["event_id", "user_id"],
+    }
+    w = "18446744073709551616::HUGEINT"  # 2^64
+    b32 = "4294967296::HUGEINT"  # 2^32
+    parts = []
+    for tbl, cols in tables.items():
+        n = len(cols)
+        terms = []
+        for j, c in enumerate(cols):
+            k = pow(m_u, n - 1 - j, 1 << 64)
+            k1, k0 = k >> 32, k & 0xFFFFFFFF
+            a = f"((({c})::HUGEINT % {w}) + {w}) % {w}"
+            if k == 1:
+                terms.append(f"({a})")
+                continue
+            a0 = f"(({a}) % {b32})"
+            a1 = f"(({a}) // {b32})"
+            terms.append(
+                f"(({a0} * {k0}::HUGEINT"
+                f" + (({a1} * {k0}::HUGEINT + {a0} * {k1}::HUGEINT) % {b32}) * {b32})"
+                f" % {w})"
+            )
+        row = f"(({' + '.join(terms)}) % {w})"
+        parts.append(
+            f"""SELECT '{tbl}' AS tbl,
+  (CASE WHEN s >= 9223372036854775808::HUGEINT THEN s - {w} ELSE s END)::BIGINT AS checksum,
+  n::BIGINT AS n_rows
+FROM (SELECT SUM({row}) % {w} AS s, COUNT(*) AS n FROM {tbl})"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -5412,6 +5587,8 @@ QUERIES = {
     "q92_rolling_wau": q92_rolling_wau,
     "q93_user_spend_trend": q93_user_spend_trend,
     "q94_late_events": q94_late_events,
+    "q95_sorted_export": q95_sorted_export,
+    "q96_table_checksums": q96_table_checksums,
 }
 
 ORACLE_SQL = {
@@ -5505,6 +5682,8 @@ ORACLE_SQL = {
     "q92_rolling_wau": _Q92_SQL,
     "q93_user_spend_trend": _Q93_SQL,
     "q94_late_events": _Q94_SQL,
+    "q95_sorted_export": _Q95_SQL,
+    "q96_table_checksums": _q96_sql(),
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -465,3 +465,103 @@ class TestLateEvents:
         assert int(out.n_late[0]) == 1
         assert int(out.max_late_us[0]) == 3600 * 1_000_000  # 2h behind - 1h allowance
         assert int(out.n_events[0]) == 4
+
+
+class TestSortedExport:
+    def test_files_sorted_and_range_disjoint(self, ray_session):
+        """The driver hash-compare is order-insensitive, so the ORDER
+        property q95 exists for is pinned here: every range file is
+        internally sorted by (o_orderdate, o_orderkey), ranges are
+        key-disjoint and file-name order = key order, so concatenation is
+        the exact global ORDER BY. Row parity with the input guards loss."""
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        from medical_ocr_service_ray.pipelines.queries import q95_sorted_export
+
+        sf = "/root/testdata/sf0.001"
+        out = q95_sorted_export(sf).to_pandas()
+        src = pq.read_table(f"{sf}/orders.parquet", columns=["o_orderkey"])
+        assert len(out) == src.num_rows
+
+        files = sorted(Path("/tmp/mosr_q95_sorted/sf0.001").glob("range-*.parquet"))
+        assert len(files) > 1
+        prev_max = None
+        for p in files:
+            df = pq.read_table(p).to_pandas()
+            keys = list(zip(df.o_orderdate, df.o_orderkey))
+            assert keys == sorted(keys)  # internally sorted
+            if prev_max is not None:
+                assert keys[0] > prev_max  # ranges disjoint + ordered
+            prev_max = keys[-1]
+        # concatenation in file order == global sort of the returned table
+        glob_keys = list(zip(out.o_orderdate, out.o_orderkey))
+        assert glob_keys == sorted(glob_keys)
+
+
+class TestTableChecksums:
+    def _write(self, d, orders, lineitem, events):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(orders, preserve_index=False), d / "orders.parquet")
+        pq.write_table(pa.Table.from_pandas(lineitem, preserve_index=False), d / "lineitem.parquet")
+        pq.write_table(pa.Table.from_pandas(events, preserve_index=False), d / "events.parquet")
+        return str(d)
+
+    def _fixtures(self):
+        rng = np.random.default_rng(7)
+        orders = pd.DataFrame(
+            {"o_orderkey": np.arange(50, dtype=np.int64),
+             "o_custkey": rng.integers(0, 9, 50).astype(np.int64)}
+        )
+        lineitem = pd.DataFrame(
+            {"l_orderkey": rng.integers(0, 50, 80).astype(np.int64),
+             "l_partkey": rng.integers(0, 20, 80).astype(np.int64),
+             "l_quantity": rng.integers(1, 40, 80).astype(np.float64)}
+        )
+        events = pd.DataFrame(
+            {"event_id": np.arange(30, dtype=np.int64),
+             "user_id": rng.integers(0, 5, 30).astype(np.int64)}
+        )
+        return orders, lineitem, events
+
+    def test_detects_single_value_flip(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.pipelines.queries import q96_table_checksums
+
+        orders, lineitem, events = self._fixtures()
+        a = tmp_path / "a"; a.mkdir()
+        base = q96_table_checksums(self._write(a, orders, lineitem, events))
+
+        flipped = lineitem.copy()
+        flipped.loc[17, "l_partkey"] += 1
+        b = tmp_path / "b"; b.mkdir()
+        got = q96_table_checksums(self._write(b, orders, flipped, events))
+
+        base = base.set_index("tbl"); got = got.set_index("tbl")
+        assert got.loc["lineitem"].checksum != base.loc["lineitem"].checksum
+        assert got.loc["lineitem"].n_rows == base.loc["lineitem"].n_rows
+        assert got.loc["orders"].checksum == base.loc["orders"].checksum
+        assert got.loc["events"].checksum == base.loc["events"].checksum
+
+    def test_order_and_column_position_sensitivity(self, ray_session, tmp_path):
+        """Row order must NOT change the sum (wrapping add is commutative);
+        swapping two values BETWEEN columns of one row must (the positional
+        multiplier distinguishes (a,b) from (b,a))."""
+        from medical_ocr_service_ray.pipelines.queries import q96_table_checksums
+
+        orders, lineitem, events = self._fixtures()
+        a = tmp_path / "a"; a.mkdir()
+        base = q96_table_checksums(self._write(a, orders, lineitem, events)).set_index("tbl")
+
+        shuffled = lineitem.sample(frac=1.0, random_state=3).reset_index(drop=True)
+        b = tmp_path / "b"; b.mkdir()
+        got = q96_table_checksums(self._write(b, orders, shuffled, events)).set_index("tbl")
+        assert got.loc["lineitem"].checksum == base.loc["lineitem"].checksum
+
+        swapped = orders.copy()
+        swapped.loc[5, ["o_orderkey", "o_custkey"]] = (
+            orders.loc[5, "o_custkey"], orders.loc[5, "o_orderkey"])
+        c = tmp_path / "c"; c.mkdir()
+        got2 = q96_table_checksums(self._write(c, swapped, lineitem, events)).set_index("tbl")
+        assert got2.loc["orders"].checksum != base.loc["orders"].checksum
