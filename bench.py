@@ -70,6 +70,11 @@ BENCH_QUERIES = [
     "q89_dense_week_grid",
     "q90_incremental_agg_merge",
     "q91_salted_join_revenue",
+    "q92_rolling_wau",
+    "q93_user_spend_trend",
+    "q94_late_events",
+    "q95_sorted_export",
+    "q96_table_checksums",
 ]
 
 

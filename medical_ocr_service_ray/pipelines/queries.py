@@ -5490,6 +5490,247 @@ FROM (SELECT SUM({row}) % {w} AS s, COUNT(*) AS n FROM {tbl})"""
     return "\nUNION ALL\n".join(parts)
 
 
+# --------------------------------------------------------------------- q97
+
+def q97_cdc_merge_patch(sf_dir: str, batch_size: int = 65536):
+    """Merge-patch CDC apply (the Debezium/lakehouse partial-update MERGE):
+    the event stream is a per-user change log ordered by (ts, event_id) where
+    each record is a DELETE tombstone (event_id % 11 == 0) or an upsert that
+    patches a SUBSET of columns (cents present iff event_id % 3 != 0, type
+    present iff event_id % 2 == 0). Final state per user: the row exists iff
+    an upsert follows the last delete; each column holds its last non-NULL
+    patch AFTER that delete (sentinels -1 / '' when no surviving patch).
+
+    Scale shape: per-batch partial keeps ONE candidate row per user per batch
+    (max delete key, per-column argmax-non-null, max upsert key) so the single
+    exchange carries O(users-per-batch) rows, never the log. The same reduce
+    runs in the bucketed combine — reduction is associative because argmax
+    over (ts, event_id) tuples is."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    NEV = pd.Timestamp("1677-09-22")  # "never happened" sentinel, < any data ts
+
+    def reduce_log(df: pd.DataFrame) -> pd.DataFrame:
+        """The associative per-user reduce: works on raw rows AND on partial
+        rows (partials re-enter as upsert-shaped rows with the same cols)."""
+        dele = df[df.is_del]
+        ups = df[~df.is_del]
+        # last delete key per user
+        dk = (
+            dele.sort_values(["user_id", "ts", "event_id"])
+            .groupby("user_id", as_index=False)
+            .tail(1)[["user_id", "ts", "event_id"]]
+            .rename(columns={"ts": "d_ts", "event_id": "d_eid"})
+        )
+        # last upsert key per user (row-existence witness)
+        uk = (
+            ups.sort_values(["user_id", "ts", "event_id"])
+            .groupby("user_id", as_index=False)
+            .tail(1)[["user_id", "ts", "event_id"]]
+            .rename(columns={"ts": "u_ts", "event_id": "u_eid"})
+        )
+        # per-column last non-NULL patch
+        vc = ups[ups.cents >= 0]
+        vk = (
+            vc.sort_values(["user_id", "ts", "event_id"])
+            .groupby("user_id", as_index=False)
+            .tail(1)[["user_id", "ts", "event_id", "cents"]]
+            .rename(columns={"ts": "v_ts", "event_id": "v_eid"})
+        )
+        tc = ups[ups.etype != ""]
+        tk = (
+            tc.sort_values(["user_id", "ts", "event_id"])
+            .groupby("user_id", as_index=False)
+            .tail(1)[["user_id", "ts", "event_id", "etype"]]
+            .rename(columns={"ts": "t_ts", "event_id": "t_eid"})
+        )
+        out = uk.merge(dk, on="user_id", how="outer").merge(vk, on="user_id", how="outer").merge(
+            tk, on="user_id", how="outer"
+        )
+        for c in ("d_ts", "u_ts", "v_ts", "t_ts"):
+            out[c] = out[c].fillna(NEV)
+        for c in ("d_eid", "u_eid", "v_eid", "t_eid"):
+            out[c] = out[c].fillna(-1).astype("int64")
+        out["cents"] = out.cents.fillna(-1).astype("int64")
+        out["etype"] = out.etype.fillna("")
+        return out
+
+    def after(out: pd.DataFrame, p: str) -> pd.Series:
+        """(p_ts, p_eid) > (d_ts, d_eid) — the survived-the-delete test."""
+        return (out[f"{p}_ts"] > out.d_ts) | (
+            (out[f"{p}_ts"] == out.d_ts) & (out[f"{p}_eid"] > out.d_eid)
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            is_del=(df.event_id % 11) == 0,
+            cents=np.where((df.event_id % 3) != 0, _cents(df.value), -1).astype("int64"),
+            etype=np.where((df.event_id % 2) == 0, df.event_type, ""),
+        )[["user_id", "ts", "event_id", "is_del", "cents", "etype"]]
+        out = reduce_log(df)
+        # re-encode the partial as log-shaped rows so combine = same reduce:
+        # one delete row (if any) + one row per surviving column candidate +
+        # the bare existence row. Columns stay (user_id, ts, event_id, ...).
+        rows = []
+        d = out[out.d_eid >= 0]
+        rows.append(
+            pd.DataFrame(
+                {"user_id": d.user_id, "ts": d.d_ts, "event_id": d.d_eid,
+                 "is_del": True, "cents": -1, "etype": ""}
+            )
+        )
+        u = out[out.u_eid >= 0]
+        rows.append(
+            pd.DataFrame(
+                {"user_id": u.user_id, "ts": u.u_ts, "event_id": u.u_eid,
+                 "is_del": False, "cents": -1, "etype": ""}
+            )
+        )
+        v = out[out.v_eid >= 0]
+        rows.append(
+            pd.DataFrame(
+                {"user_id": v.user_id, "ts": v.v_ts, "event_id": v.v_eid,
+                 "is_del": False, "cents": v.cents, "etype": ""}
+            )
+        )
+        t = out[out.t_eid >= 0]
+        rows.append(
+            pd.DataFrame(
+                {"user_id": t.user_id, "ts": t.t_ts, "event_id": t.t_eid,
+                 "is_del": False, "cents": -1, "etype": t.etype}
+            )
+        )
+        return pd.concat(rows, ignore_index=True)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = reduce_log(df)
+        live = out[after(out, "u")].copy()
+        live["last_cents"] = np.where(after(live, "v"), live.cents, -1).astype("int64")
+        live["last_type"] = np.where(after(live, "t"), live.etype, "")
+        live["last_ts"] = live.u_ts
+        live["user_id"] = live.user_id.astype("int64")
+        return live[["user_id", "last_cents", "last_type", "last_ts"]]
+
+    return partial_then_combine(ds, partial, "user_id", combine, batch_size=batch_size)
+
+
+_Q97_SQL = """
+WITH log AS (
+  SELECT user_id, ts, event_id,
+         (event_id % 11) = 0 AS is_del,
+         CASE WHEN (event_id % 11) <> 0 AND (event_id % 3) <> 0
+              THEN CAST(round(value * 100) AS BIGINT) END AS cents,
+         CASE WHEN (event_id % 11) <> 0 AND (event_id % 2) = 0
+              THEN event_type END AS etype,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+thresh AS (
+  SELECT user_id, COALESCE(MAX(rn) FILTER (WHERE is_del), 0) AS del_rn
+  FROM log GROUP BY user_id
+),
+live AS (
+  SELECT l.* FROM log l JOIN thresh t USING (user_id)
+  WHERE NOT l.is_del AND l.rn > t.del_rn
+)
+SELECT user_id,
+       COALESCE(arg_max(cents, rn) FILTER (WHERE cents IS NOT NULL), -1) AS last_cents,
+       COALESCE(arg_max(etype, rn) FILTER (WHERE etype IS NOT NULL), '') AS last_type,
+       arg_max(ts, rn) AS last_ts
+FROM live GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------- q98
+
+def q98_scd2_intervals(sf_dir: str):
+    """SCD-type-2 dimension history build: per user, the event_type attribute's
+    validity intervals [valid_from, valid_to) with consecutive equal values
+    collapsed; the open current interval closes at a fixed far-future sentinel
+    so every column is non-NULL. One bucketed exchange on user_id; the island
+    detection (shift-compare + cumsum) and the interval close (groupby shift)
+    are fully vectorized inside each bucket — per-bucket memory is the three
+    narrow columns of that bucket's users only."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    SENTINEL = pd.Timestamp("2100-01-01")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = df.user_id.ne(df.user_id.shift())
+        chg = new_user | df.event_type.ne(df.event_type.shift())
+        df = df.assign(__island=chg.cumsum())
+        g = df.groupby("__island", as_index=False).agg(
+            user_id=("user_id", "first"),
+            event_type=("event_type", "first"),
+            valid_from=("ts", "first"),
+            n_events=("ts", "size"),
+        )
+        nxt = g.groupby("user_id").valid_from.shift(-1)
+        g["valid_to"] = nxt.fillna(SENTINEL)
+        g["n_events"] = g.n_events.astype("int64")
+        return g[["user_id", "event_type", "valid_from", "valid_to", "n_events"]]
+
+    return bucketed_combine(ds, "user_id", combine)
+
+
+_Q98_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+c AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END AS chg
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+),
+i AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY rn) AS island FROM c),
+g AS (
+  SELECT user_id, island, MIN(event_type) AS event_type, MIN(ts) AS valid_from,
+         COUNT(*) AS n_events
+  FROM i GROUP BY user_id, island
+)
+SELECT user_id, event_type, valid_from,
+       COALESCE(lead(valid_from) OVER (PARTITION BY user_id ORDER BY island),
+                TIMESTAMP '2100-01-01') AS valid_to,
+       n_events
+FROM g
+"""
+
+
+# --------------------------------------------------------------------- q99
+
+def q99_uniform_sample(sf_dir: str):
+    """Deterministic global uniform k-sample as bottom-k by arithmetic hash
+    (the Knuth multiply shared with q35/q37, so DuckDB reproduces the exact
+    rows): each batch keeps its k smallest (hash, doc_id), the driver merges
+    blocks x k candidate rows — the table itself never moves and the result
+    is independent of partitioning. The 100-TB reservoir-sample replacement:
+    no RNG state, restartable, same sample every run."""
+    K = 100
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df.doc_id.astype("uint64") * np.uint64(2654435761)) % np.uint64(1 << 32)
+        df = df.assign(h=h.astype("int64"))
+        return df.nsmallest(K, ["h", "doc_id"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(K, ["h", "doc_id"])
+
+    return combine(driver_combine(ds, partial, lambda d: d))[["doc_id", "h"]].reset_index(
+        drop=True
+    )
+
+
+_Q99_SQL = """
+SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
+FROM documents
+ORDER BY h, doc_id
+LIMIT 100
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -5589,6 +5830,9 @@ QUERIES = {
     "q94_late_events": q94_late_events,
     "q95_sorted_export": q95_sorted_export,
     "q96_table_checksums": q96_table_checksums,
+    "q97_cdc_merge_patch": q97_cdc_merge_patch,
+    "q98_scd2_intervals": q98_scd2_intervals,
+    "q99_uniform_sample": q99_uniform_sample,
 }
 
 ORACLE_SQL = {
@@ -5684,6 +5928,9 @@ ORACLE_SQL = {
     "q94_late_events": _Q94_SQL,
     "q95_sorted_export": _Q95_SQL,
     "q96_table_checksums": _q96_sql(),
+    "q97_cdc_merge_patch": _Q97_SQL,
+    "q98_scd2_intervals": _Q98_SQL,
+    "q99_uniform_sample": _Q99_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
