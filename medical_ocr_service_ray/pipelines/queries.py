@@ -5731,6 +5731,177 @@ LIMIT 100
 """
 
 
+# -------------------------------------------------------------------- q100
+
+def q100_triangle_count(sf_dir: str, broadcast_max_bytes: int = 512 << 20):
+    """Distributed triangle counting over the co-purchase graph (nodes =
+    parts, edges = q71's same-order pairs, deduplicated) — the
+    Suri–Vassilvitskii wedge-closure MapReduce shape on Ray Data:
+
+    1. distinct edges: per-order pair expansion inside order buckets, then
+       one more keyed dedup exchange;
+    2. degree-based orientation: every undirected edge points from its
+       (degree, node)-smaller endpoint, which bounds out-degree by ~sqrt(2E)
+       and guarantees each triangle closes exactly once. Degrees live on the
+       NODE domain — here the part dimension — so the degree map is
+       broadcast once via ray.put like every other small-dim side (q33
+       caveat applies: a graph whose node set scales with the fact data
+       would swap this for one tagged-union attach exchange, pagerank.py's
+       attach_degrees);
+    3. wedges + closure: wedges (sum out_deg² ≈ 41 M at sf0.1) dwarf the
+       edge set (1.2 M), so the closure join broadcasts its SMALL side —
+       the oriented edges as one sorted composite-key array — and each
+       src-bucket counts its wedges' hits in-task via searchsorted; no
+       wedge ever leaves its task. When the edge set exceeds
+       ``broadcast_max_bytes`` (default 512 MiB) the op falls back to the
+       no-broadcast scale path: wedges pre-aggregated to (v, w, mult) per
+       bucket, one (v)-keyed tagged-union exchange against the edges, both
+       paths proven equal in TestTriangleCount."""
+    import ray as _ray
+
+    from medical_ocr_service_ray.stages.aggregate import (
+        auto_num_buckets,
+        dataset_input_bytes,
+    )
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    nb = auto_num_buckets(dataset_input_bytes(ds))
+
+    def pairs_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="l_orderkey")
+        m = m[m.l_partkey_x < m.l_partkey_y]
+        out = m[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+        return out.rename(columns={"l_partkey_x": "a", "l_partkey_y": "b"})
+
+    p1 = bucketed_combine(ds, "l_orderkey", pairs_distinct, num_buckets=nb)
+    edges = bucketed_combine(
+        p1, "a", lambda df: df.drop_duplicates(), num_buckets=nb
+    ).materialize()  # O(E), spillable; read 3x below (deg, orient, closure)
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = pd.concat([df.a, df.b], ignore_index=True)
+        return n.value_counts().rename_axis("node").reset_index(name="d")
+
+    deg = driver_combine(
+        edges, deg_partial, lambda df: df.groupby("node", as_index=False)["d"].sum()
+    )
+    n_nodes = len(deg)
+    # (degree, node) total order packed into one int64: deg < 2^31, node < 2^31
+    ordk = (deg.d.to_numpy().astype("int64") << 31) | deg.node.to_numpy().astype("int64")
+    ord_ref = _ray.put(dict(zip(deg.node.to_numpy(), ordk)))
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        om = _ray.get(ord_ref)
+        ka = df.a.map(om).to_numpy()
+        kb = df.b.map(om).to_numpy()
+        fwd = ka < kb
+        return pd.DataFrame(
+            {
+                "src": np.where(fwd, df.a, df.b).astype("int64"),
+                "v": np.where(fwd, df.b, df.a).astype("int64"),
+                "kv": np.where(fwd, kb, ka).astype("int64"),
+            }
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pandas")
+    n_edges = edges.count()
+
+    if n_edges * 16 <= broadcast_max_bytes:
+        # Broadcast closure: the oriented edge set IS the small side of the
+        # wedge⋈edge join (wedges ≈ sum out_deg² dwarf E), so ship it once
+        # as a SORTED composite-key array and count hits in-task with
+        # searchsorted — the 41M-wedge exchange disappears entirely.
+        ek = driver_combine(
+            oriented,
+            lambda df: pd.DataFrame(
+                {"k": (df.src.to_numpy().astype("int64") << 31) | df.v.to_numpy()}
+            ),
+            lambda df: df,
+        ).k.to_numpy().copy()
+        ek.sort()
+        ek_ref = _ray.put(ek)
+
+        def wedges_close(df: pd.DataFrame) -> pd.DataFrame:
+            keys = _ray.get(ek_ref)
+            m = df.merge(df, on="src")
+            m = m[m.kv_x < m.kv_y]
+            comp = (m.v_x.to_numpy().astype("int64") << 31) | m.v_y.to_numpy()
+            pos = np.searchsorted(keys, comp)
+            pos[pos >= len(keys)] = len(keys) - 1
+            return pd.DataFrame({"tri": [np.int64((keys[pos] == comp).sum())]})
+
+        tri = int(
+            bucketed_combine(oriented, "src", wedges_close, num_buckets=nb)
+            .to_pandas()
+            .tri.sum()
+        )
+    else:
+        # Exchange closure (the no-broadcast scale path): wedges stream
+        # through one (v)-keyed tagged-union exchange, pre-aggregated to
+        # (v, w, multiplicity) before leaving their source bucket.
+        def wedges_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            m = df.merge(df, on="src")
+            m = m[m.kv_x < m.kv_y]
+            g = m.groupby(["v_x", "v_y"]).size().reset_index(name="mult")
+            return pd.DataFrame(
+                {
+                    "v": g.v_x.astype("int64"),
+                    "w": g.v_y.astype("int64"),
+                    "mult": g.mult.astype("int64"),
+                    "side": np.int8(0),
+                }
+            )
+
+        wedges = bucketed_combine(oriented, "src", wedges_per_bucket, num_buckets=nb)
+
+        def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "v": df.src.astype("int64"),
+                    "w": df.v.astype("int64"),
+                    "mult": np.int64(0),
+                    "side": np.int8(1),
+                }
+            )
+
+        tagged = wedges.union(oriented.map_batches(edge_rows, batch_format="pandas"))
+
+        def close_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            e = df[df.side == 1][["v", "w"]]
+            wd = df[df.side == 0]
+            hit = wd.merge(e, on=["v", "w"])
+            return pd.DataFrame({"tri": [np.int64(hit.mult.sum())]})
+
+        tri = int(
+            bucketed_combine(tagged, "v", close_per_bucket, num_buckets=nb)
+            .to_pandas()
+            .tri.sum()
+        )
+    return pd.DataFrame(
+        {
+            "n_nodes": [np.int64(n_nodes)],
+            "n_edges": [np.int64(n_edges)],
+            "n_triangles": [np.int64(tri)],
+        }
+    )
+
+
+_Q100_SQL = """
+WITH e AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+)
+SELECT
+  (SELECT COUNT(*) FROM (SELECT a AS node FROM e UNION SELECT b FROM e))::BIGINT AS n_nodes,
+  (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,
+  (SELECT COUNT(*) FROM e x
+     JOIN e y ON y.a = x.b
+     JOIN e z ON z.a = x.a AND z.b = y.b)::BIGINT AS n_triangles
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -5833,6 +6004,7 @@ QUERIES = {
     "q97_cdc_merge_patch": q97_cdc_merge_patch,
     "q98_scd2_intervals": q98_scd2_intervals,
     "q99_uniform_sample": q99_uniform_sample,
+    "q100_triangle_count": q100_triangle_count,
 }
 
 ORACLE_SQL = {
@@ -5931,6 +6103,7 @@ ORACLE_SQL = {
     "q97_cdc_merge_patch": _Q97_SQL,
     "q98_scd2_intervals": _Q98_SQL,
     "q99_uniform_sample": _Q99_SQL,
+    "q100_triangle_count": _Q100_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

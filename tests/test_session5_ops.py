@@ -147,3 +147,69 @@ class TestUniformSample:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(out, brute)
+
+
+class TestTriangleCount:
+    def _lineitem(self, tmp_path, orders: list[list[int]]) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        ok, pk = [], []
+        for i, parts in enumerate(orders):
+            ok += [i] * len(parts)
+            pk += parts
+        pq.write_table(
+            pa.table(
+                {"l_orderkey": pa.array(ok, pa.int64()), "l_partkey": pa.array(pk, pa.int64())}
+            ),
+            d / "lineitem.parquet",
+        )
+        return str(d)
+
+    def _brute(self, orders):
+        import itertools
+
+        edges = set()
+        for parts in orders:
+            for a, b in itertools.combinations(sorted(set(parts)), 2):
+                edges.add((a, b))
+        nodes = {n for e in edges for n in e}
+        tri = sum(
+            1
+            for a, b in edges
+            for c in nodes
+            if c > b and (b, c) in edges and (a, c) in edges
+        )
+        return len(nodes), len(edges), tri
+
+    def test_matches_bruteforce_and_paths_agree(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.pipelines.queries import q100_triangle_count
+
+        rng = np.random.default_rng(5)
+        # dense-ish random baskets so triangles actually exist
+        orders = [list(rng.integers(0, 25, rng.integers(2, 6))) for _ in range(120)]
+        sf = self._lineitem(tmp_path, orders)
+        n_nodes, n_edges, tri = self._brute(orders)
+
+        bcast = q100_triangle_count(sf)
+        assert (int(bcast.n_nodes[0]), int(bcast.n_edges[0]), int(bcast.n_triangles[0])) == (
+            n_nodes, n_edges, tri,
+        )
+        # force the no-broadcast exchange path; must agree exactly
+        exch = q100_triangle_count(sf, broadcast_max_bytes=0)
+        assert exch.equals(bcast)
+
+    def test_duplicate_lines_and_isolated_parts(self, ray_session, tmp_path):
+        """Repeated (order, part) lines must not create self-edges or inflate
+        multiplicity; a part never co-purchased contributes no node."""
+        from medical_ocr_service_ray.pipelines.queries import q100_triangle_count
+
+        orders = [[1, 1, 2, 3], [2, 3, 4], [1, 4, 2], [9]]  # 9 isolated
+        sf = self._lineitem(tmp_path, orders)
+        out = q100_triangle_count(sf)
+        n_nodes, n_edges, tri = self._brute(orders)
+        assert (int(out.n_nodes[0]), int(out.n_edges[0]), int(out.n_triangles[0])) == (
+            n_nodes, n_edges, tri,
+        )
