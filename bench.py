@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     "q94_late_events",
     "q95_sorted_export",
     "q96_table_checksums",
+    "q97_cdc_merge_patch",
+    "q98_scd2_intervals",
+    "q99_uniform_sample",
+    "q100_triangle_count",
 ]
 
 
