@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "q98_scd2_intervals",
     "q99_uniform_sample",
     "q100_triangle_count",
+    "q101_partitioned_write_prune",
+    "q102_tfidf_by_source",
 ]
 
 

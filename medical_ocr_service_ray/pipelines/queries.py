@@ -5902,6 +5902,147 @@ SELECT
 """
 
 
+# -------------------------------------------------------------------- q101
+
+def q101_partitioned_write_prune(sf_dir: str):
+    """Hive-partitioned sink + partition-pruned read-back — the layout/prune
+    contract every lakehouse table relies on: (1) one streaming pass writes
+    events hive-partitioned by event_type (``write_parquet(partition_cols=)``,
+    one directory per value, resumable per-partition); (2) the consumer reads
+    ONLY the ``event_type=purchase`` directory — pruning happens at the PATH
+    level, so at 100 TB the other partitions' files are never listed past the
+    directory walk, never opened, never decoded (TestPartitionPrune pins
+    ``input_files()`` ⊆ the one partition); (3) a bounded daily rollup over
+    the pruned read. The partition column itself lives in the path, not the
+    files — the read-back proves the round trip."""
+    import shutil
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    out_dir = Path("/tmp/mosr_q101_part") / Path(sf_dir).name
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_parquet(str(out_dir), partition_cols=["event_type"])
+
+    pruned = rd.read_parquet(str(out_dir / "event_type=purchase"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"day": df.ts.dt.strftime("%Y-%m-%d"), "cents": _cents(df.value)})
+            .groupby("day", as_index=False)
+            .agg(p_n=("cents", "size"), p_c=("cents", "sum"))
+        )
+
+    def combine(partials: pd.DataFrame) -> pd.DataFrame:
+        out = partials.groupby("day", as_index=False).agg(
+            n_events=("p_n", "sum"), cents=("p_c", "sum")
+        )
+        out["n_events"] = out.n_events.astype("int64")
+        out["cents"] = out.cents.astype("int64")
+        return out
+
+    return driver_combine(pruned, partial, combine)
+
+
+_Q101_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+# -------------------------------------------------------------------- q102
+
+def q102_tfidf_by_source(sf_dir: str):
+    """Per-source TF-IDF top terms (corpus characterization / domain-drift
+    monitoring): each SOURCE is one pseudo-document; tf = token occurrences
+    in the source, df = number of sources containing the token,
+    idf_q = floor(1e6·ln(N/df)) (the q43/q69 quantized-ln idiom, proven
+    bit-identical to DuckDB), score = tf·idf_q all-int64.
+
+    Plan: per-batch (source, token) counts (tokenizer shared with q41/SQL)
+    → ONE token-keyed bucketed combine where df is complete (a token's rows
+    all land in its bucket) and each bucket emits its per-source top-10
+    candidates — buckets partition tokens, so the global per-source top-10
+    is a subset of the union; the driver merges buckets×10 rows per source.
+    The hot-token exchange bound is the q41 partial-count shape: one row
+    per (source, token, batch), never per occurrence."""
+    from medical_ocr_service_ray.functions.hashing import tokens
+
+    K = 10
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    n_sources = len(
+        driver_combine(
+            ds,
+            lambda df: df[["source"]].drop_duplicates(),
+            lambda df: df.drop_duplicates(),
+        )
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        srcs, toks = [], []
+        for s, t in zip(df.source, df.text):
+            tt = tokens(t or "")
+            toks.extend(tt)
+            srcs.extend([s] * len(tt))
+        return (
+            pd.DataFrame({"source": srcs, "token": toks})
+            .groupby(["source", "token"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+
+    def rank_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["source", "score", "token"], ascending=[True, False, True])
+            .groupby("source", as_index=False)
+            .head(K)
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        tf = df.groupby(["source", "token"], as_index=False)["c"].sum()
+        dfreq = tf.groupby("token", as_index=False).agg(df=("source", "size"))
+        m = tf.merge(dfreq, on="token")
+        idf_q = np.floor(
+            1e6 * np.log(float(n_sources) / m["df"].to_numpy().astype(np.float64))
+        ).astype("int64")
+        m["score"] = m.c.to_numpy().astype("int64") * idf_q
+        return rank_topk(m)
+
+    cand = bucketed_combine(ds.map_batches(partial, batch_format="pandas"), "token", combine)
+    out = rank_topk(cand.to_pandas()).reset_index(drop=True)
+    out["rank"] = out.groupby("source").cumcount() + 1
+    out["tf"] = out.c.astype("int64")
+    out["df"] = out["df"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out[["source", "rank", "token", "tf", "df", "score"]]
+
+
+_Q102_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS token
+  FROM documents
+), tf AS (
+  SELECT source, token, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(DISTINCT source) AS n FROM documents
+), scored AS (
+  SELECT t.source, t.token, t.tf, d.df,
+         t.tf * CAST(floor(1000000 * ln(CAST(n.n AS DOUBLE) / d.df)) AS BIGINT) AS score
+  FROM tf t JOIN dfreq d USING (token), n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, token) AS rank
+  FROM scored
+)
+SELECT source, rank::BIGINT AS rank, token, tf, df, score
+FROM ranked WHERE rank <= 10
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6005,6 +6146,8 @@ QUERIES = {
     "q98_scd2_intervals": q98_scd2_intervals,
     "q99_uniform_sample": q99_uniform_sample,
     "q100_triangle_count": q100_triangle_count,
+    "q101_partitioned_write_prune": q101_partitioned_write_prune,
+    "q102_tfidf_by_source": q102_tfidf_by_source,
 }
 
 ORACLE_SQL = {
@@ -6104,6 +6247,8 @@ ORACLE_SQL = {
     "q98_scd2_intervals": _Q98_SQL,
     "q99_uniform_sample": _Q99_SQL,
     "q100_triangle_count": _Q100_SQL,
+    "q101_partitioned_write_prune": _Q101_SQL,
+    "q102_tfidf_by_source": _Q102_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -213,3 +213,130 @@ class TestTriangleCount:
         assert (int(out.n_nodes[0]), int(out.n_edges[0]), int(out.n_triangles[0])) == (
             n_nodes, n_edges, tri,
         )
+
+
+class TestPartitionPrune:
+    def test_roundtrip_and_path_pruning(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.pipelines.queries import q101_partitioned_write_prune
+
+        rng = np.random.default_rng(3)
+        n = 300
+        rows = pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "ts": _ts(rng.integers(0, 72, n)),
+                "user_id": rng.integers(0, 9, n),
+                "event_type": rng.choice(["view", "click", "purchase"], n),
+                "value": rng.uniform(0, 50, n).round(2),
+            }
+        )
+        sf = _events_parquet(tmp_path, rows)
+        out = q101_partitioned_write_prune(sf).sort_values("day").reset_index(drop=True)
+
+        p = rows[rows.event_type == "purchase"]
+        exp = (
+            pd.DataFrame(
+                {
+                    "day": pd.to_datetime(p.ts.to_numpy()).strftime("%Y-%m-%d"),
+                    "cents": np.round(p.value.to_numpy() * 100).astype("int64"),
+                }
+            )
+            .groupby("day", as_index=False)
+            .agg(n_events=("cents", "size"), cents=("cents", "sum"))
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        assert list(out.day) == list(exp.day)
+        assert list(out.n_events) == list(exp.n_events.astype("int64"))
+        assert list(out.cents) == list(exp.cents)
+
+        # the layout is hive-partitioned and the pruned read opens ONLY the
+        # selected partition's files (path-level pruning)
+        import ray.data as rd
+        from pathlib import Path
+
+        root = Path("/tmp/mosr_q101_part") / Path(sf).name
+        parts = sorted(d.name for d in root.iterdir())
+        assert parts == ["event_type=click", "event_type=purchase", "event_type=view"]
+        pruned = rd.read_parquet(str(root / "event_type=purchase"))
+        files = pruned.input_files()
+        assert files and all("event_type=purchase" in f for f in files)
+
+
+class TestTfidfBySource:
+    def test_matches_bruteforce(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from medical_ocr_service_ray.functions.hashing import tokens
+        from medical_ocr_service_ray.pipelines.queries import q102_tfidf_by_source
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        docs = [
+            ("alpha", "apple banana apple cherry"),
+            ("alpha", "banana date apple"),
+            ("beta", "cherry cherry elder apple"),
+            ("beta", "fig grape FIG"),
+            ("gamma", ""),  # tokenless source still counts toward N
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "source": pa.array([s for s, _ in docs]),
+                    "text": pa.array([t for _, t in docs]),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        out = q102_tfidf_by_source(str(d))
+
+        # brute force with the same tokenizer + quantization
+        tf = {}
+        for s, t in docs:
+            for tok in tokens(t):
+                tf[(s, tok)] = tf.get((s, tok), 0) + 1
+        df = {}
+        for (s, tok) in tf:
+            df[tok] = df.get(tok, 0) + 1
+        N = 3
+        scored = [
+            (s, tok, c, df[tok], c * int(np.floor(1e6 * np.log(float(N) / df[tok]))))
+            for (s, tok), c in tf.items()
+        ]
+        exp_rows = []
+        for src in ["alpha", "beta"]:
+            rows = sorted(
+                [r for r in scored if r[0] == src], key=lambda r: (-r[4], r[1])
+            )[:10]
+            exp_rows += [(src, i + 1, tok, c, dfv, sc) for i, (_, tok, c, dfv, sc) in enumerate(rows)]
+        exp = pd.DataFrame(
+            exp_rows, columns=["source", "rank", "token", "tf", "df", "score"]
+        ).astype({"rank": "int64", "tf": "int64", "df": "int64", "score": "int64"})
+        got = out.sort_values(["source", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp.sort_values(["source", "rank"]).reset_index(drop=True))
+
+    def test_ubiquitous_token_scores_zero(self, ray_session, tmp_path):
+        """A token present in every source has idf floor(1e6*ln(1)) = 0."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from medical_ocr_service_ray.pipelines.queries import q102_tfidf_by_source
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "source": pa.array(["a", "b"]),
+                    "text": pa.array(["common rare", "common"]),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        out = q102_tfidf_by_source(str(d)).set_index(["source", "token"])
+        assert int(out.loc[("a", "common")].score) == 0
+        assert int(out.loc[("b", "common")].score) == 0
+        assert int(out.loc[("a", "rare")].score) == int(np.floor(1e6 * np.log(2.0)))
