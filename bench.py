@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "q100_triangle_count",
     "q101_partitioned_write_prune",
     "q102_tfidf_by_source",
+    "q103_zorder_cluster",
+    "q104_cube_rollup",
+    "q105_debounce_events",
 ]
 
 

@@ -5736,27 +5736,31 @@ LIMIT 100
 def q100_triangle_count(sf_dir: str, broadcast_max_bytes: int = 512 << 20):
     """Distributed triangle counting over the co-purchase graph (nodes =
     parts, edges = q71's same-order pairs, deduplicated) — the
-    Suri–Vassilvitskii wedge-closure MapReduce shape on Ray Data:
+    Suri–Vassilvitskii wedge-closure MapReduce shape on Ray Data, fused to
+    TWO exchanges:
 
-    1. distinct edges: per-order pair expansion inside order buckets, then
-       one more keyed dedup exchange;
-    2. degree-based orientation: every undirected edge points from its
-       (degree, node)-smaller endpoint, which bounds out-degree by ~sqrt(2E)
-       and guarantees each triangle closes exactly once. Degrees live on the
-       NODE domain — here the part dimension — so the degree map is
-       broadcast once via ray.put like every other small-dim side (q33
-       caveat applies: a graph whose node set scales with the fact data
-       would swap this for one tagged-union attach exchange, pagerank.py's
-       attach_degrees);
-    3. wedges + closure: wedges (sum out_deg² ≈ 41 M at sf0.1) dwarf the
-       edge set (1.2 M), so the closure join broadcasts its SMALL side —
-       the oriented edges as one sorted composite-key array — and each
-       src-bucket counts its wedges' hits in-task via searchsorted; no
-       wedge ever leaves its task. When the edge set exceeds
-       ``broadcast_max_bytes`` (default 512 MiB) the op falls back to the
-       no-broadcast scale path: wedges pre-aggregated to (v, w, mult) per
-       bucket, one (v)-keyed tagged-union exchange against the edges, both
-       paths proven equal in TestTriangleCount."""
+    1. distinct-per-order-bucket pair expansion (exchange 1). Cross-bucket
+       duplicate pairs survive this stage deliberately;
+    2. orientation: every pair points from its (degree, node)-smaller
+       endpoint. The order only needs to be CONSISTENT for correctness —
+       degree accuracy affects the out-degree bound, not the count — so
+       degrees come from the stage-1 pairs (≤3% dupe inflation) via one
+       bounded driver pass over the NODE domain (the part dimension;
+       broadcast like every small-dim side, q33 caveat applies);
+    3. one (src)-keyed exchange fuses the rest into a single task per
+       bucket: exact dedup (every copy of (src,v) lands in src's bucket),
+       pure-numpy ordered-pair wedge expansion (the q89 repeat/arange
+       idiom — 5x faster than a pandas self-merge), and closure by
+       searchsorted against the BROADCAST sorted edge-key array (the small
+       side of the wedge⋈edge join: 41 M wedges vs 1.2 M edges at sf0.1).
+       Wedges never leave their task.
+
+    When the edge set exceeds ``broadcast_max_bytes`` (default 512 MiB) the
+    closure falls back to the no-broadcast scale path: the fused bucket
+    emits (v, w, multiplicity) wedge keys + its deduped edges, and one
+    more (v)-keyed tagged-union exchange counts closures — three exchanges
+    total, nothing broadcast but the dimension-sized degree map. Both
+    paths proven equal in TestTriangleCount."""
     import ray as _ray
 
     from medical_ocr_service_ray.stages.aggregate import (
@@ -5773,19 +5777,16 @@ def q100_triangle_count(sf_dir: str, broadcast_max_bytes: int = 512 << 20):
         out = m[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
         return out.rename(columns={"l_partkey_x": "a", "l_partkey_y": "b"})
 
-    p1 = bucketed_combine(ds, "l_orderkey", pairs_distinct, num_buckets=nb)
-    edges = bucketed_combine(
-        p1, "a", lambda df: df.drop_duplicates(), num_buckets=nb
-    ).materialize()  # O(E), spillable; read 3x below (deg, orient, closure)
+    p1 = bucketed_combine(ds, "l_orderkey", pairs_distinct, num_buckets=nb).materialize()
 
     def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
         n = pd.concat([df.a, df.b], ignore_index=True)
         return n.value_counts().rename_axis("node").reset_index(name="d")
 
     deg = driver_combine(
-        edges, deg_partial, lambda df: df.groupby("node", as_index=False)["d"].sum()
+        p1, deg_partial, lambda df: df.groupby("node", as_index=False)["d"].sum()
     )
-    n_nodes = len(deg)
+    n_nodes = len(deg)  # dupes add no nodes: exact even over stage-1 pairs
     # (degree, node) total order packed into one int64: deg < 2^31, node < 2^31
     ordk = (deg.d.to_numpy().astype("int64") << 31) | deg.node.to_numpy().astype("int64")
     ord_ref = _ray.put(dict(zip(deg.node.to_numpy(), ordk)))
@@ -5803,80 +5804,101 @@ def q100_triangle_count(sf_dir: str, broadcast_max_bytes: int = 512 << 20):
             }
         )
 
-    oriented = edges.map_batches(orient, batch_format="pandas")
-    n_edges = edges.count()
+    oriented = p1.map_batches(orient, batch_format="pandas")
 
-    if n_edges * 16 <= broadcast_max_bytes:
-        # Broadcast closure: the oriented edge set IS the small side of the
-        # wedge⋈edge join (wedges ≈ sum out_deg² dwarf E), so ship it once
-        # as a SORTED composite-key array and count hits in-task with
-        # searchsorted — the 41M-wedge exchange disappears entirely.
-        ek = driver_combine(
-            oriented,
-            lambda df: pd.DataFrame(
-                {"k": (df.src.to_numpy().astype("int64") << 31) | df.v.to_numpy()}
-            ),
-            lambda df: df,
-        ).k.to_numpy().copy()
-        ek.sort()
+    def dedup_and_wedges(df: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray, np.ndarray]:
+        """Per src-bucket: exact edge dedup, then all ordered out-neighbor
+        pairs per src, pure numpy: sort by (src, kv); each element at
+        within-group position p pairs, as the kv-LARGER side, with its p
+        predecessors."""
+        df = df.drop_duplicates(["src", "v"]).sort_values(["src", "kv"], kind="mergesort")
+        src = df.src.to_numpy()
+        v = df.v.to_numpy()
+        n = len(src)
+        if n == 0:
+            return df, np.empty(0, np.int64), np.empty(0, np.int64)
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        glen = np.diff(np.r_[starts, n])
+        gstart = np.repeat(starts, glen)
+        pos = np.arange(n) - gstart
+        total = int(pos.sum())
+        offs = np.cumsum(pos) - pos
+        y_idx = np.repeat(np.arange(n), pos)
+        x_idx = np.arange(total) - np.repeat(offs, pos) + np.repeat(gstart, pos)
+        return df, v[x_idx].astype(np.int64), v[y_idx].astype(np.int64)
+
+    est_edge_bytes = p1.count() * 16
+    if est_edge_bytes <= broadcast_max_bytes:
+        oriented = oriented.materialize()  # consumed twice below (ek + closure)
+        # global sorted edge-key array from the stage-1 pairs: duplicates
+        # cannot change MEMBERSHIP, so dedup happens in one driver unique
+        ek = np.unique(
+            driver_combine(
+                oriented,
+                lambda df: pd.DataFrame(
+                    {"k": (df.src.to_numpy().astype("int64") << 31) | df.v.to_numpy()}
+                ),
+                lambda df: df,
+            ).k.to_numpy()
+        )
+        n_edges = len(ek)
         ek_ref = _ray.put(ek)
 
-        def wedges_close(df: pd.DataFrame) -> pd.DataFrame:
+        def close_bucket(df: pd.DataFrame) -> pd.DataFrame:
             keys = _ray.get(ek_ref)
-            m = df.merge(df, on="src")
-            m = m[m.kv_x < m.kv_y]
-            comp = (m.v_x.to_numpy().astype("int64") << 31) | m.v_y.to_numpy()
+            _, wx, wy = dedup_and_wedges(df)
+            comp = (wx << 31) | wy
             pos = np.searchsorted(keys, comp)
             pos[pos >= len(keys)] = len(keys) - 1
             return pd.DataFrame({"tri": [np.int64((keys[pos] == comp).sum())]})
 
         tri = int(
-            bucketed_combine(oriented, "src", wedges_close, num_buckets=nb)
+            bucketed_combine(oriented, "src", close_bucket, num_buckets=nb)
             .to_pandas()
             .tri.sum()
         )
     else:
-        # Exchange closure (the no-broadcast scale path): wedges stream
-        # through one (v)-keyed tagged-union exchange, pre-aggregated to
-        # (v, w, multiplicity) before leaving their source bucket.
-        def wedges_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-            m = df.merge(df, on="src")
-            m = m[m.kv_x < m.kv_y]
-            g = m.groupby(["v_x", "v_y"]).size().reset_index(name="mult")
-            return pd.DataFrame(
+        # No-broadcast scale path: the fused bucket emits wedge keys with
+        # multiplicity plus its deduped edge rows; one more (v)-keyed
+        # tagged-union exchange counts the closures.
+        def wedges_and_edges(df: pd.DataFrame) -> pd.DataFrame:
+            e, wx, wy = dedup_and_wedges(df)
+            comp, mult = np.unique((wx << 31) | wy, return_counts=True)
+            wrows = pd.DataFrame(
                 {
-                    "v": g.v_x.astype("int64"),
-                    "w": g.v_y.astype("int64"),
-                    "mult": g.mult.astype("int64"),
+                    "v": (comp >> 31).astype("int64"),
+                    "w": (comp & ((1 << 31) - 1)).astype("int64"),
+                    "mult": mult.astype("int64"),
                     "side": np.int8(0),
                 }
             )
-
-        wedges = bucketed_combine(oriented, "src", wedges_per_bucket, num_buckets=nb)
-
-        def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
+            erows = pd.DataFrame(
                 {
-                    "v": df.src.astype("int64"),
-                    "w": df.v.astype("int64"),
-                    "mult": np.int64(0),
+                    "v": e.src.to_numpy(),
+                    "w": e.v.to_numpy(),
+                    "mult": np.int64(1),
                     "side": np.int8(1),
                 }
             )
+            return pd.concat([wrows, erows], ignore_index=True)
 
-        tagged = wedges.union(oriented.map_batches(edge_rows, batch_format="pandas"))
+        tagged = bucketed_combine(oriented, "src", wedges_and_edges, num_buckets=nb)
 
         def close_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
             e = df[df.side == 1][["v", "w"]]
             wd = df[df.side == 0]
             hit = wd.merge(e, on=["v", "w"])
-            return pd.DataFrame({"tri": [np.int64(hit.mult.sum())]})
+            return pd.DataFrame(
+                {
+                    "tri": [np.int64(hit.mult.sum())],
+                    "ne": [np.int64(len(e))],
+                }
+            )
 
-        tri = int(
-            bucketed_combine(tagged, "v", close_per_bucket, num_buckets=nb)
-            .to_pandas()
-            .tri.sum()
-        )
+        closed = bucketed_combine(tagged, "v", close_per_bucket, num_buckets=nb).to_pandas()
+        tri = int(closed.tri.sum())
+        n_edges = int(closed["ne"].sum())
+
     return pd.DataFrame(
         {
             "n_nodes": [np.int64(n_nodes)],
@@ -6043,6 +6065,218 @@ FROM ranked WHERE rank <= 10
 """
 
 
+# -------------------------------------------------------------------- q103
+
+def _morton_spread16(x: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of x so bit i lands at position 2i — the
+    classic magic-number interleave, int64 throughout."""
+    v = x.astype(np.int64) & 0xFFFF
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+def q103_zorder_cluster(sf_dir: str):
+    """Z-order (Morton) clustering — the Databricks Z-ORDER / lakehouse
+    data-layout op: interleave the bits of (user_id, day_index) into one
+    z-key so rows close in BOTH dimensions land close in the linear order,
+    then range-partition on the z-key with q95's exact equi-depth histogram
+    machinery and write one internally-sorted file per range. Readers
+    filtering on EITHER column then skip most files via min/max stats —
+    TestZorderCluster pins the locality win (per-file bounding-box area vs
+    a single-column sort layout). Returns the stamped rows (event_id,
+    user_id, day_idx, zkey); the SQL oracle reproduces the bit interleave
+    as a generated 16-term shift expression, so the z-key arithmetic is
+    hash-checked end-to-end."""
+    import shutil
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    EPOCH0 = np.datetime64("2024-01-01", "us")
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            (df.ts.to_numpy().astype("datetime64[us]") - EPOCH0)
+            // np.timedelta64(86400_000_000, "us")
+        ).astype("int64")
+        z = _morton_spread16(df.user_id.to_numpy()) | (_morton_spread16(day) << 1)
+        return pd.DataFrame(
+            {
+                "event_id": df.event_id.astype("int64"),
+                "user_id": df.user_id.astype("int64"),
+                "day_idx": day,
+                "zkey": z.astype("int64"),
+            }
+        )
+
+    stamped = ds.map_batches(stamp, batch_format="pandas")
+
+    def key_hist(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("zkey").size().reset_index(name="c")
+
+    hist = driver_combine(
+        stamped, key_hist, lambda df: df.groupby("zkey", as_index=False)["c"].sum()
+    ).sort_values("zkey")
+    n_ranges = 16
+    cum = hist.c.cumsum().to_numpy()
+    total = int(cum[-1])
+    rng_of_key = dict(
+        zip(hist.zkey, np.minimum((n_ranges * (cum - 1)) // total, n_ranges - 1))
+    )
+    import ray as _ray
+
+    rng_ref = _ray.put(rng_of_key)
+
+    out_dir = Path("/tmp/mosr_q103_zorder") / Path(sf_dir).name
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    def add_rng(df: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(rng_ref)
+        df = df.copy()
+        df["__rng"] = df.zkey.map(m).astype("int64")
+        return df
+
+    def sort_and_write(df: pd.DataFrame) -> pd.DataFrame:
+        rng = int(df.__rng.iloc[0])
+        df = df.drop(columns="__rng").sort_values(["zkey", "event_id"], kind="mergesort")
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            out_dir / f"range-{rng:04d}.parquet",
+        )
+        return df
+
+    return (
+        stamped.map_batches(add_rng, batch_format="pandas")
+        .groupby("__rng")
+        .map_groups(sort_and_write, batch_format="pandas")
+    )
+
+
+def _q103_sql() -> str:
+    """Generated 16-term bit-spread mirror of _morton_spread16: spread(x) =
+    Σ_i ((x >> i) & 1) << 2i, as plain BIGINT shift arithmetic."""
+
+    def spread(col: str, shift: int) -> str:
+        terms = [
+            f"((({col} >> {i}) & 1) << {2 * i + shift})" for i in range(16)
+        ]
+        return " + ".join(terms)
+
+    day = "CAST(floor(epoch_us(ts - TIMESTAMP '2024-01-01') / 86400000000.0) AS BIGINT)"
+    return f"""
+WITH s AS (
+  SELECT event_id, user_id, {day} AS day_idx FROM events
+)
+SELECT event_id, user_id, day_idx,
+       ({spread("user_id", 0)}) + ({spread("day_idx", 1)}) AS zkey
+FROM s
+"""
+
+
+# -------------------------------------------------------------------- q104
+
+def q104_cube_rollup(sf_dir: str):
+    """GROUP BY CUBE(event_type, iso_dow): all four grouping sets computed
+    from ONE shared finest-grain partial — the (type, dow) cells are tiny
+    (|types|×7), so the three coarser sets are driver-side re-aggregations
+    of the same partial, never a second scan or exchange. 'ALL' is the
+    grouping sentinel on both sides."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "event_type": df.event_type,
+                    "dow": (df.ts.dt.dayofweek + 1).astype("int64").astype(str),
+                    "cents": _cents(df.value),
+                }
+            )
+            .groupby(["event_type", "dow"], as_index=False)
+            .agg(p_n=("cents", "size"), p_c=("cents", "sum"))
+        )
+
+    def combine(partials: pd.DataFrame) -> pd.DataFrame:
+        fine = partials.groupby(["event_type", "dow"], as_index=False).agg(
+            n_events=("p_n", "sum"), cents=("p_c", "sum")
+        )
+        sets = [fine]
+        g = fine.groupby("event_type", as_index=False)[["n_events", "cents"]].sum()
+        g["dow"] = "ALL"
+        sets.append(g)
+        g = fine.groupby("dow", as_index=False)[["n_events", "cents"]].sum()
+        g["event_type"] = "ALL"
+        sets.append(g)
+        sets.append(
+            pd.DataFrame(
+                {
+                    "event_type": ["ALL"],
+                    "dow": ["ALL"],
+                    "n_events": [fine.n_events.sum()],
+                    "cents": [fine.cents.sum()],
+                }
+            )
+        )
+        out = pd.concat(sets, ignore_index=True)[
+            ["event_type", "dow", "n_events", "cents"]
+        ]
+        out["n_events"] = out.n_events.astype("int64")
+        out["cents"] = out.cents.astype("int64")
+        return out
+
+    return driver_combine(ds, partial, combine)
+
+
+_Q104_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(strftime(ts, '%u'), 'ALL') AS dow,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%u'))
+"""
+
+
+# -------------------------------------------------------------------- q105
+
+def q105_debounce_events(sf_dir: str):
+    """Telemetry de-bounce: drop an event when the SAME (user, type) fired
+    within the last 5 minutes (gap measured against the previous RAW event —
+    the LAG contract, exactly SQL-mirrorable; chain-vs-kept debounce is the
+    iterative variant this op deliberately isn't). One (user)-keyed bucketed
+    exchange; per-bucket vectorized sort + grouped shift."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    GAP = np.timedelta64(300_000_000, "us")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"], kind="mergesort")
+        same = df.user_id.eq(df.user_id.shift()) & df.event_type.eq(df.event_type.shift())
+        gap = df.ts - df.ts.shift()
+        keep = ~(same & (gap <= GAP))
+        out = df[keep]
+        return pd.DataFrame(
+            {
+                "event_id": out.event_id.astype("int64"),
+                "user_id": out.user_id.astype("int64"),
+                "event_type": out.event_type,
+                "ts": out.ts,
+            }
+        )
+
+    return bucketed_combine(ds, "user_id", combine)
+
+
+_Q105_SQL = """
+SELECT event_id, user_id, event_type, ts
+FROM events
+QUALIFY lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) IS NULL
+     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id, event_type
+                                              ORDER BY ts, event_id)) > 300000000
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6148,6 +6382,9 @@ QUERIES = {
     "q100_triangle_count": q100_triangle_count,
     "q101_partitioned_write_prune": q101_partitioned_write_prune,
     "q102_tfidf_by_source": q102_tfidf_by_source,
+    "q103_zorder_cluster": q103_zorder_cluster,
+    "q104_cube_rollup": q104_cube_rollup,
+    "q105_debounce_events": q105_debounce_events,
 }
 
 ORACLE_SQL = {
@@ -6249,6 +6486,9 @@ ORACLE_SQL = {
     "q100_triangle_count": _Q100_SQL,
     "q101_partitioned_write_prune": _Q101_SQL,
     "q102_tfidf_by_source": _Q102_SQL,
+    "q103_zorder_cluster": _q103_sql(),
+    "q104_cube_rollup": _Q104_SQL,
+    "q105_debounce_events": _Q105_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

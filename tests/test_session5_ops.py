@@ -340,3 +340,127 @@ class TestTfidfBySource:
         assert int(out.loc[("a", "common")].score) == 0
         assert int(out.loc[("b", "common")].score) == 0
         assert int(out.loc[("a", "rare")].score) == int(np.floor(1e6 * np.log(2.0)))
+
+
+class TestZorderCluster:
+    def test_zkey_bits_and_file_locality(self, ray_session, tmp_path):
+        """Dense 64x64 (user, day) grid: (1) zkey equals the brute-force bit
+        interleave; (2) range files are zkey-disjoint and internally sorted;
+        (3) the locality contract: any single user appears in at most 4 of
+        the 16 range files (a day-sorted layout puts every user in all 16 —
+        that's the min/max-stats skipping win Z-order exists for)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        from medical_ocr_service_ray.pipelines.queries import q103_zorder_cluster
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        users, days = np.meshgrid(np.arange(64), np.arange(64))
+        users, days = users.ravel(), days.ravel()
+        base = np.datetime64("2024-01-01T06:00:00", "us")
+        ts = base + days * np.timedelta64(86400, "s")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(np.arange(len(users)), pa.int64()),
+                    "ts": pa.array(ts),
+                    "user_id": pa.array(users.astype(np.int64)),
+                    "event_type": pa.array(["x"] * len(users)),
+                    "value": pa.array(np.zeros(len(users))),
+                    "props": pa.array(["{}"] * len(users)),
+                }
+            ),
+            d / "events.parquet",
+        )
+        out = q103_zorder_cluster(str(d)).to_pandas()
+
+        def brute_z(u, dy):
+            z = 0
+            for i in range(16):
+                z |= ((u >> i) & 1) << (2 * i)
+                z |= ((dy >> i) & 1) << (2 * i + 1)
+            return z
+
+        samp = out.sample(50, random_state=1)
+        for _, r in samp.iterrows():
+            assert r.zkey == brute_z(int(r.user_id), int(r.day_idx))
+
+        files = sorted(Path(f"/tmp/mosr_q103_zorder/{d.name}").glob("range-*.parquet"))
+        assert len(files) == 16
+        prev_max = None
+        user_file_count = {}
+        for p in files:
+            t = pq.read_table(p).to_pandas()
+            assert list(t.zkey) == sorted(t.zkey)
+            if prev_max is not None:
+                assert t.zkey.iloc[0] > prev_max
+            prev_max = t.zkey.iloc[-1]
+            for u in t.user_id.unique():
+                user_file_count[u] = user_file_count.get(u, 0) + 1
+        assert max(user_file_count.values()) <= 4
+
+
+class TestCubeRollup:
+    def test_all_grouping_sets(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.pipelines.queries import q104_cube_rollup
+
+        rng = np.random.default_rng(9)
+        n = 200
+        rows = pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "ts": _ts(rng.integers(0, 24 * 14, n)),
+                "user_id": rng.integers(0, 5, n),
+                "event_type": rng.choice(["view", "click"], n),
+                "value": rng.uniform(0, 10, n).round(2),
+            }
+        )
+        sf = _events_parquet(tmp_path, rows)
+        out = q104_cube_rollup(sf)
+
+        cents = np.round(rows.value.to_numpy() * 100).astype("int64")
+        dow = (pd.to_datetime(rows.ts.to_numpy()).dayofweek + 1).astype(str)
+        base = pd.DataFrame({"et": rows.event_type, "dow": dow, "c": cents})
+        # grand total row
+        g = out[(out.event_type == "ALL") & (out.dow == "ALL")]
+        assert int(g.n_events.iloc[0]) == n and int(g.cents.iloc[0]) == cents.sum()
+        # one-dim rollups sum to the grand total
+        et_rows = out[(out.event_type != "ALL") & (out.dow == "ALL")]
+        assert int(et_rows.n_events.sum()) == n
+        dow_rows = out[(out.event_type == "ALL") & (out.dow != "ALL")]
+        assert int(dow_rows.n_events.sum()) == n
+        # spot-check one fine cell
+        fine = out[(out.event_type == "view") & (out.dow == "3")]
+        exp = base[(base.et == "view") & (base.dow == "3")]
+        if len(exp):
+            assert int(fine.n_events.iloc[0]) == len(exp)
+            assert int(fine.cents.iloc[0]) == int(exp.c.sum())
+
+
+class TestDebounceEvents:
+    def test_gap_boundary_and_type_isolation(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.pipelines.queries import q105_debounce_events
+
+        base = np.datetime64("2024-03-01T00:00:00", "us")
+        s = np.timedelta64(1, "s")
+        rows = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5, 6, 7],
+                "ts": [
+                    base,            # kept (first)
+                    base + 200 * s,  # dropped (200s after raw prev, same type)
+                    base + 500 * s,  # kept? gap to PREVIOUS RAW (id2) = 300s -> dropped (<=)
+                    base + 801 * s,  # kept: 301s after id3
+                    base,            # other type: kept (own partition)
+                    base + 100 * s,  # other type: dropped
+                    base,            # other user: kept
+                ],
+                "user_id": [1, 1, 1, 1, 1, 1, 2],
+                "event_type": ["a", "a", "a", "a", "b", "b", "a"],
+                "value": [0.0] * 7,
+            }
+        )
+        out = q105_debounce_events(_events_parquet(tmp_path, rows)).to_pandas()
+        assert sorted(out.event_id) == [1, 4, 5, 7]
