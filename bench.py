@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "q103_zorder_cluster",
     "q104_cube_rollup",
     "q105_debounce_events",
+    "q106_mixture_sample",
+    "q107_repetition_gate",
 ]
 
 

@@ -6277,6 +6277,146 @@ QUALIFY lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) IS
 """
 
 
+# -------------------------------------------------------------------- q106
+
+def q106_mixture_sample(sf_dir: str):
+    """Training-data mixture sampling to a per-source token budget — the
+    data-mixture op an LLM corpus build runs last: each source s gets a
+    target share (20 + 5·(idx(s) mod 8))% of its own tokens, and docs are
+    selected DETERMINISTICALLY until the budget fills.
+
+    The scalable selection rule is hash-BIN-granular (no per-doc sequential
+    cumsum anywhere): docs hash into 64 Knuth bins; a bounded partial+driver
+    pass builds the (source, bin) token histogram (20×64 rows); bins are
+    admitted in bin order while the inclusive cumulative token count stays
+    within budget; the admitted set broadcasts into one stateless filter
+    pass. Budget granularity is one bin (~1/64 of a source) — documented,
+    and exactly mirrored by the SQL window cumsum."""
+    import ray as _ray
+
+    from medical_ocr_service_ray.stages.sampling import KNUTH
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    N_BINS = 64
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        nt = np.fromiter(
+            (len(t.split()) if t else 0 for t in df.text), dtype=np.int64, count=len(df)
+        )
+        h = (df.doc_id.to_numpy().astype("uint64") * np.uint64(KNUTH)) % np.uint64(1 << 32)
+        return pd.DataFrame(
+            {
+                "doc_id": df.doc_id.astype("int64"),
+                "source": df.source,
+                "n_tokens": nt,
+                "bin": (h % N_BINS).astype("int64"),
+            }
+        )
+
+    stamped = ds.map_batches(stamp, batch_format="pandas")
+
+    hist = driver_combine(
+        stamped,
+        lambda df: df.groupby(["source", "bin"], as_index=False)["n_tokens"].sum(),
+        lambda df: df.groupby(["source", "bin"], as_index=False)["n_tokens"].sum(),
+    ).sort_values(["source", "bin"])
+
+    tot = hist.groupby("source")["n_tokens"].sum()
+    hist["cum"] = hist.groupby("source")["n_tokens"].cumsum()
+    idx = hist.source.str.slice(3).astype(int)
+    frac = 20 + 5 * (idx % 8)
+    inc = hist[hist.cum * 100 <= frac.to_numpy() * hist.source.map(tot).to_numpy()]
+    inc_set = set(zip(inc.source, inc["bin"]))
+    inc_ref = _ray.put(inc_set)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        s = _ray.get(inc_ref)
+        mask = [(src, b) in s for src, b in zip(df.source, df["bin"])]
+        out = df[np.asarray(mask, dtype=bool)]
+        return out[["doc_id", "source", "n_tokens"]]
+
+    return stamped.map_batches(pick, batch_format="pandas")
+
+
+_Q106_SQL = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
+         ((doc_id * 2654435761) % 4294967296) % 64 AS bin
+  FROM documents
+), bins AS (
+  SELECT source, bin, SUM(n_tokens) AS bt FROM d GROUP BY 1, 2
+), cum AS (
+  SELECT source, bin, SUM(bt) OVER (PARTITION BY source ORDER BY bin) AS cbt FROM bins
+), tot AS (
+  SELECT source, SUM(n_tokens) AS tt FROM d GROUP BY 1
+), inc AS (
+  SELECT c.source, c.bin
+  FROM cum c JOIN tot t USING (source)
+  WHERE c.cbt * 100 <= (20 + 5 * (CAST(substr(c.source, 4) AS INT) % 8)) * t.tt
+)
+SELECT d.doc_id, d.source, d.n_tokens
+FROM d JOIN inc USING (source, bin)
+"""
+
+
+# -------------------------------------------------------------------- q107
+
+def q107_repetition_gate(sf_dir: str):
+    """Gopher-style repetition quality rule: per document, the fraction of
+    word-BIGRAM occurrences that belong to a repeated bigram; documents
+    above the 20% threshold are flagged for removal. Stateless per-batch
+    map (the tokenizer is the q9 whitespace recipe, shared with SQL);
+    exact integer comparison dup·10 ≤ 2·total — no float thresholds.
+    Documents with fewer than one bigram are out of scope on both sides."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        ids, nb, dup = [], [], []
+        for did, t in zip(df.doc_id, df.text):
+            toks = (t or "").split()
+            if len(toks) < 2:
+                continue
+            c = Counter(zip(toks, toks[1:]))
+            ids.append(did)
+            nb.append(sum(c.values()))
+            dup.append(sum(v for v in c.values() if v > 1))
+        n = np.asarray(nb, dtype=np.int64)
+        d = np.asarray(dup, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "n_bigrams": n,
+                "dup_bigrams": d,
+                "keep": (d * 10 <= 2 * n).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(gate, batch_format="pandas")
+
+
+_Q107_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+), big AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS bg
+  FROM toks, LATERAL unnest(range(1, len(arr))) AS t(i)
+), cnt AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2
+)
+SELECT doc_id,
+       SUM(c)::BIGINT AS n_bigrams,
+       SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup_bigrams,
+       (CASE WHEN SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 10 <= 2 * SUM(c)
+             THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM cnt GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6385,6 +6525,8 @@ QUERIES = {
     "q103_zorder_cluster": q103_zorder_cluster,
     "q104_cube_rollup": q104_cube_rollup,
     "q105_debounce_events": q105_debounce_events,
+    "q106_mixture_sample": q106_mixture_sample,
+    "q107_repetition_gate": q107_repetition_gate,
 }
 
 ORACLE_SQL = {
@@ -6489,6 +6631,8 @@ ORACLE_SQL = {
     "q103_zorder_cluster": _q103_sql(),
     "q104_cube_rollup": _Q104_SQL,
     "q105_debounce_events": _Q105_SQL,
+    "q106_mixture_sample": _Q106_SQL,
+    "q107_repetition_gate": _Q107_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -464,3 +464,92 @@ class TestDebounceEvents:
         )
         out = q105_debounce_events(_events_parquet(tmp_path, rows)).to_pandas()
         assert sorted(out.event_id) == [1, 4, 5, 7]
+
+
+class TestMixtureSample:
+    def test_budget_tight_greedy(self, ray_session, tmp_path):
+        """Per source: selected tokens <= budget, and the FIRST excluded bin
+        would have pushed it over (greedy tightness at bin granularity)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from medical_ocr_service_ray.pipelines.queries import q106_mixture_sample
+        from medical_ocr_service_ray.stages.sampling import KNUTH
+
+        rng = np.random.default_rng(21)
+        n = 600
+        words = lambda k: " ".join(rng.choice(["a", "b", "c"], k))
+        srcs = [f"src{int(i)}" for i in rng.integers(0, 4, n)]
+        texts = [words(int(rng.integers(1, 40))) for _ in range(n)]
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "source": pa.array(srcs),
+                    "text": pa.array(texts),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        out = q106_mixture_sample(str(d)).to_pandas()
+
+        all_docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "source": srcs,
+                "n_tokens": [len(t.split()) for t in texts],
+            }
+        )
+        all_docs["bin"] = (
+            (all_docs.doc_id.to_numpy().astype(np.uint64) * np.uint64(KNUTH))
+            % np.uint64(1 << 32)
+        ).astype(np.int64) % 64
+        for src, grp in all_docs.groupby("source"):
+            frac = 20 + 5 * (int(src[3:]) % 8)
+            total = grp.n_tokens.sum()
+            sel = out[out.source == src]
+            picked_tokens = sel.n_tokens.sum()
+            assert picked_tokens * 100 <= frac * total
+            # tightness: first non-admitted bin would exceed the budget
+            bins = grp.groupby("bin")["n_tokens"].sum().sort_index()
+            cum = bins.cumsum()
+            admitted = set(bins.index[cum * 100 <= frac * total])
+            assert set(sel["doc_id"]) == set(grp[grp["bin"].isin(admitted)].doc_id)
+            not_adm = [b for b in bins.index if b not in admitted]
+            if not_adm:
+                b0 = not_adm[0]
+                assert (picked_tokens + bins.loc[b0]) * 100 > frac * total
+
+
+class TestRepetitionGate:
+    def test_counts_and_threshold_boundary(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from medical_ocr_service_ray.pipelines.queries import q107_repetition_gate
+
+        docs = [
+            "a b a b a",        # bigrams: ab,ba,ab,ba -> all 4 duplicated
+            "w x y z",          # 3 bigrams, 0 dup -> keep
+            "q q q w e r t y u i o p",  # 'q q' x2 dup of 11 -> keep (2*10<=2*11)
+            "solo",             # <2 tokens: out of scope
+            "",
+        ]
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        out = q107_repetition_gate(str(d)).to_pandas().set_index("doc_id")
+        assert sorted(out.index) == [0, 1, 2]
+        assert (int(out.loc[0].n_bigrams), int(out.loc[0].dup_bigrams), int(out.loc[0].keep)) == (4, 4, 0)
+        assert (int(out.loc[1].n_bigrams), int(out.loc[1].dup_bigrams), int(out.loc[1].keep)) == (3, 0, 1)
+        assert (int(out.loc[2].n_bigrams), int(out.loc[2].dup_bigrams), int(out.loc[2].keep)) == (11, 2, 1)
