@@ -90,8 +90,10 @@ class MediaDecoderStub:
     (functions/bmp.py), GIFs (functions/gif.py: general LZW, interlace,
     palettes), uncompressed TIFFs (functions/tiff.py: both byte orders,
     multi-strip), baseline JPEGs (functions/jpeg.py: huffman + IDCT, 4:4:4
-    and 4:2:0) and RIFF/PCM WAV payloads (functions/audio.py).
-    Remaining formats (progressive JPEG/PDF-raster/video) are STUBBED
+    and 4:2:0) and RIFF/PCM WAV payloads (functions/audio.py). Digital PDFs
+    decode their real TEXT layer (functions/pdfbin.py: FlateDecode content
+    streams + BT/ET text operators). Remaining formats (progressive JPEG,
+    scanned/image-only PDF rasters, video) are STUBBED
     (no pillow/ffmpeg in this container); the deterministic fake keeps every
     distributed aspect real: per-actor setup, small-batch processing,
     fixed-size feature output layout. A malformed PNG/WAV is an undecodable
@@ -191,6 +193,20 @@ class MediaDecoderStub:
         except _audio.WavError:
             return None
 
+    def _decode_pdf_text(self, payload: bytes):
+        """Real text lines for digital PDFs (functions/pdfbin.py: object
+        graph + FlateDecode + BT/ET text operators). Scanned/encrypted/
+        object-stream PDFs raise PdfBinError -> fake path (those genuinely
+        need the reference's rasterize+OCR route, pdf.service.js:17-109)."""
+        from medical_ocr_service_ray.functions import pdfbin as _pdf
+
+        if not payload or not bytes(payload[:4]) == b"%PDF":
+            return None
+        try:
+            return _pdf.extract_pdf_text(payload)
+        except _pdf.PdfBinError:
+            return None
+
     def _fake_features(self, payload: bytes) -> np.ndarray:
         if not self.fake:
             raise NotImplementedError(
@@ -212,6 +228,11 @@ class MediaDecoderStub:
             from medical_ocr_service_ray.functions.audio import audio_features
 
             return audio_features(*wav, dim=self.FEATURE_DIM)
+        pdf_lines = self._decode_pdf_text(payload)
+        if pdf_lines is not None:
+            from medical_ocr_service_ray.functions.pdfbin import pdf_text_features
+
+            return pdf_text_features(pdf_lines, dim=self.FEATURE_DIM)
         return self._fake_features(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
