@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "q105_debounce_events",
     "q106_mixture_sample",
     "q107_repetition_gate",
+    "q108_point_lookup",
 ]
 
 

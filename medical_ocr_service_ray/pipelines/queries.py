@@ -6417,6 +6417,83 @@ FROM cnt GROUP BY 1
 """
 
 
+# -------------------------------------------------------------------- q108
+
+def q108_point_lookup(sf_dir: str):
+    """Primary-key point lookups over a hash-bucketed SORTED layout — the
+    serving-path read that a 100-TB table answers in O(log rows/bucket) per
+    key with zero scan: (1) one streaming pass writes orders into 64
+    hash(o_orderkey)-bucketed files, each internally sorted by o_orderkey
+    (the layout the headline extraction already uses); (2) the lookup
+    routes each probe key to its ONE bucket file, binary-searches the
+    sorted key column, and reads nothing else — TestPointLookup pins that
+    at most len(keys) distinct files are opened of the 64. Probe keys are
+    arithmetic (97·k, k=1..10) so the SQL oracle is a plain IN-list; keys
+    absent from the table are simply not returned (both sides)."""
+    import shutil
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    N_BUCKETS = 64
+    out_dir = Path("/tmp/mosr_q108_kv") / Path(sf_dir).name
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = _cents(df.o_totalprice)
+        df["__bucket"] = (df.o_orderkey % N_BUCKETS).astype("int64")
+        return df.drop(columns="o_totalprice")
+
+    def sort_and_write(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df.__bucket.iloc[0])
+        df = df.drop(columns="__bucket").sort_values("o_orderkey", kind="mergesort")
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            out_dir / f"bucket-{b:04d}.parquet",
+        )
+        return pd.DataFrame({"b": [b], "n": [len(df)]})
+
+    (
+        ds.map_batches(stamp, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(sort_and_write, batch_format="pandas")
+        .materialize()  # drive the layout write
+    )
+
+    keys = [97 * k for k in range(1, 11)]
+    by_bucket: dict[int, list[int]] = {}
+    for k in keys:
+        by_bucket.setdefault(k % N_BUCKETS, []).append(k)
+
+    rows = []
+    for b, ks in sorted(by_bucket.items()):
+        path = out_dir / f"bucket-{b:04d}.parquet"
+        if not path.exists():
+            continue
+        t = pq.read_table(path)  # ONE file per probed bucket; 63 others untouched
+        col = t.column("o_orderkey").to_numpy()
+        for k in sorted(ks):
+            i = int(np.searchsorted(col, k))
+            if i < len(col) and col[i] == k:
+                rows.append(
+                    {
+                        "o_orderkey": int(k),
+                        "o_custkey": int(t.column("o_custkey")[i].as_py()),
+                        "cents": int(t.column("cents")[i].as_py()),
+                    }
+                )
+    out = pd.DataFrame(rows, columns=["o_orderkey", "o_custkey", "cents"])
+    return out.astype({"o_orderkey": "int64", "o_custkey": "int64", "cents": "int64"})
+
+
+_Q108_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders
+WHERE o_orderkey IN (97, 194, 291, 388, 485, 582, 679, 776, 873, 970)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6527,6 +6604,7 @@ QUERIES = {
     "q105_debounce_events": q105_debounce_events,
     "q106_mixture_sample": q106_mixture_sample,
     "q107_repetition_gate": q107_repetition_gate,
+    "q108_point_lookup": q108_point_lookup,
 }
 
 ORACLE_SQL = {
@@ -6633,6 +6711,7 @@ ORACLE_SQL = {
     "q105_debounce_events": _Q105_SQL,
     "q106_mixture_sample": _Q106_SQL,
     "q107_repetition_gate": _Q107_SQL,
+    "q108_point_lookup": _Q108_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -553,3 +553,37 @@ class TestRepetitionGate:
         assert (int(out.loc[0].n_bigrams), int(out.loc[0].dup_bigrams), int(out.loc[0].keep)) == (4, 4, 0)
         assert (int(out.loc[1].n_bigrams), int(out.loc[1].dup_bigrams), int(out.loc[1].keep)) == (3, 0, 1)
         assert (int(out.loc[2].n_bigrams), int(out.loc[2].dup_bigrams), int(out.loc[2].keep)) == (11, 2, 1)
+
+
+class TestPointLookup:
+    def test_values_and_files_opened(self, ray_session, tmp_path, monkeypatch):
+        """Lookup opens at most len(probe-keys) of the 64 bucket files, and
+        returns exactly the probed rows (missing keys silently absent)."""
+        import pyarrow.parquet as pq_mod
+
+        from medical_ocr_service_ray.pipelines import queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        opened = []
+        real_read = pq_mod.read_table
+
+        def spy(path, *a, **kw):
+            p = str(path)
+            if "mosr_q108_kv" in p:
+                opened.append(p)
+            return real_read(path, *a, **kw)
+
+        monkeypatch.setattr(Q.pq, "read_table", spy)
+        out = Q.q108_point_lookup(sf)
+        assert len(opened) <= 10
+        assert len(set(opened)) == len(opened)  # each bucket read once
+
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+        exp = con.execute(Q.ORACLE_SQL["q108_point_lookup"]).df()
+        got = out.sort_values("o_orderkey").reset_index(drop=True)
+        exp = exp.sort_values("o_orderkey").reset_index(drop=True)
+        assert list(got.o_orderkey) == list(exp.o_orderkey)
+        assert list(got.cents) == list(exp.cents.astype("int64"))
