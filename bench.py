@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "q106_mixture_sample",
     "q107_repetition_gate",
     "q108_point_lookup",
+    "q109_phrase_search",
 ]
 
 

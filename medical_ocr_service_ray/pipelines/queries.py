@@ -6494,6 +6494,62 @@ WHERE o_orderkey IN (97, 194, 291, 388, 485, 582, 679, 776, 873, 970)
 """
 
 
+# -------------------------------------------------------------------- q109
+
+def q109_phrase_search(sf_dir: str):
+    """Positional phrase search — the retrieval op a bag-of-words index
+    (q41) cannot answer: find documents containing the exact phrase
+    "table value" and count its occurrences plus the first match position.
+    Positions come from the q9 whitespace tokenizer (1-based), and a
+    document never spans batches, so the whole op is ONE stateless
+    map_batches pass: only the two phrase terms' positions are ever
+    materialized (never a full positional index), adjacency is a sorted
+    intersection (searchsorted of pos+1 into the second term's positions).
+    Zero exchanges, output bounded by matching docs."""
+    T1, T2 = "table", "value"
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def find(df: pd.DataFrame) -> pd.DataFrame:
+        ids, cnts, firsts = [], [], []
+        for did, t in zip(df.doc_id, df.text):
+            toks = (t or "").split()
+            p1 = [i + 1 for i, w in enumerate(toks) if w == T1]
+            if not p1:
+                continue
+            p2 = {i + 1 for i, w in enumerate(toks) if w == T2}
+            hits = [p for p in p1 if p + 1 in p2]
+            if hits:
+                ids.append(did)
+                cnts.append(len(hits))
+                firsts.append(hits[0])
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "n_matches": np.asarray(cnts, dtype=np.int64),
+                "first_pos": np.asarray(firsts, dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(find, batch_format="pandas")
+
+
+_Q109_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+  FROM documents WHERE trim(text) <> ''
+), pos AS (
+  SELECT doc_id, i AS p, arr[i] AS w
+  FROM toks, LATERAL unnest(range(1, len(arr) + 1)) AS t(i)
+), hits AS (
+  SELECT a.doc_id, a.p
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.w = 'table' AND b.w = 'value'
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_matches, MIN(p)::BIGINT AS first_pos
+FROM hits GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6605,6 +6661,7 @@ QUERIES = {
     "q106_mixture_sample": q106_mixture_sample,
     "q107_repetition_gate": q107_repetition_gate,
     "q108_point_lookup": q108_point_lookup,
+    "q109_phrase_search": q109_phrase_search,
 }
 
 ORACLE_SQL = {
@@ -6712,6 +6769,7 @@ ORACLE_SQL = {
     "q106_mixture_sample": _Q106_SQL,
     "q107_repetition_gate": _Q107_SQL,
     "q108_point_lookup": _Q108_SQL,
+    "q109_phrase_search": _Q109_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -587,3 +587,32 @@ class TestPointLookup:
         exp = exp.sort_values("o_orderkey").reset_index(drop=True)
         assert list(got.o_orderkey) == list(exp.o_orderkey)
         assert list(got.cents) == list(exp.cents.astype("int64"))
+
+
+class TestPhraseSearch:
+    def test_overlaps_counts_positions(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from medical_ocr_service_ray.pipelines.queries import q109_phrase_search
+
+        docs = [
+            "table value starts here",        # match at 1
+            "x table table value y",          # 'table table value': match at 3
+            "table value mid table value",    # two matches (1 and 4)
+            "value table reversed",           # no match
+            "table x value split",            # no match (not adjacent)
+            "",
+        ]
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs)}),
+            d / "documents.parquet",
+        )
+        out = q109_phrase_search(str(d)).to_pandas().set_index("doc_id")
+        assert sorted(out.index) == [0, 1, 2]
+        assert (int(out.loc[0].n_matches), int(out.loc[0].first_pos)) == (1, 1)
+        assert (int(out.loc[1].n_matches), int(out.loc[1].first_pos)) == (1, 3)
+        assert (int(out.loc[2].n_matches), int(out.loc[2].first_pos)) == (2, 1)
