@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "q107_repetition_gate",
     "q108_point_lookup",
     "q109_phrase_search",
+    "q110_forward_fill",
 ]
 
 

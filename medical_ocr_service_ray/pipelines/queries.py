@@ -6550,6 +6550,57 @@ FROM hits GROUP BY 1
 """
 
 
+# -------------------------------------------------------------------- q110
+
+def q110_forward_fill(sf_dir: str):
+    """Per-user LOCF (last-observation-carried-forward) imputation — the
+    standard feature-engineering gap fill: a reading is 'present' iff
+    event_id % 4 != 0 (the q97-style deterministic missingness), and every
+    missing row takes the latest prior present value (in (ts, event_id)
+    order), -1 until one exists. One user-keyed exchange; the fill is a
+    vectorized grouped cummax-index gather (np.maximum.accumulate over
+    present-row indices), no per-row loop."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = _cents(df.value).to_numpy()
+        present = (df.event_id.to_numpy() % 4) != 0
+        n = len(df)
+        idx = np.where(present, np.arange(n), -1)
+        filled_idx = np.maximum.accumulate(idx)
+        # reset carries at user boundaries: a carry from a previous user is
+        # any filled index before this user's first row
+        uid = df.user_id.to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        ustart = np.maximum.accumulate(np.where(new_user, np.arange(n), -1))
+        valid = filled_idx >= ustart
+        out = np.where(valid & (filled_idx >= 0), cents[np.maximum(filled_idx, 0)], -1)
+        return pd.DataFrame(
+            {
+                "event_id": df.event_id.astype("int64"),
+                "user_id": df.user_id.astype("int64"),
+                "filled_cents": out.astype("int64"),
+                "was_present": present.astype("int64"),
+            }
+        )
+
+    return bucketed_combine(ds, "user_id", combine)
+
+
+_Q110_SQL = """
+SELECT event_id, user_id,
+       COALESCE(
+         last_value(CASE WHEN event_id % 4 <> 0
+                         THEN CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         -1) AS filled_cents,
+       (CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END)::BIGINT AS was_present
+FROM events
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6662,6 +6713,7 @@ QUERIES = {
     "q107_repetition_gate": q107_repetition_gate,
     "q108_point_lookup": q108_point_lookup,
     "q109_phrase_search": q109_phrase_search,
+    "q110_forward_fill": q110_forward_fill,
 }
 
 ORACLE_SQL = {
@@ -6770,6 +6822,7 @@ ORACLE_SQL = {
     "q107_repetition_gate": _Q107_SQL,
     "q108_point_lookup": _Q108_SQL,
     "q109_phrase_search": _Q109_SQL,
+    "q110_forward_fill": _Q110_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -616,3 +616,32 @@ class TestPhraseSearch:
         assert (int(out.loc[0].n_matches), int(out.loc[0].first_pos)) == (1, 1)
         assert (int(out.loc[1].n_matches), int(out.loc[1].first_pos)) == (1, 3)
         assert (int(out.loc[2].n_matches), int(out.loc[2].first_pos)) == (2, 1)
+
+
+class TestForwardFill:
+    def test_carry_reset_and_sentinel(self, ray_session, tmp_path):
+        """Missing rows (id%4==0) carry the latest prior present value;
+        a user's first rows before any present value get -1; carries never
+        leak across users."""
+        from medical_ocr_service_ray.pipelines.queries import q110_forward_fill
+
+        rows = pd.DataFrame(
+            {
+                # user 1: id4 (missing) -> -1; id5 present 200; id8 missing -> 200
+                # user 2: id12 missing -> -1 (no leak from user 1); id13 present 500
+                "event_id": [4, 5, 8, 12, 13],
+                "ts": _ts([0, 1, 2, 0, 1]),
+                "user_id": [1, 1, 1, 2, 2],
+                "value": [9.99, 2.0, 9.99, 9.99, 5.0],
+            }
+        )
+        out = (
+            q110_forward_fill(_events_parquet(tmp_path, rows))
+            .to_pandas()
+            .set_index("event_id")
+        )
+        assert int(out.loc[4].filled_cents) == -1 and int(out.loc[4].was_present) == 0
+        assert int(out.loc[5].filled_cents) == 200 and int(out.loc[5].was_present) == 1
+        assert int(out.loc[8].filled_cents) == 200 and int(out.loc[8].was_present) == 0
+        assert int(out.loc[12].filled_cents) == -1
+        assert int(out.loc[13].filled_cents) == 500
