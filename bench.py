@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "q108_point_lookup",
     "q109_phrase_search",
     "q110_forward_fill",
+    "q111_grouped_correlation",
 ]
 
 

@@ -6601,6 +6601,68 @@ FROM events
 """
 
 
+# -------------------------------------------------------------------- q111
+
+def q111_grouped_correlation(sf_dir: str):
+    """Exact grouped Pearson correlation between spend (cents) and
+    hour-of-day, per event_type — reported as the INTEGER sufficient
+    statistics (n, num = n·Σxy − Σx·Σy, den_x = n·Σx² − (Σx)²,
+    den_y likewise), the q93-OLS idiom: the ratio num/sqrt(den_x·den_y)
+    is the correlation, but the integers are what hash-compare exactly.
+    One bounded partial+driver combine (cardinality = |event types|);
+    int64 throughout (overflow margin to ~1e9 rows/group at these value
+    scales — beyond that, widen to the q96 HUGEINT split)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = _cents(df.value).to_numpy()
+        y = df.ts.dt.hour.to_numpy().astype("int64")
+        return (
+            pd.DataFrame(
+                {"event_type": df.event_type, "x": x, "y": y,
+                 "xy": x * y, "x2": x * x, "y2": y * y}
+            )
+            .groupby("event_type", as_index=False)
+            .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                 sxy=("xy", "sum"), sx2=("x2", "sum"), sy2=("y2", "sum"))
+        )
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("event_type", as_index=False).sum()
+        n = g.n.to_numpy().astype("int64")
+        sx, sy = g.sx.to_numpy(), g.sy.to_numpy()
+        out = pd.DataFrame(
+            {
+                "event_type": g.event_type,
+                "n": n,
+                "corr_num": n * g.sxy.to_numpy() - sx * sy,
+                "den_x": n * g.sx2.to_numpy() - sx * sx,
+                "den_y": n * g.sy2.to_numpy() - sy * sy,
+            }
+        )
+        for c in ("corr_num", "den_x", "den_y"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return driver_combine(ds, partial, combine)
+
+
+_Q111_SQL = """
+WITH d AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS x,
+         CAST(hour(ts) AS BIGINT) AS y
+  FROM events
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n,
+       (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))::BIGINT AS corr_num,
+       (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))::BIGINT AS den_x,
+       (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))::BIGINT AS den_y
+FROM d GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6714,6 +6776,7 @@ QUERIES = {
     "q108_point_lookup": q108_point_lookup,
     "q109_phrase_search": q109_phrase_search,
     "q110_forward_fill": q110_forward_fill,
+    "q111_grouped_correlation": q111_grouped_correlation,
 }
 
 ORACLE_SQL = {
@@ -6823,6 +6886,7 @@ ORACLE_SQL = {
     "q108_point_lookup": _Q108_SQL,
     "q109_phrase_search": _Q109_SQL,
     "q110_forward_fill": _Q110_SQL,
+    "q111_grouped_correlation": _Q111_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
