@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "q109_phrase_search",
     "q110_forward_fill",
     "q111_grouped_correlation",
+    "q112_association_rules",
 ]
 
 

@@ -6663,6 +6663,93 @@ FROM d GROUP BY 1
 """
 
 
+# -------------------------------------------------------------------- q112
+
+def q112_association_rules(sf_dir: str):
+    """Market-basket association rules: the top-20 co-purchase pairs by
+    order co-occurrence, carrying the exact INTEGER support counts
+    (cnt = orders with both, cnt_a/cnt_b = orders with each item,
+    n_orders = basket universe) from which support/confidence/lift are
+    ratios — integers hash-compare exactly, floats wouldn't.
+
+    Plan: order-bucketed DISTINCT pair expansion (q71's bound: cost is
+    sum(basket²)) → one pair-keyed count combine → per-batch partial
+    top-20 merged on the driver; per-item order counts are a separate
+    bounded partial+combine over the item dimension, broadcast-joined onto
+    the 20 survivors driver-side (never a table join for 20 rows)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        po = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = po.merge(po, on="l_orderkey")
+        m = m[m.l_partkey_x < m.l_partkey_y]
+        g = m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
+        return g.rename(columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b", "size": "cnt"})
+
+    pair_counts = bucketed_combine(
+        bucketed_combine(ds, "l_orderkey", pairs_distinct, num_buckets=32),
+        "part_a",
+        lambda df: df.groupby(["part_a", "part_b"], as_index=False)["cnt"].sum(),
+        num_buckets=16,
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "part_a", "part_b"], ascending=[False, True, True]).head(20)
+
+    cand = pair_counts.map_batches(topk, batch_format="pandas").to_pandas()
+    top = topk(cand).reset_index(drop=True)
+
+    # per-item order counts need GLOBAL (order, part) dedup (duplicate lines
+    # exist and can straddle batches): per-batch dedup shrinks, then one
+    # part-keyed exchange finishes the dedup and counts; the result is
+    # item-dimension-sized (broadcast class, like q100's degree map)
+    item = bucketed_combine(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+            lambda df: df.drop_duplicates(["l_orderkey", "l_partkey"]),
+            batch_format="pandas",
+        ),
+        "l_partkey",
+        lambda df: df.drop_duplicates(["l_orderkey", "l_partkey"])
+        .groupby("l_partkey", as_index=False)
+        .size()
+        .rename(columns={"size": "c"}),
+        num_buckets=16,
+    ).to_pandas()
+    cnts = item.set_index("l_partkey")["c"]
+    n_orders = int(
+        driver_combine(
+            _read(sf_dir, "lineitem", ["l_orderkey"]),
+            lambda df: pd.DataFrame({"k": df.l_orderkey.unique()}),
+            lambda df: df.drop_duplicates(),
+        ).k.nunique()
+    )
+    top["cnt_a"] = top.part_a.map(cnts).astype("int64")
+    top["cnt_b"] = top.part_b.map(cnts).astype("int64")
+    top["n_orders"] = np.int64(n_orders)
+    top["cnt"] = top.cnt.astype("int64")
+    return top[["part_a", "part_b", "cnt", "cnt_a", "cnt_b", "n_orders"]]
+
+
+_Q112_SQL = """
+WITH po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*)::BIGINT AS cnt
+  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), pc AS (
+  SELECT l_partkey, COUNT(*)::BIGINT AS c FROM po GROUP BY 1
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders FROM lineitem
+)
+SELECT p.part_a, p.part_b, p.cnt, x.c AS cnt_a, y.c AS cnt_b, n.n_orders
+FROM pairs p JOIN pc x ON x.l_partkey = p.part_a
+             JOIN pc y ON y.l_partkey = p.part_b, n
+ORDER BY p.cnt DESC, p.part_a, p.part_b
+LIMIT 20
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6777,6 +6864,7 @@ QUERIES = {
     "q109_phrase_search": q109_phrase_search,
     "q110_forward_fill": q110_forward_fill,
     "q111_grouped_correlation": q111_grouped_correlation,
+    "q112_association_rules": q112_association_rules,
 }
 
 ORACLE_SQL = {
@@ -6887,6 +6975,7 @@ ORACLE_SQL = {
     "q109_phrase_search": _Q109_SQL,
     "q110_forward_fill": _Q110_SQL,
     "q111_grouped_correlation": _Q111_SQL,
+    "q112_association_rules": _Q112_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
