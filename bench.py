@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "q110_forward_fill",
     "q111_grouped_correlation",
     "q112_association_rules",
+    "q113_last_touch_attribution",
 ]
 
 

@@ -6750,6 +6750,90 @@ LIMIT 20
 """
 
 
+# -------------------------------------------------------------------- q113
+
+def q113_last_touch_attribution(sf_dir: str):
+    """Marketing last-touch attribution: each purchase is credited to the
+    user's LATEST click at-or-before it within a 7-day window (-1 sentinels
+    when none). Ties: a click at the purchase's exact timestamp counts;
+    equal-timestamp clicks resolve to the highest event_id.
+
+    Implemented as one user-keyed exchange + the q110 LOCF kernel over the
+    interleaved click/purchase scan (clicks sort before purchases at equal
+    ts so <= semantics fall out of the order): forward-fill the last click
+    (id, ts) per user with np.maximum.accumulate, select purchase rows,
+    apply the window. Mirrors DuckDB's IGNORE NULLS last_value windows
+    exactly."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    WINDOW = np.timedelta64(7 * 86400_000_000, "us")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.event_type.isin(["click", "purchase"])].copy()
+        df["is_p"] = (df.event_type == "purchase").astype("int64")
+        df = df.sort_values(["user_id", "ts", "is_p", "event_id"], kind="mergesort")
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "click_id": pd.Series(dtype="int64"),
+                    "gap_us": pd.Series(dtype="int64"),
+                }
+            )
+        is_click = (df.is_p.to_numpy() == 0)
+        idx = np.where(is_click, np.arange(n), -1)
+        filled = np.maximum.accumulate(idx)
+        uid = df.user_id.to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        ustart = np.maximum.accumulate(np.where(new_user, np.arange(n), -1))
+        valid = (filled >= ustart) & (filled >= 0)
+        ts = df.ts.to_numpy().astype("datetime64[us]")
+        eids = df.event_id.to_numpy()
+        c_id = np.where(valid, eids[np.maximum(filled, 0)], -1)
+        gap = ts - ts[np.maximum(filled, 0)]
+        in_window = valid & (gap <= WINDOW)
+        out = pd.DataFrame(
+            {
+                "event_id": eids,
+                "user_id": uid,
+                "click_id": np.where(in_window, c_id, -1).astype("int64"),
+                "gap_us": np.where(
+                    in_window, gap.astype("timedelta64[us]").astype("int64"), -1
+                ).astype("int64"),
+            }
+        )
+        return out[df.is_p.to_numpy() == 1].reset_index(drop=True)
+
+    return bucketed_combine(ds, "user_id", combine)
+
+
+_Q113_SQL = """
+WITH s AS (
+  SELECT event_id, ts, user_id,
+         (event_type = 'purchase')::INT AS is_p,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+), f AS (
+  SELECT *,
+         last_value(click_id IGNORE NULLS) OVER w AS last_click,
+         last_value(click_ts IGNORE NULLS) OVER w AS last_click_ts
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       CASE WHEN last_click IS NOT NULL
+             AND epoch_us(ts) - epoch_us(last_click_ts) <= 604800000000
+            THEN last_click ELSE -1 END AS click_id,
+       CASE WHEN last_click IS NOT NULL
+             AND epoch_us(ts) - epoch_us(last_click_ts) <= 604800000000
+            THEN epoch_us(ts) - epoch_us(last_click_ts) ELSE -1 END AS gap_us
+FROM f WHERE is_p = 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6865,6 +6949,7 @@ QUERIES = {
     "q110_forward_fill": q110_forward_fill,
     "q111_grouped_correlation": q111_grouped_correlation,
     "q112_association_rules": q112_association_rules,
+    "q113_last_touch_attribution": q113_last_touch_attribution,
 }
 
 ORACLE_SQL = {
@@ -6976,6 +7061,7 @@ ORACLE_SQL = {
     "q110_forward_fill": _Q110_SQL,
     "q111_grouped_correlation": _Q111_SQL,
     "q112_association_rules": _Q112_SQL,
+    "q113_last_touch_attribution": _Q113_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

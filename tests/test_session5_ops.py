@@ -645,3 +645,43 @@ class TestForwardFill:
         assert int(out.loc[8].filled_cents) == 200 and int(out.loc[8].was_present) == 0
         assert int(out.loc[12].filled_cents) == -1
         assert int(out.loc[13].filled_cents) == 500
+
+
+class TestLastTouchAttribution:
+    def test_window_ties_and_sentinels(self, ray_session, tmp_path):
+        """Click at the exact purchase ts counts; equal-ts clicks resolve to
+        max event_id; a click 7d+1us back is out of window; no cross-user
+        leakage."""
+        from medical_ocr_service_ray.pipelines.queries import (
+            q113_last_touch_attribution,
+        )
+
+        D = 24.0  # hours per day
+        rows = pd.DataFrame(
+            {
+                #                     user 1                      user 2
+                "event_id": [1, 2, 3, 4, 5, 6, 7, 8],
+                "ts": _ts([0, 1, 1, 1, 8 * D + 1, 8 * D + 1 + 7 * D, 0, 1]),
+                "user_id": [1, 1, 1, 1, 1, 1, 2, 2],
+                "event_type": [
+                    "click",     # id1 t0
+                    "click",     # id2 t1 (tie with id3)
+                    "click",     # id3 t1 -> max id wins
+                    "purchase",  # id4 t1 -> attributed to id3, gap 0
+                    "click",     # id5 t(8d+1h)
+                    "purchase",  # id6 exactly 7d after id5 -> in window (<=)
+                    "purchase",  # id7 user 2, no clicks -> -1
+                    "click",     # id8 user 2 AFTER purchase -> must not attach
+                ],
+            }
+        )
+        out = (
+            q113_last_touch_attribution(_events_parquet(tmp_path, rows))
+            .to_pandas()
+            .set_index("event_id")
+        )
+        assert sorted(out.index) == [4, 6, 7]
+        assert int(out.loc[4].click_id) == 3 and int(out.loc[4].gap_us) == 0
+        assert int(out.loc[6].click_id) == 5
+        assert int(out.loc[6].gap_us) == 7 * 86400 * 1_000_000
+        assert int(out.loc[7].click_id) == -1 and int(out.loc[7].gap_us) == -1
