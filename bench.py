@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q111_grouped_correlation",
     "q112_association_rules",
     "q113_last_touch_attribution",
+    "q114_multi_touch_counts",
 ]
 
 

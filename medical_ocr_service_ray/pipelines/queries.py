@@ -6834,6 +6834,63 @@ FROM f WHERE is_p = 1
 """
 
 
+# -------------------------------------------------------------------- q114
+
+def q114_multi_touch_counts(sf_dir: str):
+    """Multi-touch attribution denominator: per purchase, the number of the
+    user's clicks inside the inclusive [ts−7d, ts] window (linear
+    attribution credits each 1/n — n is the exact integer reported).
+
+    One user-keyed exchange; inside each bucket the range count is TWO
+    searchsorted calls over a composite (dense-user, ts-offset) int64 key —
+    no per-user loop, no pair materialization (the q61 range-join
+    cumulative-count idea specialized to counting)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    W_US = np.int64(7 * 86400_000_000)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.event_type.isin(["click", "purchase"])]
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_clicks": pd.Series(dtype="int64"),
+                }
+            )
+        ts_us = df.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        t0 = ts_us.min()
+        uid = df.user_id.to_numpy()
+        dense = pd.factorize(uid, sort=True)[0].astype("int64")
+        SPAN = np.int64(ts_us.max() - t0 + W_US + 2)
+        key = dense * SPAN + (ts_us - t0)
+        is_c = (df.event_type == "click").to_numpy()
+        ckeys = np.sort(key[is_c])
+        p = ~is_c
+        lo = np.searchsorted(ckeys, key[p] - W_US, side="left")
+        hi = np.searchsorted(ckeys, key[p], side="right")
+        return pd.DataFrame(
+            {
+                "event_id": df.event_id.to_numpy()[p].astype("int64"),
+                "user_id": uid[p].astype("int64"),
+                "n_clicks": (hi - lo).astype("int64"),
+            }
+        )
+
+    return bucketed_combine(ds, "user_id", combine)
+
+
+_Q114_SQL = """
+SELECT p.event_id, p.user_id, COUNT(c.event_id)::BIGINT AS n_clicks
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 604800000000
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6950,6 +7007,7 @@ QUERIES = {
     "q111_grouped_correlation": q111_grouped_correlation,
     "q112_association_rules": q112_association_rules,
     "q113_last_touch_attribution": q113_last_touch_attribution,
+    "q114_multi_touch_counts": q114_multi_touch_counts,
 }
 
 ORACLE_SQL = {
@@ -7062,6 +7120,7 @@ ORACLE_SQL = {
     "q111_grouped_correlation": _Q111_SQL,
     "q112_association_rules": _Q112_SQL,
     "q113_last_touch_attribution": _Q113_SQL,
+    "q114_multi_touch_counts": _Q114_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -685,3 +685,37 @@ class TestLastTouchAttribution:
         assert int(out.loc[6].click_id) == 5
         assert int(out.loc[6].gap_us) == 7 * 86400 * 1_000_000
         assert int(out.loc[7].click_id) == -1 and int(out.loc[7].gap_us) == -1
+
+
+class TestMultiTouchCounts:
+    def test_window_bounds_and_user_isolation(self, ray_session, tmp_path):
+        """Inclusive [ts-7d, ts] bounds; a previous user's clicks just under
+        the boundary key space never leak into an early purchase (the SPAN
+        padding property)."""
+        from medical_ocr_service_ray.pipelines.queries import q114_multi_touch_counts
+
+        D = 24.0
+        rows = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5, 6, 7],
+                "ts": _ts([10 * D, 3 * D, 3 * D + 0.5, 10 * D, 17 * D, 9.9 * D, 0.1]),
+                "user_id": [1, 1, 1, 1, 1, 2, 3],
+                "event_type": [
+                    "click",     # u1 exactly at purchase ts -> counts
+                    "click",     # u1 exactly 7d before -> counts (inclusive)
+                    "click",     # u1 in window
+                    "purchase",  # u1 at 10D: expects 3 clicks
+                    "purchase",  # u1 at 17D: click id1 exactly 7d back -> 1
+                    "click",     # u2 late click (high key) — not u3's
+                    "purchase",  # u3 very early purchase, no own clicks -> 0
+                ],
+            }
+        )
+        out = (
+            q114_multi_touch_counts(_events_parquet(tmp_path, rows))
+            .to_pandas()
+            .set_index("event_id")
+        )
+        assert int(out.loc[4].n_clicks) == 3
+        assert int(out.loc[5].n_clicks) == 1
+        assert int(out.loc[7].n_clicks) == 0
