@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "q112_association_rules",
     "q113_last_touch_attribution",
     "q114_multi_touch_counts",
+    "q115_audience_overlap_exact",
 ]
 
 

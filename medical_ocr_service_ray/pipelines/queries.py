@@ -6891,6 +6891,86 @@ GROUP BY 1, 2
 """
 
 
+# -------------------------------------------------------------------- q115
+
+_Q115_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q115_audience_overlap_exact(sf_dir: str):
+    """EXACT audience-overlap matrix — the precise counterpart of q68's HLL
+    estimate: for every event-type pair (a ≤ b), the number of distinct
+    users who did BOTH. The trick that avoids 10 pairwise distinct-joins:
+    each user folds to ONE bitmask of the types they ever did (5 types →
+    int in [0,32)), masks fold to a 32-cell histogram, and every pairwise
+    intersection is a popcount-filtered SUM over that tiny histogram —
+    driver arithmetic on 32 rows. One user-keyed exchange total, partials
+    pre-OR masks per batch. SQL mirrors with bit_or over CASE powers."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    bit = {t: 1 << i for i, t in enumerate(_Q115_TYPES)}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # each row's mask is one power of two, so OR per user == SUM over
+        # the user's DISTINCT bits — fully vectorized, no per-group lambda
+        m = df.event_type.map(bit).fillna(0).astype("int64")
+        d = pd.DataFrame({"user_id": df.user_id, "mask": m}).drop_duplicates()
+        return d.groupby("user_id", as_index=False)["mask"].sum()
+
+    NB = len(_Q115_TYPES)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # OR of arbitrary partial masks: per-bit grouped max, recomposed
+        mk = df["mask"].to_numpy().astype("int64")
+        tmp = df.assign(**{f"b{i}": (mk >> i) & 1 for i in range(NB)})
+        g = tmp.groupby("user_id", as_index=False)[[f"b{i}" for i in range(NB)]].max()
+        mask = sum(g[f"b{i}"].to_numpy().astype("int64") << i for i in range(NB))
+        return (
+            pd.Series(mask).value_counts().rename_axis("mask").reset_index(name="n_users")
+        )
+
+    hist = (
+        partial_then_combine(ds, partial, "user_id", combine)
+        .to_pandas()
+        .groupby("mask", as_index=False)["n_users"]
+        .sum()  # cells from different user-buckets are disjoint; sum merges
+    )
+    masks = hist["mask"].to_numpy()
+    counts = hist.n_users.to_numpy()
+    rows = []
+    for i, a in enumerate(_Q115_TYPES):
+        for j in range(i, len(_Q115_TYPES)):
+            b = _Q115_TYPES[j]
+            need = bit[a] | bit[b]
+            rows.append(
+                {
+                    "type_a": a,
+                    "type_b": b,
+                    "n_users": int(counts[(masks & need) == need].sum()),
+                }
+            )
+    out = pd.DataFrame(rows)
+    out["n_users"] = out.n_users.astype("int64")
+    return out
+
+
+def _q115_sql() -> str:
+    cases = " + ".join(
+        f"CASE WHEN bool_or(event_type = '{t}') THEN {1 << i} ELSE 0 END"
+        for i, t in enumerate(_Q115_TYPES)
+    )
+    pairs = []
+    for i, a in enumerate(_Q115_TYPES):
+        for j in range(i, len(_Q115_TYPES)):
+            b = _Q115_TYPES[j]
+            need = (1 << i) | (1 << j)
+            pairs.append(
+                f"SELECT '{a}' AS type_a, '{b}' AS type_b, "
+                f"SUM(CASE WHEN mask & {need} = {need} THEN 1 ELSE 0 END)::BIGINT AS n_users "
+                f"FROM m"
+            )
+    body = "\nUNION ALL\n".join(pairs)
+    return f"WITH m AS (SELECT user_id, {cases} AS mask FROM events GROUP BY user_id)\n{body}"
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7008,6 +7088,7 @@ QUERIES = {
     "q112_association_rules": q112_association_rules,
     "q113_last_touch_attribution": q113_last_touch_attribution,
     "q114_multi_touch_counts": q114_multi_touch_counts,
+    "q115_audience_overlap_exact": q115_audience_overlap_exact,
 }
 
 ORACLE_SQL = {
@@ -7121,6 +7202,7 @@ ORACLE_SQL = {
     "q112_association_rules": _Q112_SQL,
     "q113_last_touch_attribution": _Q113_SQL,
     "q114_multi_touch_counts": _Q114_SQL,
+    "q115_audience_overlap_exact": _q115_sql(),
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

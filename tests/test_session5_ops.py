@@ -719,3 +719,33 @@ class TestMultiTouchCounts:
         assert int(out.loc[4].n_clicks) == 3
         assert int(out.loc[5].n_clicks) == 1
         assert int(out.loc[7].n_clicks) == 0
+
+
+class TestAudienceOverlapExact:
+    def test_matches_bruteforce_sets(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.pipelines.queries import (
+            _Q115_TYPES,
+            q115_audience_overlap_exact,
+        )
+
+        rng = np.random.default_rng(13)
+        n = 400
+        rows = pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "ts": _ts(rng.integers(0, 48, n)),
+                "user_id": rng.integers(0, 40, n),
+                "event_type": rng.choice(_Q115_TYPES, n),
+                "value": np.zeros(n),
+            }
+        )
+        out = (
+            q115_audience_overlap_exact(_events_parquet(tmp_path, rows))
+            .set_index(["type_a", "type_b"])
+        )
+        users_of = {
+            t: set(rows[rows.event_type == t].user_id) for t in _Q115_TYPES
+        }
+        for i, a in enumerate(_Q115_TYPES):
+            for b in _Q115_TYPES[i:]:
+                assert int(out.loc[(a, b)].n_users) == len(users_of[a] & users_of[b])
