@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "q113_last_touch_attribution",
     "q114_multi_touch_counts",
     "q115_audience_overlap_exact",
+    "q116_weighted_median",
 ]
 
 

@@ -6971,6 +6971,70 @@ def _q115_sql() -> str:
     return f"WITH m AS (SELECT user_id, {cases} AS mask FROM events GROUP BY user_id)\n{body}"
 
 
+# -------------------------------------------------------------------- q116
+
+def q116_weighted_median(sf_dir: str):
+    """Exact WEIGHTED median per group (price cents weighted by quantity,
+    per l_returnflag) — the q44 mergeable value-count-histogram idiom with
+    weights: per-batch (group, value)→Σweight partials collapse duplicates
+    before the single group-keyed exchange; per group the median is the
+    smallest value whose cumulative weight reaches half the total
+    (2·cum ≥ total, integer comparison, no float quantile interpolation).
+    Output: group, weighted median, total weight."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "flag": df.l_returnflag,
+                    "cents": _cents(df.l_extendedprice),
+                    "w": df.l_quantity.to_numpy().astype("int64"),
+                }
+            )
+            .groupby(["flag", "cents"], as_index=False)["w"]
+            .sum()
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        h = df.groupby(["flag", "cents"], as_index=False)["w"].sum()
+        h = h.sort_values(["flag", "cents"], kind="mergesort")
+        cw = h.groupby("flag")["w"].cumsum().to_numpy()
+        tw = h.flag.map(h.groupby("flag")["w"].sum()).to_numpy()
+        h = h.assign(__med=2 * cw >= tw, __tw=tw)
+        first = h[h.__med].groupby("flag", as_index=False).head(1)
+        return pd.DataFrame(
+            {
+                "flag": first.flag,
+                "wmedian_cents": first.cents.astype("int64"),
+                "total_weight": first.__tw.astype("int64"),
+            }
+        )
+
+    return partial_then_combine(ds, partial, "flag", combine)
+
+
+_Q116_SQL = """
+WITH d AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), h AS (
+  SELECT flag, cents, SUM(w) AS w FROM d GROUP BY 1, 2
+), c AS (
+  SELECT flag, cents, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY cents) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM h
+)
+SELECT flag,
+       MIN(CASE WHEN 2 * cw >= tw THEN cents END)::BIGINT AS wmedian_cents,
+       MAX(tw)::BIGINT AS total_weight
+FROM c GROUP BY flag
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7089,6 +7153,7 @@ QUERIES = {
     "q113_last_touch_attribution": q113_last_touch_attribution,
     "q114_multi_touch_counts": q114_multi_touch_counts,
     "q115_audience_overlap_exact": q115_audience_overlap_exact,
+    "q116_weighted_median": q116_weighted_median,
 }
 
 ORACLE_SQL = {
@@ -7203,6 +7268,7 @@ ORACLE_SQL = {
     "q113_last_touch_attribution": _Q113_SQL,
     "q114_multi_touch_counts": _Q114_SQL,
     "q115_audience_overlap_exact": _q115_sql(),
+    "q116_weighted_median": _Q116_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

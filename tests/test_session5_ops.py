@@ -749,3 +749,41 @@ class TestAudienceOverlapExact:
         for i, a in enumerate(_Q115_TYPES):
             for b in _Q115_TYPES[i:]:
                 assert int(out.loc[(a, b)].n_users) == len(users_of[a] & users_of[b])
+
+
+class TestWeightedMedian:
+    def test_matches_bruteforce_expansion(self, ray_session, tmp_path):
+        """Weighted median == plain median of the weight-expanded multiset
+        (lower-median convention: smallest value with 2*cum >= total)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from medical_ocr_service_ray.pipelines.queries import q116_weighted_median
+
+        rng = np.random.default_rng(17)
+        n = 300
+        flags = rng.choice(["A", "N", "R"], n)
+        price = rng.uniform(1, 50, n).round(2)
+        qty = rng.integers(1, 9, n)
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "l_returnflag": pa.array(flags),
+                    "l_extendedprice": pa.array(price),
+                    "l_quantity": pa.array(qty.astype(np.float64)),
+                }
+            ),
+            d / "lineitem.parquet",
+        )
+        out = q116_weighted_median(str(d)).to_pandas().set_index("flag")
+        cents = np.round(price * 100).astype(np.int64)
+        for f in "ANR":
+            sel = flags == f
+            expanded = np.sort(np.repeat(cents[sel], qty[sel]))
+            tw = len(expanded)
+            # smallest v with 2*rank(v) >= tw  (rank = count of <= v)
+            k = int(np.ceil(tw / 2)) - 1
+            assert int(out.loc[f].wmedian_cents) == int(expanded[k])
+            assert int(out.loc[f].total_weight) == tw
