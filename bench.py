@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "q114_multi_touch_counts",
     "q115_audience_overlap_exact",
     "q116_weighted_median",
+    "q117_column_profile",
 ]
 
 

@@ -7035,6 +7035,122 @@ FROM c GROUP BY flag
 """
 
 
+# -------------------------------------------------------------------- q117
+
+def q117_column_profile(sf_dir: str):
+    """Data-quality column profiler over orders — the catalog stats job
+    every warehouse runs: per column (orderkey, custkey, totalprice-cents,
+    orderdate-day-index), exact row/null counts, min/max, sum, and EXACT
+    distinct counts. min/max/sum/counts are one bounded partial+driver
+    combine; all four exact distincts share ONE tagged exchange: rows fold
+    to (col_id, value) pairs, de-duplicated per batch, bucketed on value,
+    counted per col inside each bucket — a hot value costs one row per
+    (batch, col), and no per-column extra pass exists."""
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    ds = _read(sf_dir, "orders", cols)
+
+    def to_ints(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df.o_orderkey.astype("int64"),
+                "o_custkey": df.o_custkey.astype("int64"),
+                "cents": _cents(df.o_totalprice),
+                # DAY index since 1992-01-01 (dates are day-aligned):
+                # µs sums overflow int64 at any base, day sums are safe
+                # to sf1000; the oracle uses the same unit
+                "date_day": (
+                    (
+                        df.o_orderdate.to_numpy().astype("datetime64[us]")
+                        - np.datetime64("1992-01-01", "us")
+                    )
+                    // np.timedelta64(86400_000_000, "us")
+                ).astype("int64"),
+            }
+        )
+
+    names = ["o_orderkey", "o_custkey", "cents", "date_day"]
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = to_ints(df)
+        rows = []
+        for i, c in enumerate(names):
+            v = d[c]
+            rows.append(
+                {
+                    "col_id": i,
+                    "n": len(v),
+                    "n_null": int(v.isna().sum()),
+                    "vmin": int(v.min()),
+                    "vmax": int(v.max()),
+                    "vsum": int(v.sum()),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def stat_combine(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby("col_id", as_index=False).agg(
+            n=("n", "sum"), n_null=("n_null", "sum"),
+            vmin=("vmin", "min"), vmax=("vmax", "max"), vsum=("vsum", "sum"),
+        )
+
+    stats = driver_combine(ds, stat_partial, stat_combine)
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = to_ints(df)
+        parts = [
+            pd.DataFrame({"col_id": np.int64(i), "value": d[c].unique()})
+            for i, c in enumerate(names)
+        ]
+        return pd.concat(parts, ignore_index=True)
+
+    def distinct_combine(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates(["col_id", "value"])
+        return u.groupby("col_id", as_index=False).size().rename(columns={"size": "nd"})
+
+    nd = (
+        partial_then_combine(ds, pair_partial, "value", distinct_combine)
+        .to_pandas()
+        .groupby("col_id", as_index=False)["nd"]
+        .sum()  # value-buckets are disjoint, per-col counts add
+    )
+    out = stats.merge(nd, on="col_id").sort_values("col_id")
+    out["column"] = [names[i] for i in out.col_id]
+    out["n_distinct"] = out.nd.astype("int64")
+    for c in ("n", "n_null", "vmin", "vmax", "vsum"):
+        out[c] = out[c].astype("int64")
+    return out[["column", "n", "n_null", "n_distinct", "vmin", "vmax", "vsum"]].reset_index(
+        drop=True
+    )
+
+
+_Q117_SQL = """
+WITH d AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS date_day
+  FROM orders
+)
+SELECT 'o_orderkey' AS "column", COUNT(*)::BIGINT AS n,
+       (COUNT(*) - COUNT(o_orderkey))::BIGINT AS n_null,
+       COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+       MIN(o_orderkey)::BIGINT AS vmin, MAX(o_orderkey)::BIGINT AS vmax,
+       SUM(o_orderkey)::BIGINT AS vsum
+FROM d
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey), MIN(o_custkey), MAX(o_custkey), SUM(o_custkey)
+FROM d
+UNION ALL
+SELECT 'cents', COUNT(*), COUNT(*) - COUNT(cents),
+       COUNT(DISTINCT cents), MIN(cents), MAX(cents), SUM(cents)
+FROM d
+UNION ALL
+SELECT 'date_day', COUNT(*), COUNT(*) - COUNT(date_day),
+       COUNT(DISTINCT date_day), MIN(date_day), MAX(date_day), SUM(date_day)
+FROM d
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7154,6 +7270,7 @@ QUERIES = {
     "q114_multi_touch_counts": q114_multi_touch_counts,
     "q115_audience_overlap_exact": q115_audience_overlap_exact,
     "q116_weighted_median": q116_weighted_median,
+    "q117_column_profile": q117_column_profile,
 }
 
 ORACLE_SQL = {
@@ -7269,6 +7386,7 @@ ORACLE_SQL = {
     "q114_multi_touch_counts": _Q114_SQL,
     "q115_audience_overlap_exact": _q115_sql(),
     "q116_weighted_median": _Q116_SQL,
+    "q117_column_profile": _Q117_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -787,3 +787,19 @@ class TestWeightedMedian:
             k = int(np.ceil(tw / 2)) - 1
             assert int(out.loc[f].wmedian_cents) == int(expanded[k])
             assert int(out.loc[f].total_weight) == tw
+
+
+class TestColumnProfile:
+    def test_exact_profile(self, ray_session):
+        import duckdb
+
+        from medical_ocr_service_ray.pipelines import queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        out = Q.q117_column_profile(sf).set_index("column")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+        exp = con.execute(Q.ORACLE_SQL["q117_column_profile"]).df().set_index("column")
+        for c in out.index:
+            for f in ("n", "n_null", "n_distinct", "vmin", "vmax", "vsum"):
+                assert int(out.loc[c][f]) == int(exp.loc[c][f]), (c, f)
