@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "q115_audience_overlap_exact",
     "q116_weighted_median",
     "q117_column_profile",
+    "q118_event_trigrams",
 ]
 
 

@@ -7151,6 +7151,61 @@ FROM d
 """
 
 
+# -------------------------------------------------------------------- q118
+
+def q118_event_trigrams(sf_dir: str):
+    """Sequential-pattern mining: the top-10 event-type TRIGRAMS across all
+    per-user timelines (q54's transcript bigrams, lifted to length-3 and
+    the events table). One user-keyed exchange orders each user's timeline;
+    trigram extraction is two vectorized shifts + user-boundary masking;
+    per-bucket counts pre-aggregate before the driver's tiny top-10 merge
+    (the trigram alphabet is |types|³ ≤ 125 — bounded)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t0 = df.event_type.to_numpy()
+        u = df.user_id.to_numpy()
+        n = len(df)
+        if n < 3:
+            return pd.DataFrame({"trigram": pd.Series(dtype=object),
+                                 "cnt": pd.Series(dtype="int64")})
+        same3 = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        tri = np.char.add(
+            np.char.add(np.char.add(t0[:-2].astype(str), ">"),
+                        np.char.add(t0[1:-1].astype(str), ">")),
+            t0[2:].astype(str),
+        )[same3]
+        vc = pd.Series(tri).value_counts()
+        return vc.rename_axis("trigram").reset_index(name="cnt")
+
+    counts = (
+        bucketed_combine(ds, "user_id", combine)
+        .to_pandas()
+        .groupby("trigram", as_index=False)["cnt"]
+        .sum()  # user-buckets are disjoint; alphabet <= |types|^3
+    )
+    out = counts.sort_values(["cnt", "trigram"], ascending=[False, True]).head(10)
+    out["cnt"] = out.cnt.astype("int64")
+    return out.reset_index(drop=True)
+
+
+_Q118_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS trigram, COUNT(*)::BIGINT AS cnt
+FROM o WHERE t3 IS NOT NULL
+GROUP BY 1
+ORDER BY cnt DESC, trigram
+LIMIT 10
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7271,6 +7326,7 @@ QUERIES = {
     "q115_audience_overlap_exact": q115_audience_overlap_exact,
     "q116_weighted_median": q116_weighted_median,
     "q117_column_profile": q117_column_profile,
+    "q118_event_trigrams": q118_event_trigrams,
 }
 
 ORACLE_SQL = {
@@ -7387,6 +7443,7 @@ ORACLE_SQL = {
     "q115_audience_overlap_exact": _q115_sql(),
     "q116_weighted_median": _Q116_SQL,
     "q117_column_profile": _Q117_SQL,
+    "q118_event_trigrams": _Q118_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -803,3 +803,22 @@ class TestColumnProfile:
         for c in out.index:
             for f in ("n", "n_null", "n_distinct", "vmin", "vmax", "vsum"):
                 assert int(out.loc[c][f]) == int(exp.loc[c][f]), (c, f)
+
+
+class TestEventTrigrams:
+    def test_user_boundaries_and_order(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.pipelines.queries import q118_event_trigrams
+
+        rows = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5, 6, 7],
+                "ts": _ts([0, 1, 2, 3, 0, 1, 2]),
+                "user_id": [1, 1, 1, 1, 2, 2, 2],
+                "event_type": ["a", "b", "c", "a", "b", "c", "a"],
+            }
+        )
+        out = q118_event_trigrams(_events_parquet(tmp_path, rows)).set_index("trigram")
+        # u1: a>b>c, b>c>a; u2: b>c>a — NO cross-user a>b>c from (4,5,6)
+        assert int(out.loc["b>c>a"].cnt) == 2
+        assert int(out.loc["a>b>c"].cnt) == 1
+        assert len(out) == 2
