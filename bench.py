@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "q116_weighted_median",
     "q117_column_profile",
     "q118_event_trigrams",
+    "q119_daily_bounce_rate",
+    "q120_order_count_distribution",
 ]
 
 

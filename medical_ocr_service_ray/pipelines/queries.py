@@ -7206,6 +7206,110 @@ LIMIT 10
 """
 
 
+# -------------------------------------------------------------------- q119
+
+def q119_daily_bounce_rate(sf_dir: str):
+    """Per-day session bounce metrics — the q28 sessionization (30-min gap
+    rule) composed into the analytics rollup a web property actually reads:
+    for each day (of session start), total sessions, single-event
+    ("bounced") sessions, and total session-seconds. One user-keyed
+    exchange sessionizes (vectorized gap + cumsum islands); per-session
+    rows collapse to per-(day) partial counts inside the same bucket task,
+    so the second aggregation is a driver combine over days×buckets rows."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    GAP = np.timedelta64(1_800_000_000, "us")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = df.user_id.ne(df.user_id.shift())
+        gap = df.ts - df.ts.shift()
+        new_sess = new_user | (gap > GAP)
+        sid = new_sess.cumsum()
+        g = df.assign(__sid=sid).groupby("__sid", as_index=False).agg(
+            start=("ts", "first"), end=("ts", "last"), n=("ts", "size")
+        )
+        g["day"] = g.start.dt.strftime("%Y-%m-%d")
+        g["dur_s"] = (
+            (g.end.to_numpy() - g.start.to_numpy()) // np.timedelta64(1, "s")
+        ).astype("int64")
+        return g.groupby("day", as_index=False).agg(
+            n_sessions=("n", "size"),
+            n_bounced=("n", lambda s: int((s == 1).sum())),
+            total_dur_s=("dur_s", "sum"),
+        )
+
+    parts = bucketed_combine(ds, "user_id", combine).to_pandas()
+    out = parts.groupby("day", as_index=False).sum()
+    for c in ("n_sessions", "n_bounced", "total_dur_s"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_Q119_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_idx, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+         COUNT(*) AS n
+  FROM numbered GROUP BY 1, 2
+)
+SELECT strftime(start_ts, '%Y-%m-%d') AS day,
+       COUNT(*)::BIGINT AS n_sessions,
+       SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounced,
+       SUM(epoch_us(end_ts - start_ts) // 1000000)::BIGINT AS total_dur_s
+FROM sess GROUP BY 1
+"""
+
+
+# -------------------------------------------------------------------- q120
+
+def q120_order_count_distribution(sf_dir: str):
+    """Degree-distribution rollup: how many customers placed exactly k
+    orders, for every observed k — the frequency-of-frequencies shape whose
+    naive form is two chained shuffles. Here: per-batch (custkey → orders)
+    partial counts, ONE custkey-keyed combine completes per-customer
+    counts AND collapses them to (k → n_customers) inside the same bucket
+    task (customer-buckets are disjoint), so the driver merge sums a few
+    dozen k-cells per bucket."""
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).size().rename(columns={"size": "c"})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        per_cust = df.groupby("o_custkey", as_index=False)["c"].sum()
+        return (
+            per_cust.groupby("c", as_index=False)
+            .size()
+            .rename(columns={"c": "n_orders", "size": "n_customers"})
+        )
+
+    parts = partial_then_combine(ds, partial, "o_custkey", combine).to_pandas()
+    out = parts.groupby("n_orders", as_index=False)["n_customers"].sum()
+    out["n_orders"] = out.n_orders.astype("int64")
+    out["n_customers"] = out.n_customers.astype("int64")
+    return out
+
+
+_Q120_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*)::BIGINT AS n_orders FROM orders GROUP BY 1
+)
+SELECT n_orders, COUNT(*)::BIGINT AS n_customers
+FROM per_cust GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7327,6 +7431,8 @@ QUERIES = {
     "q116_weighted_median": q116_weighted_median,
     "q117_column_profile": q117_column_profile,
     "q118_event_trigrams": q118_event_trigrams,
+    "q119_daily_bounce_rate": q119_daily_bounce_rate,
+    "q120_order_count_distribution": q120_order_count_distribution,
 }
 
 ORACLE_SQL = {
@@ -7444,6 +7550,8 @@ ORACLE_SQL = {
     "q116_weighted_median": _Q116_SQL,
     "q117_column_profile": _Q117_SQL,
     "q118_event_trigrams": _Q118_SQL,
+    "q119_daily_bounce_rate": _Q119_SQL,
+    "q120_order_count_distribution": _Q120_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -822,3 +822,48 @@ class TestEventTrigrams:
         assert int(out.loc["b>c>a"].cnt) == 2
         assert int(out.loc["a>b>c"].cnt) == 1
         assert len(out) == 2
+
+
+class TestDailyBounceRate:
+    def test_gap_rule_and_bounce_flag(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.pipelines.queries import q119_daily_bounce_rate
+
+        m = 1 / 60.0  # hours per minute
+        rows = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5],
+                # u1: events at 0 and 29min (one session, 1740s), then 61min
+                # later -> new session (single event => bounce)
+                "ts": _ts([0, 29 * m, 29 * m + 61 * m, 0, 0]),
+                "user_id": [1, 1, 1, 2, 3],
+                "event_type": ["x"] * 5,
+            }
+        )
+        out = q119_daily_bounce_rate(_events_parquet(tmp_path, rows))
+        assert len(out) == 1
+        r = out.iloc[0]
+        # sessions: u1 x2, u2 x1, u3 x1 = 4; bounced: u1's 2nd, u2, u3 = 3
+        assert int(r.n_sessions) == 4 and int(r.n_bounced) == 3
+        assert int(r.total_dur_s) == 1740
+
+
+class TestOrderCountDistribution:
+    def test_frequency_of_frequencies(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from medical_ocr_service_ray.pipelines.queries import (
+            q120_order_count_distribution,
+        )
+
+        custs = [1, 1, 1, 2, 2, 3, 4, 4, 4, 4]
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"o_custkey": pa.array(custs, pa.int64())}), d / "orders.parquet"
+        )
+        out = q120_order_count_distribution(str(d)).set_index("n_orders")
+        assert int(out.loc[1].n_customers) == 1  # cust 3
+        assert int(out.loc[2].n_customers) == 1  # cust 2
+        assert int(out.loc[3].n_customers) == 1  # cust 1
+        assert int(out.loc[4].n_customers) == 1  # cust 4
