@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "q118_event_trigrams",
     "q119_daily_bounce_rate",
     "q120_order_count_distribution",
+    "q121_winsorized_stats",
 ]
 
 

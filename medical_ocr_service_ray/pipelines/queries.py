@@ -7310,6 +7310,91 @@ FROM per_cust GROUP BY 1
 """
 
 
+# -------------------------------------------------------------------- q121
+
+def q121_winsorized_stats(sf_dir: str):
+    """Winsorized (outlier-clamped) spend statistics per event type: exact
+    P1/P99 bounds from the value-count histogram (q44's exact-quantile
+    rule: smallest value with 100·cum ≥ q·total), values clamped to the
+    bounds, then clamped sum/count — the robust-mean pattern that kills
+    heavy tails without dropping rows. Two passes over the same narrow
+    read: a bounded histogram exchange for the bounds, a stateless clamp
+    stamp + bounded combine for the sums (bounds ride the closure, never a
+    join)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"t": df.event_type, "cents": _cents(df.value)})
+            .groupby(["t", "cents"], as_index=False)
+            .size()
+            .rename(columns={"size": "w"})
+        )
+
+    def hist_combine(df: pd.DataFrame) -> pd.DataFrame:
+        h = df.groupby(["t", "cents"], as_index=False)["w"].sum()
+        h = h.sort_values(["t", "cents"], kind="mergesort")
+        cw = h.groupby("t")["w"].cumsum().to_numpy()
+        tw = h.t.map(h.groupby("t")["w"].sum()).to_numpy()
+        lo_ok = 100 * cw >= 1 * tw
+        hi_ok = 100 * cw >= 99 * tw
+        out = []
+        for flag, name in ((lo_ok, "p1"), (hi_ok, "p99")):
+            f = h[flag].groupby("t", as_index=False).head(1)
+            out.append(pd.DataFrame({"t": f.t, "q": name, "cents": f.cents}))
+        return pd.concat(out, ignore_index=True)
+
+    bounds = partial_then_combine(ds, hist_partial, "t", hist_combine).to_pandas()
+    lo = bounds[bounds.q == "p1"].set_index("t").cents
+    hi = bounds[bounds.q == "p99"].set_index("t").cents
+
+    def clamp_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(df.value).to_numpy()
+        l = df.event_type.map(lo).to_numpy()
+        h = df.event_type.map(hi).to_numpy()
+        w = np.clip(c, l, h)
+        return (
+            pd.DataFrame({"event_type": df.event_type, "wc": w})
+            .groupby("event_type", as_index=False)
+            .agg(n=("wc", "size"), wsum=("wc", "sum"))
+        )
+
+    def clamp_combine(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("event_type", as_index=False).sum()
+        g["n"] = g.n.astype("int64")
+        g["wsum"] = g.wsum.astype("int64")
+        return g
+
+    out = driver_combine(ds, clamp_partial, clamp_combine)
+    out["p1_cents"] = out.event_type.map(lo).astype("int64")
+    out["p99_cents"] = out.event_type.map(hi).astype("int64")
+    return out[["event_type", "n", "p1_cents", "p99_cents", "wsum"]]
+
+
+_Q121_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), h AS (
+  SELECT event_type, cents, COUNT(*) AS w FROM d GROUP BY 1, 2
+), c AS (
+  SELECT event_type, cents, w,
+         SUM(w) OVER (PARTITION BY event_type ORDER BY cents) AS cw,
+         SUM(w) OVER (PARTITION BY event_type) AS tw
+  FROM h
+), b AS (
+  SELECT event_type,
+         MIN(CASE WHEN 100 * cw >= 1 * tw THEN cents END) AS p1,
+         MIN(CASE WHEN 100 * cw >= 99 * tw THEN cents END) AS p99
+  FROM c GROUP BY 1
+)
+SELECT d.event_type, COUNT(*)::BIGINT AS n,
+       b.p1::BIGINT AS p1_cents, b.p99::BIGINT AS p99_cents,
+       SUM(LEAST(GREATEST(d.cents, b.p1), b.p99))::BIGINT AS wsum
+FROM d JOIN b USING (event_type)
+GROUP BY d.event_type, b.p1, b.p99
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7433,6 +7518,7 @@ QUERIES = {
     "q118_event_trigrams": q118_event_trigrams,
     "q119_daily_bounce_rate": q119_daily_bounce_rate,
     "q120_order_count_distribution": q120_order_count_distribution,
+    "q121_winsorized_stats": q121_winsorized_stats,
 }
 
 ORACLE_SQL = {
@@ -7552,6 +7638,7 @@ ORACLE_SQL = {
     "q118_event_trigrams": _Q118_SQL,
     "q119_daily_bounce_rate": _Q119_SQL,
     "q120_order_count_distribution": _Q120_SQL,
+    "q121_winsorized_stats": _Q121_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

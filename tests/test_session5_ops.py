@@ -867,3 +867,27 @@ class TestOrderCountDistribution:
         assert int(out.loc[2].n_customers) == 1  # cust 2
         assert int(out.loc[3].n_customers) == 1  # cust 1
         assert int(out.loc[4].n_customers) == 1  # cust 4
+
+
+class TestWinsorizedStats:
+    def test_bounds_and_clamped_sum(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.pipelines.queries import q121_winsorized_stats
+
+        # 100 values 1.00..100.00 for one type: P1 bound = 1.00, P99 = 99.00
+        # (smallest value with 100*cum >= q*total); clamped sum replaces
+        # 100.00 with 99.00
+        n = 100
+        rows = pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "ts": _ts(np.zeros(n)),
+                "user_id": np.zeros(n, dtype=int),
+                "event_type": ["x"] * n,
+                "value": np.arange(1, n + 1, dtype=float),
+            }
+        )
+        out = q121_winsorized_stats(_events_parquet(tmp_path, rows)).iloc[0]
+        assert int(out.p1_cents) == 100
+        assert int(out.p99_cents) == 9900
+        exp = sum(min(max(v, 100), 9900) for v in range(100, 10001, 100))
+        assert int(out.wsum) == exp
