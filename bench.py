@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "q119_daily_bounce_rate",
     "q120_order_count_distribution",
     "q121_winsorized_stats",
+    "q122_revenue_share",
 ]
 
 

@@ -7395,6 +7395,49 @@ GROUP BY d.event_type, b.p1, b.p99
 """
 
 
+# -------------------------------------------------------------------- q122
+
+def q122_revenue_share(sf_dir: str):
+    """Share-of-total revenue per order priority as an EXACT integer
+    fraction (numerator = priority cents, denominator = global cents) plus
+    basis points (floor(10000·num/den)) — the ratio-to-report window
+    (SUM OVER ()) without any window shuffle: one bounded partial+driver
+    combine produces both the group cells and, by summing them, the global
+    denominator."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"p": df.o_orderpriority, "cents": _cents(df.o_totalprice)})
+            .groupby("p", as_index=False)
+            .agg(n=("cents", "size"), cents=("cents", "sum"))
+        )
+
+    def combine(parts: pd.DataFrame) -> pd.DataFrame:
+        g = parts.groupby("p", as_index=False).sum()
+        total = np.int64(g.cents.sum())
+        g["total_cents"] = total
+        g["share_bps"] = (10000 * g.cents.to_numpy().astype("int64")) // total
+        for c in ("n", "cents", "total_cents", "share_bps"):
+            g[c] = g[c].astype("int64")
+        return g.rename(columns={"p": "o_orderpriority"})
+
+    return driver_combine(ds, partial, combine)
+
+
+_Q122_SQL = """
+WITH g AS (
+  SELECT o_orderpriority, COUNT(*)::BIGINT AS n,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, n, cents,
+       SUM(cents) OVER ()::BIGINT AS total_cents,
+       ((10000 * cents) // SUM(cents) OVER ())::BIGINT AS share_bps
+FROM g
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7519,6 +7562,7 @@ QUERIES = {
     "q119_daily_bounce_rate": q119_daily_bounce_rate,
     "q120_order_count_distribution": q120_order_count_distribution,
     "q121_winsorized_stats": q121_winsorized_stats,
+    "q122_revenue_share": q122_revenue_share,
 }
 
 ORACLE_SQL = {
@@ -7639,6 +7683,7 @@ ORACLE_SQL = {
     "q119_daily_bounce_rate": _Q119_SQL,
     "q120_order_count_distribution": _Q120_SQL,
     "q121_winsorized_stats": _Q121_SQL,
+    "q122_revenue_share": _Q122_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
