@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "q120_order_count_distribution",
     "q121_winsorized_stats",
     "q122_revenue_share",
+    "q123_contract_violations",
 ]
 
 

@@ -7438,6 +7438,64 @@ FROM g
 """
 
 
+# -------------------------------------------------------------------- q123
+
+_Q123_RULES = [
+    ("value_nonneg", "value", "ge", 0.0),
+    ("value_le_45", "value", "le", 45.0),
+    ("known_type", "event_type", "in_set", ("click", "error", "purchase", "signup", "view")),
+    ("ts_not_null", "ts", "not_null", None),
+    ("user_lt_1400", "user_id", "le", 1399),
+]
+
+
+def q123_contract_violations(sf_dir: str):
+    """Data-contract audit over events (stages/validate.py): five
+    declarative rules evaluated vectorized per batch, per-rule counts
+    pre-aggregated before one bounded driver combine — the ingest-boundary
+    report every production pipeline runs. Rules chosen so some genuinely
+    fire on the synthetic data (value ≤ 45, user_id ≤ 1399) and some don't
+    (type whitelist, non-null ts): both directions are oracle-checked."""
+    from medical_ocr_service_ray.stages.validate import check_batch
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = check_batch(df, _Q123_RULES)
+        out["n_rows"] = np.int64(len(df))
+        return out
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("rule_id", as_index=False).agg(
+            n_violations=("n_violations", "sum"), n_rows=("n_rows", "sum")
+        )
+        g["n_violations"] = g.n_violations.astype("int64")
+        g["n_rows"] = g.n_rows.astype("int64")
+        return g
+
+    return driver_combine(ds, partial, combine)
+
+
+_Q123_SQL = """
+WITH counts AS (
+  SELECT
+    SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS value_nonneg,
+    SUM(CASE WHEN value > 45.0 THEN 1 ELSE 0 END) AS value_le_45,
+    SUM(CASE WHEN event_type NOT IN ('click','error','purchase','signup','view')
+             THEN 1 ELSE 0 END) AS known_type,
+    SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS ts_not_null,
+    SUM(CASE WHEN user_id > 1399 THEN 1 ELSE 0 END) AS user_lt_1400,
+    COUNT(*) AS n_rows
+  FROM events
+)
+SELECT 'value_nonneg' AS rule_id, value_nonneg::BIGINT AS n_violations, n_rows::BIGINT AS n_rows FROM counts
+UNION ALL SELECT 'value_le_45', value_le_45::BIGINT, n_rows::BIGINT FROM counts
+UNION ALL SELECT 'known_type', known_type::BIGINT, n_rows::BIGINT FROM counts
+UNION ALL SELECT 'ts_not_null', ts_not_null::BIGINT, n_rows::BIGINT FROM counts
+UNION ALL SELECT 'user_lt_1400', user_lt_1400::BIGINT, n_rows::BIGINT FROM counts
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7563,6 +7621,7 @@ QUERIES = {
     "q120_order_count_distribution": q120_order_count_distribution,
     "q121_winsorized_stats": q121_winsorized_stats,
     "q122_revenue_share": q122_revenue_share,
+    "q123_contract_violations": q123_contract_violations,
 }
 
 ORACLE_SQL = {
@@ -7684,6 +7743,7 @@ ORACLE_SQL = {
     "q120_order_count_distribution": _Q120_SQL,
     "q121_winsorized_stats": _Q121_SQL,
     "q122_revenue_share": _Q122_SQL,
+    "q123_contract_violations": _Q123_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

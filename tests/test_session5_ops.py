@@ -891,3 +891,45 @@ class TestWinsorizedStats:
         assert int(out.p99_cents) == 9900
         exp = sum(min(max(v, 100), 9900) for v in range(100, 10001, 100))
         assert int(out.wsum) == exp
+
+
+class TestContractValidation:
+    def test_rule_kinds_and_split(self, ray_session):
+        from medical_ocr_service_ray.stages.validate import check_batch, split_batch
+
+        df = pd.DataFrame(
+            {
+                "v": [1.0, -2.0, 50.0, np.nan],
+                "t": ["a", "b", "zz", "a"],
+                "s": ["ok", "toolongvalue", "ok", "ok"],
+            }
+        )
+        rules = [
+            ("nonneg", "v", "ge", 0.0),
+            ("le45", "v", "le", 45.0),
+            ("known", "t", "in_set", ("a", "b")),
+            ("nn", "v", "not_null", None),
+            ("short", "s", "str_maxlen", 5),
+        ]
+        out = check_batch(df, rules).set_index("rule_id")
+        assert int(out.loc["nonneg"].n_violations) == 1   # -2
+        assert int(out.loc["le45"].n_violations) == 1     # 50
+        assert int(out.loc["known"].n_violations) == 1    # zz
+        assert int(out.loc["nn"].n_violations) == 1       # NaN
+        assert int(out.loc["short"].n_violations) == 1    # toolongvalue
+        clean, bad = split_batch(df, rules)
+        assert len(clean) == 1 and len(bad) == 3  # row0 clean... rows 1,2,3 bad
+        assert clean.index.tolist() == [0]
+
+    def test_sf_counts_match_duckdb(self, ray_session):
+        import duckdb
+
+        from medical_ocr_service_ray.pipelines import queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        out = Q.q123_contract_violations(sf).set_index("rule_id")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+        exp = con.execute(Q.ORACLE_SQL["q123_contract_violations"]).df().set_index("rule_id")
+        for r in out.index:
+            assert int(out.loc[r].n_violations) == int(exp.loc[r].n_violations)
