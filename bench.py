@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "q121_winsorized_stats",
     "q122_revenue_share",
     "q123_contract_violations",
+    "q124_conversion_latency",
 ]
 
 

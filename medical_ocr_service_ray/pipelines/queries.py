@@ -7496,6 +7496,77 @@ UNION ALL SELECT 'user_lt_1400', user_lt_1400::BIGINT, n_rows::BIGINT FROM count
 """
 
 
+# -------------------------------------------------------------------- q124
+
+def q124_conversion_latency(sf_dir: str):
+    """Conversion-latency summary: over q113's attributed purchases, the
+    exact lower-median click→purchase latency in WHOLE SECONDS (second
+    granularity keeps the value-count histogram small — the q44/q116
+    mergeable-histogram rule; µs-resolution gaps are near-all-distinct and
+    would degenerate the histogram to row count), plus attributed/total
+    purchase counts. Pipeline composition: the q113 dataset streams into a
+    per-batch (latency_s → count) partial and one driver-side median pick
+    — attribution itself stays one exchange."""
+    attributed = q113_last_touch_attribution(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hit = df[df.click_id >= 0]
+        return (
+            pd.DataFrame({"lat_s": (hit.gap_us.to_numpy() // 1_000_000).astype("int64")})
+            .groupby("lat_s", as_index=False)
+            .size()
+            .rename(columns={"size": "w"})
+        )
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        h = p.groupby("lat_s", as_index=False)["w"].sum().sort_values("lat_s")
+        cw = h.w.cumsum().to_numpy()
+        tw = int(h.w.sum())
+        med = int(h.lat_s.to_numpy()[np.argmax(2 * cw >= tw)]) if tw else -1
+        return pd.DataFrame(
+            {
+                "n_attributed": [np.int64(tw)],
+                "median_latency_s": [np.int64(med)],
+            }
+        )
+
+    out = driver_combine(attributed, partial, combine)
+    n_purchases = attributed.count()
+    out["n_purchases"] = np.int64(n_purchases)
+    return out[["n_purchases", "n_attributed", "median_latency_s"]]
+
+
+_Q124_SQL = """
+WITH s AS (
+  SELECT event_id, ts, user_id,
+         (event_type = 'purchase')::INT AS is_p,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+), f AS (
+  SELECT *,
+         last_value(click_id IGNORE NULLS) OVER w AS last_click,
+         last_value(click_ts IGNORE NULLS) OVER w AS last_click_ts
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), attr AS (
+  SELECT CASE WHEN last_click IS NOT NULL
+               AND epoch_us(ts) - epoch_us(last_click_ts) <= 604800000000
+              THEN (epoch_us(ts) - epoch_us(last_click_ts)) // 1000000 END AS lat_s
+  FROM f WHERE is_p = 1
+), h AS (
+  SELECT lat_s, COUNT(*) AS w FROM attr WHERE lat_s IS NOT NULL GROUP BY 1
+), c AS (
+  SELECT lat_s, w, SUM(w) OVER (ORDER BY lat_s) AS cw, SUM(w) OVER () AS tw FROM h
+)
+SELECT (SELECT COUNT(*) FROM attr)::BIGINT AS n_purchases,
+       (SELECT COALESCE(SUM(w), 0) FROM h)::BIGINT AS n_attributed,
+       COALESCE(MIN(CASE WHEN 2 * cw >= tw THEN lat_s END), -1)::BIGINT AS median_latency_s
+FROM c
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7622,6 +7693,7 @@ QUERIES = {
     "q121_winsorized_stats": q121_winsorized_stats,
     "q122_revenue_share": q122_revenue_share,
     "q123_contract_violations": q123_contract_violations,
+    "q124_conversion_latency": q124_conversion_latency,
 }
 
 ORACLE_SQL = {
@@ -7744,6 +7816,7 @@ ORACLE_SQL = {
     "q121_winsorized_stats": _Q121_SQL,
     "q122_revenue_share": _Q122_SQL,
     "q123_contract_violations": _Q123_SQL,
+    "q124_conversion_latency": _Q124_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
