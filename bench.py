@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "q122_revenue_share",
     "q123_contract_violations",
     "q124_conversion_latency",
+    "q125_share_of_region",
 ]
 
 

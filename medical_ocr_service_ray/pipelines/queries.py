@@ -7567,6 +7567,85 @@ FROM c
 """
 
 
+# -------------------------------------------------------------------- q125
+
+def q125_share_of_region(sf_dir: str):
+    """Hierarchical share-of-parent rollup: each nation's order revenue as
+    exact basis points of its REGION's total (the percent-of-parent drill
+    every BI hierarchy renders). One broadcast custkey→(nation, region)
+    lookup stamped inside the fact partial (q33's dimension rule), one
+    bounded driver combine over ≤25 nation cells; region denominators are
+    sums of those cells — no window shuffle exists."""
+    import ray as _ray
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    r_name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nk_to = {
+        k: (n, r_name[r])
+        for k, n, r in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+    }
+    ckeys = cust["c_custkey"].to_pylist()
+    cnk = cust["c_nationkey"].to_pylist()
+    cust_nation = {c: nk_to[k][0] for c, k in zip(ckeys, cnk)}
+    cust_region = {c: nk_to[k][1] for c, k in zip(ckeys, cnk)}
+    ref = _ray.put((cust_nation, cust_region))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mn, mr = _ray.get(ref)
+        return (
+            pd.DataFrame(
+                {
+                    "nation": df.o_custkey.map(mn),
+                    "region": df.o_custkey.map(mr),
+                    "cents": _cents(df.o_totalprice),
+                }
+            )
+            .groupby(["region", "nation"], as_index=False)
+            .agg(n=("cents", "size"), cents=("cents", "sum"))
+        )
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby(["region", "nation"], as_index=False).sum()
+        reg = g.groupby("region")["cents"].sum()
+        g["region_cents"] = g.region.map(reg).astype("int64")
+        g["share_bps"] = (
+            10000 * g.cents.to_numpy().astype("int64") // g.region_cents.to_numpy()
+        ).astype("int64")
+        for c in ("n", "cents"):
+            g[c] = g[c].astype("int64")
+        return g[["region", "nation", "n", "cents", "region_cents", "share_bps"]]
+
+    return driver_combine(ds, partial, combine)
+
+
+_Q125_SQL = """
+WITH g AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         COUNT(*)::BIGINT AS n,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation, n, cents,
+       SUM(cents) OVER (PARTITION BY region)::BIGINT AS region_cents,
+       ((10000 * cents) // SUM(cents) OVER (PARTITION BY region))::BIGINT AS share_bps
+FROM g
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7694,6 +7773,7 @@ QUERIES = {
     "q122_revenue_share": q122_revenue_share,
     "q123_contract_violations": q123_contract_violations,
     "q124_conversion_latency": q124_conversion_latency,
+    "q125_share_of_region": q125_share_of_region,
 }
 
 ORACLE_SQL = {
@@ -7817,6 +7897,7 @@ ORACLE_SQL = {
     "q122_revenue_share": _Q122_SQL,
     "q123_contract_violations": _Q123_SQL,
     "q124_conversion_latency": _Q124_SQL,
+    "q125_share_of_region": _Q125_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
