@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "q123_contract_violations",
     "q124_conversion_latency",
     "q125_share_of_region",
+    "q126_cumulative_daily_revenue",
 ]
 
 

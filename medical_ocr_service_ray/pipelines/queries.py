@@ -7646,6 +7646,50 @@ FROM g
 """
 
 
+# -------------------------------------------------------------------- q126
+
+def q126_cumulative_daily_revenue(sf_dir: str):
+    """Running cumulative revenue by day — the chart-feed rollup: daily
+    cents from one bounded partial+driver combine (day cardinality is the
+    calendar, not the data), then the running total is a driver cumsum over
+    those ≤O(days) cells. The window function never touches a fact row."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "day": df.o_orderdate.dt.strftime("%Y-%m-%d"),
+                    "cents": _cents(df.o_totalprice),
+                }
+            )
+            .groupby("day", as_index=False)
+            .agg(n=("cents", "size"), cents=("cents", "sum"))
+        )
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("day", as_index=False).sum().sort_values("day")
+        g["cum_cents"] = g.cents.cumsum()
+        for c in ("n", "cents", "cum_cents"):
+            g[c] = g[c].astype("int64")
+        return g.reset_index(drop=True)
+
+    return driver_combine(ds, partial, combine)
+
+
+_Q126_SQL = """
+WITH g AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         COUNT(*)::BIGINT AS n,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1
+)
+SELECT day, n, cents,
+       SUM(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents
+FROM g
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7774,6 +7818,7 @@ QUERIES = {
     "q123_contract_violations": q123_contract_violations,
     "q124_conversion_latency": q124_conversion_latency,
     "q125_share_of_region": q125_share_of_region,
+    "q126_cumulative_daily_revenue": q126_cumulative_daily_revenue,
 }
 
 ORACLE_SQL = {
@@ -7898,6 +7943,7 @@ ORACLE_SQL = {
     "q123_contract_violations": _Q123_SQL,
     "q124_conversion_latency": _Q124_SQL,
     "q125_share_of_region": _Q125_SQL,
+    "q126_cumulative_daily_revenue": _Q126_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
