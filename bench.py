@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "q124_conversion_latency",
     "q125_share_of_region",
     "q126_cumulative_daily_revenue",
+    "q127_grouped_variance",
+    "q128_unpivot_orders",
 ]
 
 

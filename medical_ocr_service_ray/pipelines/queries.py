@@ -7690,6 +7690,90 @@ FROM g
 """
 
 
+# -------------------------------------------------------------------- q127
+
+def q127_grouped_variance(sf_dir: str):
+    """Exact grouped variance as integer sufficient statistics (n, Σx,
+    population-variance numerator n·Σx² − (Σx)², denominator n²) — the
+    q111-correlation idiom for the single-column second moment. One bounded
+    partial+driver combine; int64 headroom to ~sf1 documented in q111."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = _cents(df.value).to_numpy()
+        return (
+            pd.DataFrame({"event_type": df.event_type, "x": x, "x2": x * x})
+            .groupby("event_type", as_index=False)
+            .agg(n=("x", "size"), sx=("x", "sum"), sx2=("x2", "sum"))
+        )
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("event_type", as_index=False).sum()
+        n = g.n.to_numpy().astype("int64")
+        sx = g.sx.to_numpy().astype("int64")
+        out = pd.DataFrame(
+            {
+                "event_type": g.event_type,
+                "n": n,
+                "sum_cents": sx,
+                "var_num": n * g.sx2.to_numpy().astype("int64") - sx * sx,
+                "var_den": n * n,
+            }
+        )
+        for c in ("n", "sum_cents", "var_num", "var_den"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return driver_combine(ds, partial, combine)
+
+
+_Q127_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events
+)
+SELECT event_type, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sum_cents,
+       (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))::BIGINT AS var_num,
+       (COUNT(*) * COUNT(*))::BIGINT AS var_den
+FROM d GROUP BY 1
+"""
+
+
+# -------------------------------------------------------------------- q128
+
+def q128_unpivot_orders(sf_dir: str):
+    """UNPIVOT / melt — the inverse of q47's pivot: each order row explodes
+    to (o_orderkey, metric, value) long-form rows for the two numeric
+    metrics (cents, custkey). Stateless per-batch transform: two column
+    repeats + one interleave, output exactly 2× input rows, no exchange —
+    the wide→long reshaping feature stores feed on."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.o_orderkey.to_numpy().astype("int64")
+        vals = {
+            "cents": _cents(df.o_totalprice).to_numpy(),
+            "custkey": df.o_custkey.to_numpy().astype("int64"),
+        }
+        return pd.DataFrame(
+            {
+                "o_orderkey": np.concatenate([k, k]),
+                "metric": np.repeat(list(vals.keys()), len(df)),
+                "value": np.concatenate(list(vals.values())).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pandas")
+
+
+_Q128_SQL = """
+SELECT o_orderkey, 'cents' AS metric,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS value
+FROM orders
+UNION ALL
+SELECT o_orderkey, 'custkey', o_custkey FROM orders
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7819,6 +7903,8 @@ QUERIES = {
     "q124_conversion_latency": q124_conversion_latency,
     "q125_share_of_region": q125_share_of_region,
     "q126_cumulative_daily_revenue": q126_cumulative_daily_revenue,
+    "q127_grouped_variance": q127_grouped_variance,
+    "q128_unpivot_orders": q128_unpivot_orders,
 }
 
 ORACLE_SQL = {
@@ -7944,6 +8030,8 @@ ORACLE_SQL = {
     "q124_conversion_latency": _Q124_SQL,
     "q125_share_of_region": _Q125_SQL,
     "q126_cumulative_daily_revenue": _Q126_SQL,
+    "q127_grouped_variance": _Q127_SQL,
+    "q128_unpivot_orders": _Q128_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
