@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "q126_cumulative_daily_revenue",
     "q127_grouped_variance",
     "q128_unpivot_orders",
+    "q129_exact_heavy_hitters",
 ]
 
 

@@ -7774,6 +7774,78 @@ SELECT o_orderkey, 'custkey', o_custkey FROM orders
 """
 
 
+# -------------------------------------------------------------------- q129
+
+def q129_exact_heavy_hitters(sf_dir: str, capacity: int = 1024):
+    """EXACT top-10 most frequent tokens via the sketch-then-verify two-pass
+    — the pattern that upgrades q58's approximation to a provable answer a
+    SQL oracle can hash-check: (1) SpaceSaving pass (capacity 1024 counters
+    per batch, KB driver merge) yields a ≤1024-item CANDIDATE set that
+    provably contains every token with true count > N/capacity; (2) one
+    broadcast-filtered recount pass computes exact counts of candidates
+    only (plus N itself); the op then ASSERTS the guarantee condition
+    (10th exact count > N/capacity) so a pathological flat distribution
+    fails loudly instead of silently returning a wrong top-10."""
+    import ray as _ray
+
+    from medical_ocr_service_ray.stages.sketch import SpaceSavingSketch
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df.text.astype(str).str.split(r"\s+").explode()
+        vals = vals[vals.str.len() > 0]
+        vc = vals.value_counts()
+        sk = SpaceSavingSketch(capacity)
+        sk.add_counts(vc.index.to_numpy(dtype=object), vc.to_numpy())
+        return pd.DataFrame({"sketch": [sk.serialize()]})
+
+    partials = ds.map_batches(sketch_batch, batch_format="pandas").take_all()
+    merged = SpaceSavingSketch(capacity)
+    for row in partials:
+        merged = merged.merge(SpaceSavingSketch.deserialize(row["sketch"]))
+    cand = set(merged.counts.keys())
+    cand_ref = _ray.put(cand)
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        cs = _ray.get(cand_ref)
+        vals = df.text.astype(str).str.split(r"\s+").explode()
+        vals = vals[vals.str.len() > 0]
+        n = len(vals)
+        vc = vals[vals.isin(cs)].value_counts()
+        out = vc.rename_axis("token").reset_index(name="cnt")
+        return pd.concat(
+            [out, pd.DataFrame({"token": ["\x00total"], "cnt": [n]})], ignore_index=True
+        )
+
+    counts = driver_combine(
+        ds, recount, lambda df: df.groupby("token", as_index=False)["cnt"].sum()
+    )
+    total = int(counts[counts.token == "\x00total"].cnt.iloc[0])
+    exact = counts[counts.token != "\x00total"].sort_values(
+        ["cnt", "token"], ascending=[False, True]
+    )
+    top = exact.head(10).reset_index(drop=True)
+    if not (int(top.cnt.iloc[-1]) * capacity > total):
+        raise AssertionError(
+            "SpaceSaving candidate guarantee not met: raise `capacity`"
+        )
+    top["cnt"] = top.cnt.astype("int64")
+    return top[["token", "cnt"]]
+
+
+_Q129_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents
+)
+SELECT token, COUNT(*)::BIGINT AS cnt
+FROM toks WHERE token <> ''
+GROUP BY 1
+ORDER BY cnt DESC, token
+LIMIT 10
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7905,6 +7977,7 @@ QUERIES = {
     "q126_cumulative_daily_revenue": q126_cumulative_daily_revenue,
     "q127_grouped_variance": q127_grouped_variance,
     "q128_unpivot_orders": q128_unpivot_orders,
+    "q129_exact_heavy_hitters": q129_exact_heavy_hitters,
 }
 
 ORACLE_SQL = {
@@ -8032,6 +8105,7 @@ ORACLE_SQL = {
     "q126_cumulative_daily_revenue": _Q126_SQL,
     "q127_grouped_variance": _Q127_SQL,
     "q128_unpivot_orders": _Q128_SQL,
+    "q129_exact_heavy_hitters": _Q129_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
