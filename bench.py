@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "q127_grouped_variance",
     "q128_unpivot_orders",
     "q129_exact_heavy_hitters",
+    "q130_bucket_checksum_diff",
 ]
 
 

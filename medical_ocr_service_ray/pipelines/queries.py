@@ -7846,6 +7846,107 @@ LIMIT 10
 """
 
 
+# -------------------------------------------------------------------- q130
+
+def q130_bucket_checksum_diff(sf_dir: str):
+    """Partition-level sync diff — find WHICH key-buckets differ between two
+    table versions without ever comparing rows (the anti-entropy /
+    incremental-replication primitive; q96's order-independent wrapping
+    polynomial, grouped by hash bucket). The second version is derived
+    deterministically (orders minus the row o_orderkey = 42) so the oracle
+    sees both sides; exactly bucket 42 % 64 must differ. One streaming
+    pass computes BOTH versions' 64 bucket checksums (the filtered sum is
+    the full sum minus the excluded rows' contribution — no second scan)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    NB = 64
+    M = np.int64(-7046029254386353131)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.o_orderkey.to_numpy().astype("int64")
+        c = df.o_custkey.to_numpy().astype("int64")
+        with np.errstate(over="ignore"):
+            row = k * M + c
+        b = (k % NB).astype("int64")
+        d = pd.DataFrame({"b": b, "chk": row, "excl": (k == 42)})
+        with np.errstate(over="ignore"):
+            full = d.groupby("b")["chk"].sum()
+            exc = d[d.excl].groupby("b")["chk"].sum()
+        out = full.rename("chk_full").reset_index()
+        # reindex keeps int64 end-to-end: a map+fillna roundtrip promotes to
+        # float64 and silently loses the checksum's low bits (>2^53)
+        out["chk_excl"] = exc.reindex(out.b, fill_value=0).to_numpy(dtype="int64")
+        out["n"] = d.groupby("b").size().to_numpy().astype("int64")
+        out["n_excl"] = (
+            d[d.excl].groupby("b").size().reindex(out.b, fill_value=0)
+            .to_numpy(dtype="int64")
+        )
+        return out
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            g = p.groupby("b", as_index=False).agg(
+                chk_full=("chk_full", "sum"), chk_excl=("chk_excl", "sum"),
+                n=("n", "sum"), n_excl=("n_excl", "sum"),
+            )
+            g["chk_v2"] = (g.chk_full.to_numpy().astype("int64")
+                           - g.chk_excl.to_numpy().astype("int64"))
+        g["differs"] = (g.chk_full != g.chk_v2).astype("int64")
+        out = pd.DataFrame(
+            {
+                "bucket": g.b.astype("int64"),
+                "n_v1": g.n.astype("int64"),
+                "n_v2": (g.n - g.n_excl).astype("int64"),
+                "chk_v1": g.chk_full.astype("int64"),
+                "chk_v2": g.chk_v2.astype("int64"),
+                "differs": g.differs,
+            }
+        )
+        return out.sort_values("bucket").reset_index(drop=True)
+
+    return driver_combine(ds, partial, combine)
+
+
+def _q130_sql() -> str:
+    """Grouped version of the q96 32-bit-split wrapping checksum: one
+    mulmod64 term (o_orderkey · M) plus o_custkey, summed mod 2^64 per
+    bucket for both versions, signed representative restored."""
+    m_u = (-7046029254386353131) % (1 << 64)
+    k1, k0 = m_u >> 32, m_u & 0xFFFFFFFF
+    w = "18446744073709551616::HUGEINT"
+    b32 = "4294967296::HUGEINT"
+    a = f"(((o_orderkey)::HUGEINT % {w}) + {w}) % {w}"
+    a0 = f"(({a}) % {b32})"
+    a1 = f"(({a}) // {b32})"
+    mul = (
+        f"(({a0} * {k0}::HUGEINT"
+        f" + (({a1} * {k0}::HUGEINT + {a0} * {k1}::HUGEINT) % {b32}) * {b32}) % {w})"
+    )
+    cu = f"(((o_custkey)::HUGEINT % {w}) + {w}) % {w}"
+    row = f"(({mul} + {cu}) % {w})"
+
+    def sgn(expr: str) -> str:
+        return (
+            f"(CASE WHEN {expr} >= 9223372036854775808::HUGEINT "
+            f"THEN {expr} - {w} ELSE {expr} END)::BIGINT"
+        )
+
+    return f"""
+WITH r AS (
+  SELECT o_orderkey % 64 AS bucket, o_orderkey, {row} AS rowchk FROM orders
+), v1 AS (
+  SELECT bucket, SUM(rowchk) % {w} AS s, COUNT(*) AS n FROM r GROUP BY 1
+), v2 AS (
+  SELECT bucket, SUM(rowchk) % {w} AS s, COUNT(*) AS n FROM r
+  WHERE o_orderkey <> 42 GROUP BY 1
+)
+SELECT v1.bucket::BIGINT AS bucket, v1.n::BIGINT AS n_v1, v2.n::BIGINT AS n_v2,
+       {sgn("v1.s")} AS chk_v1,
+       {sgn("v2.s")} AS chk_v2,
+       (CASE WHEN v1.s <> v2.s THEN 1 ELSE 0 END)::BIGINT AS differs
+FROM v1 JOIN v2 USING (bucket)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -7978,6 +8079,7 @@ QUERIES = {
     "q127_grouped_variance": q127_grouped_variance,
     "q128_unpivot_orders": q128_unpivot_orders,
     "q129_exact_heavy_hitters": q129_exact_heavy_hitters,
+    "q130_bucket_checksum_diff": q130_bucket_checksum_diff,
 }
 
 ORACLE_SQL = {
@@ -8106,6 +8208,7 @@ ORACLE_SQL = {
     "q127_grouped_variance": _Q127_SQL,
     "q128_unpivot_orders": _Q128_SQL,
     "q129_exact_heavy_hitters": _Q129_SQL,
+    "q130_bucket_checksum_diff": _q130_sql(),
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
