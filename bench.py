@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "q128_unpivot_orders",
     "q129_exact_heavy_hitters",
     "q130_bucket_checksum_diff",
+    "q131_first_touch_attribution",
 ]
 
 

@@ -7947,6 +7947,85 @@ FROM v1 JOIN v2 USING (bucket)
 """
 
 
+# -------------------------------------------------------------------- q131
+
+def q131_first_touch_attribution(sf_dir: str):
+    """First-touch attribution — the EARLIEST click inside the inclusive
+    [ts−7d, ts] window (q113 credits the latest; marketing reads both).
+    Same one-exchange shape as q114: per bucket, clicks lexsort by
+    (dense-user·SPAN + ts, event_id) so the leftmost searchsorted hit IS
+    the earliest click with ties broken to the smallest event_id; -1
+    sentinels when the window is empty."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    W_US = np.int64(7 * 86400_000_000)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.event_type.isin(["click", "purchase"])]
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "click_id": pd.Series(dtype="int64"),
+                "gap_us": pd.Series(dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        ts_us = df.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        t0 = ts_us.min()
+        uid = df.user_id.to_numpy()
+        dense = pd.factorize(uid, sort=True)[0].astype("int64")
+        SPAN = np.int64(ts_us.max() - t0 + W_US + 2)
+        key = dense * SPAN + (ts_us - t0)
+        eid = df.event_id.to_numpy().astype("int64")
+        is_c = (df.event_type == "click").to_numpy()
+        order = np.lexsort((eid[is_c], key[is_c]))
+        ckeys = key[is_c][order]
+        cids = eid[is_c][order]
+        cts = ts_us[is_c][order]
+        p = ~is_c
+        if not p.any():
+            return empty
+        lo = np.searchsorted(ckeys, key[p] - W_US, side="left")
+        hi = np.searchsorted(ckeys, key[p], side="right")
+        hit = lo < hi
+        safe = np.minimum(lo, len(ckeys) - 1) if len(ckeys) else np.zeros(int(p.sum()), dtype=np.int64)
+        click_id = np.where(hit, cids[safe], -1).astype("int64")
+        gap = np.where(hit, ts_us[p] - cts[safe], -1).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": eid[p],
+                "user_id": uid[p].astype("int64"),
+                "click_id": click_id,
+                "gap_us": gap,
+            }
+        )
+
+    return bucketed_combine(ds, "user_id", combine)
+
+
+_Q131_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.event_id AS pe, p.user_id, p.ts AS pts, c.event_id AS ce, c.ts AS cts
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id
+   AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 604800000000
+), f1 AS (
+  SELECT pe, user_id, pts, MIN(cts) AS fts FROM j GROUP BY 1, 2, 3
+)
+SELECT f1.pe AS event_id, f1.user_id,
+       COALESCE(MIN(j.ce) FILTER (WHERE j.cts = f1.fts), -1)::BIGINT AS click_id,
+       COALESCE(MIN(CASE WHEN j.cts = f1.fts
+                         THEN epoch_us(f1.pts) - epoch_us(j.cts) END), -1)::BIGINT AS gap_us
+FROM f1 LEFT JOIN j ON j.pe = f1.pe
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -8080,6 +8159,7 @@ QUERIES = {
     "q128_unpivot_orders": q128_unpivot_orders,
     "q129_exact_heavy_hitters": q129_exact_heavy_hitters,
     "q130_bucket_checksum_diff": q130_bucket_checksum_diff,
+    "q131_first_touch_attribution": q131_first_touch_attribution,
 }
 
 ORACLE_SQL = {
@@ -8209,6 +8289,7 @@ ORACLE_SQL = {
     "q128_unpivot_orders": _Q128_SQL,
     "q129_exact_heavy_hitters": _Q129_SQL,
     "q130_bucket_checksum_diff": _q130_sql(),
+    "q131_first_touch_attribution": _Q131_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
