@@ -5529,15 +5529,17 @@ def q97_cdc_merge_patch(sf_dir: str, batch_size: int = 65536):
             .tail(1)[["user_id", "ts", "event_id"]]
             .rename(columns={"ts": "u_ts", "event_id": "u_eid"})
         )
-        # per-column last non-NULL patch
-        vc = ups[ups.cents >= 0]
+        # per-column last non-NULL patch (explicit presence flags — a
+        # legitimately negative cents value or empty-string type is still
+        # a patch; the -1/'' sentinels appear only in the OUTPUT)
+        vc = ups[ups.has_cents]
         vk = (
             vc.sort_values(["user_id", "ts", "event_id"])
             .groupby("user_id", as_index=False)
             .tail(1)[["user_id", "ts", "event_id", "cents"]]
             .rename(columns={"ts": "v_ts", "event_id": "v_eid"})
         )
-        tc = ups[ups.etype != ""]
+        tc = ups[ups.has_type]
         tk = (
             tc.sort_values(["user_id", "ts", "event_id"])
             .groupby("user_id", as_index=False)
@@ -5564,9 +5566,11 @@ def q97_cdc_merge_patch(sf_dir: str, batch_size: int = 65536):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(
             is_del=(df.event_id % 11) == 0,
+            has_cents=(df.event_id % 3) != 0,
+            has_type=(df.event_id % 2) == 0,
             cents=np.where((df.event_id % 3) != 0, _cents(df.value), -1).astype("int64"),
             etype=np.where((df.event_id % 2) == 0, df.event_type, ""),
-        )[["user_id", "ts", "event_id", "is_del", "cents", "etype"]]
+        )[["user_id", "ts", "event_id", "is_del", "has_cents", "has_type", "cents", "etype"]]
         out = reduce_log(df)
         # re-encode the partial as log-shaped rows so combine = same reduce:
         # one delete row (if any) + one row per surviving column candidate +
@@ -5576,28 +5580,32 @@ def q97_cdc_merge_patch(sf_dir: str, batch_size: int = 65536):
         rows.append(
             pd.DataFrame(
                 {"user_id": d.user_id, "ts": d.d_ts, "event_id": d.d_eid,
-                 "is_del": True, "cents": -1, "etype": ""}
+                 "is_del": True, "has_cents": False, "has_type": False,
+                 "cents": -1, "etype": ""}
             )
         )
         u = out[out.u_eid >= 0]
         rows.append(
             pd.DataFrame(
                 {"user_id": u.user_id, "ts": u.u_ts, "event_id": u.u_eid,
-                 "is_del": False, "cents": -1, "etype": ""}
+                 "is_del": False, "has_cents": False, "has_type": False,
+                 "cents": -1, "etype": ""}
             )
         )
         v = out[out.v_eid >= 0]
         rows.append(
             pd.DataFrame(
                 {"user_id": v.user_id, "ts": v.v_ts, "event_id": v.v_eid,
-                 "is_del": False, "cents": v.cents, "etype": ""}
+                 "is_del": False, "has_cents": True, "has_type": False,
+                 "cents": v.cents, "etype": ""}
             )
         )
         t = out[out.t_eid >= 0]
         rows.append(
             pd.DataFrame(
                 {"user_id": t.user_id, "ts": t.t_ts, "event_id": t.t_eid,
-                 "is_del": False, "cents": -1, "etype": t.etype}
+                 "is_del": False, "has_cents": False, "has_type": True,
+                 "cents": -1, "etype": t.etype}
             )
         )
         return pd.concat(rows, ignore_index=True)
@@ -7986,10 +7994,20 @@ def q131_first_touch_attribution(sf_dir: str):
         p = ~is_c
         if not p.any():
             return empty
+        if not is_c.any():
+            # purchases but zero clicks in this bucket: every window is empty
+            return pd.DataFrame(
+                {
+                    "event_id": eid[p],
+                    "user_id": uid[p].astype("int64"),
+                    "click_id": np.full(int(p.sum()), -1, dtype="int64"),
+                    "gap_us": np.full(int(p.sum()), -1, dtype="int64"),
+                }
+            )
         lo = np.searchsorted(ckeys, key[p] - W_US, side="left")
         hi = np.searchsorted(ckeys, key[p], side="right")
         hit = lo < hi
-        safe = np.minimum(lo, len(ckeys) - 1) if len(ckeys) else np.zeros(int(p.sum()), dtype=np.int64)
+        safe = np.minimum(lo, len(ckeys) - 1)
         click_id = np.where(hit, cids[safe], -1).astype("int64")
         gap = np.where(hit, ts_us[p] - cts[safe], -1).astype("int64")
         return pd.DataFrame(

@@ -88,7 +88,10 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             hdr_end = body.find(_CRLF2)
             hdr_end = len(body) if hdr_end < 0 else hdr_end
             status_line = body[:hdr_end].split(b"\r\n", 1)[0].split()
-            rec["http_status"] = int(status_line[1]) if len(status_line) > 1 else None
+            try:
+                rec["http_status"] = int(status_line[1]) if len(status_line) > 1 else None
+            except ValueError:  # malformed/non-numeric status token: degrade
+                rec["http_status"] = None  # this one record, not the archive
             http = _parse_headers(body[:hdr_end])
             rec["http_content_type"] = http.get("content-type")
             rec["payload"] = body[hdr_end + 4 :]

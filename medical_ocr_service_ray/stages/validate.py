@@ -35,9 +35,15 @@ def _violation_mask(df: pd.DataFrame, col: str, kind: str, param) -> np.ndarray:
     if kind == "le":
         return (s > param).fillna(False).to_numpy()
     if kind == "in_set":
-        return (~s.isin(tuple(param))).to_numpy()
+        # NULL is not_null's violation class, not in_set's (matches SQL
+        # NOT IN, where a NULL comparand yields NULL → not counted)
+        return (~s.isin(tuple(param)) & ~s.isna()).to_numpy()
     if kind == "str_maxlen":
-        return (s.astype(str).str.len() > int(param)).fillna(False).to_numpy()
+        # mask nulls BEFORE astype(str) — otherwise NaN renders as 'nan'
+        # (len 3) and a NULL double-counts as a maxlen violation
+        return (
+            (s.astype(str).str.len() > int(param)) & ~s.isna()
+        ).fillna(False).to_numpy()
     raise ValueError(f"unknown rule kind: {kind}")
 
 
