@@ -3819,6 +3819,31 @@ FROM (SELECT DISTINCT event_type FROM events) g
 
 # --------------------------------------------------------------------- q71
 
+# Pair expansion is sum(basket²): one pathological mega-basket makes a single
+# task quadratic. Orders with more basket rows than this are excluded from
+# pair mining (disclosed via log) — mirrored in the SQL oracles as
+# HAVING COUNT(*) <= _MAX_BASKET, so Ray and oracle stay bit-equal even on
+# degenerate data. TPC-H-shaped orders have ≤7 lines, so real inputs never
+# hit the cap.
+_MAX_BASKET = 1000
+
+
+def _drop_mega_baskets(df: pd.DataFrame, tag: str) -> pd.DataFrame:
+    sz = df.groupby("l_orderkey")["l_partkey"].transform("size")
+    big = sz > _MAX_BASKET
+    if bool(big.any()):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: dropped %d mega-basket orders (> %d rows) from pair mining",
+            tag,
+            int(df.loc[big, "l_orderkey"].nunique()),
+            _MAX_BASKET,
+        )
+        df = df[~big]
+    return df
+
+
 def q71_copurchase_pairs(sf_dir: str):
     """Market-basket co-occurrence: count part pairs bought in the same
     order, top-50. The pair expansion runs INSIDE the order-keyed bucket
@@ -3832,6 +3857,7 @@ def q71_copurchase_pairs(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def pairs_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = _drop_mega_baskets(df, "q71")
         m = df.merge(df, on="l_orderkey")
         m = m[m.l_partkey_x < m.l_partkey_y]
         g = (
@@ -3858,10 +3884,14 @@ def q71_copurchase_pairs(sf_dir: str):
 
 
 _Q71_SQL = """
+WITH ok AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING COUNT(*) <= 1000
+)
 SELECT l1.l_partkey AS part_a, l2.l_partkey AS part_b, COUNT(*)::BIGINT AS cnt
 FROM lineitem l1
 JOIN lineitem l2
   ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+WHERE l1.l_orderkey IN (SELECT l_orderkey FROM ok)
 GROUP BY 1, 2
 ORDER BY cnt DESC, part_a, part_b
 LIMIT 50
@@ -6689,6 +6719,7 @@ def q112_association_rules(sf_dir: str):
 
     def pairs_distinct(df: pd.DataFrame) -> pd.DataFrame:
         po = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        po = _drop_mega_baskets(po, "q112")
         m = po.merge(po, on="l_orderkey")
         m = m[m.l_partkey_x < m.l_partkey_y]
         g = m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
@@ -6724,12 +6755,22 @@ def q112_association_rules(sf_dir: str):
         num_buckets=16,
     ).to_pandas()
     cnts = item.set_index("l_partkey")["c"]
+    # COUNT(DISTINCT l_orderkey) via one orderkey-bucketed exchange emitting
+    # per-bucket distinct COUNTS (≤ num_buckets rows reach the driver) — the
+    # previous driver_combine pulled every distinct orderkey into the driver
+    # heap, which is O(orders) and unbounded at 100 TB.
     n_orders = int(
-        driver_combine(
-            _read(sf_dir, "lineitem", ["l_orderkey"]),
-            lambda df: pd.DataFrame({"k": df.l_orderkey.unique()}),
-            lambda df: df.drop_duplicates(),
-        ).k.nunique()
+        bucketed_combine(
+            _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+                lambda df: df.drop_duplicates(["l_orderkey"]),
+                batch_format="pandas",
+            ),
+            "l_orderkey",
+            lambda df: pd.DataFrame({"n": [df.l_orderkey.nunique()]}),
+            num_buckets=16,
+        )
+        .to_pandas()
+        .n.sum()
     )
     top["cnt_a"] = top.part_a.map(cnts).astype("int64")
     top["cnt_b"] = top.part_b.map(cnts).astype("int64")
@@ -6741,9 +6782,12 @@ def q112_association_rules(sf_dir: str):
 _Q112_SQL = """
 WITH po AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), ok AS (
+  SELECT l_orderkey FROM po GROUP BY 1 HAVING COUNT(*) <= 1000
 ), pairs AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*)::BIGINT AS cnt
   FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey IN (SELECT l_orderkey FROM ok)
   GROUP BY 1, 2
 ), pc AS (
   SELECT l_partkey, COUNT(*)::BIGINT AS c FROM po GROUP BY 1
