@@ -6150,30 +6150,85 @@ def q103_zorder_cluster(sf_dir: str):
 
     stamped = ds.map_batches(stamp, batch_format="pandas")
 
-    def key_hist(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("zkey").size().reset_index(name="c")
+    # Equi-depth boundary derivation with O(n_ranges) driver/broadcast state
+    # (the r3 version broadcast a dict over EVERY distinct zkey — O(users ×
+    # days) ~ O(rows) at 100 TB). Same assignment, reformulated: the old
+    # per-key rule rng(k) = floor(n_ranges·(cum_k−1)/total) equals
+    # #{r ∈ 1..n_ranges−1 : cum_k ≥ thresh_r} with
+    # thresh_r = ceil(r·total/n_ranges)+1, and since cum is monotone in k,
+    # cum_k ≥ thresh_r ⟺ k ≥ b_r where b_r = min key with cum ≥ thresh_r.
+    # So only the ≤15 boundary VALUES are needed, and the stamp is one
+    # np.searchsorted(side="right") — duplicates in the boundary array (a
+    # heavy key spanning several depths) count multiply, exactly like the
+    # old floor rule. TestZorderBoundaryEquivalence pins the bit-equality.
+    n_ranges = 16
+    # zkey < 2^33 (16-bit spread ×2, +1 shift) ⇒ zkey>>17 has ≤2^16 distinct
+    # values: the prefix histogram is bounded by KEY-SPACE WIDTH, not rows.
+    _PSHIFT = 17
+
+    def pfx_partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.zkey.to_numpy() >> _PSHIFT
+        return pd.DataFrame({"pfx": p}).groupby("pfx", as_index=False).size()
 
     hist = driver_combine(
-        stamped, key_hist, lambda df: df.groupby("zkey", as_index=False)["c"].sum()
-    ).sort_values("zkey")
-    n_ranges = 16
-    cum = hist.c.cumsum().to_numpy()
-    total = int(cum[-1])
-    rng_of_key = dict(
-        zip(hist.zkey, np.minimum((n_ranges * (cum - 1)) // total, n_ranges - 1))
-    )
-    import ray as _ray
+        stamped, pfx_partial, lambda df: df.groupby("pfx", as_index=False)["size"].sum()
+    ).sort_values("pfx")
+    pc = hist["size"].to_numpy().astype("int64")
+    total = int(pc.sum())
+    pcum = pc.cumsum()
+    threshes = [
+        -((-r * total) // n_ranges) + 1
+        for r in range(1, n_ranges)
+        if -((-r * total) // n_ranges) + 1 <= total
+    ]
+    # needle prefixes: which prefix bucket holds each global rank, and the
+    # rank local to that bucket (≤15 entries — closure-captured, not shipped
+    # per batch: Ray serializes the fn once per task submission of tiny dicts)
+    needles: dict[int, list[int]] = {}
+    pfx_vals = hist.pfx.to_numpy()
+    for t in threshes:
+        i = int(np.searchsorted(pcum, t, side="left"))
+        local = t - (int(pcum[i - 1]) if i else 0)
+        needles.setdefault(int(pfx_vals[i]), []).append(local)
+    needle_set = np.array(sorted(needles), dtype="int64")
 
-    rng_ref = _ray.put(rng_of_key)
+    def bnd_partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.zkey.to_numpy() >> _PSHIFT
+        sub = df[np.isin(p, needle_set)]
+        out = sub.groupby("zkey", as_index=False).size()
+        out["pfx"] = out.zkey.to_numpy() >> _PSHIFT
+        return out
+
+    def bnd_combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pfx, sub in df.groupby("pfx"):
+            sub = (
+                sub.groupby("zkey", as_index=False)["size"].sum().sort_values("zkey")
+            )
+            cc = sub["size"].cumsum().to_numpy()
+            zk = sub.zkey.to_numpy()
+            for local in needles[int(pfx)]:
+                rows.append(zk[int(np.searchsorted(cc, local, side="left"))])
+        return pd.DataFrame({"b": pd.Series(rows, dtype="int64")})
+
+    boundaries = np.sort(
+        partial_then_combine(
+            stamped, bnd_partial, "pfx", bnd_combine, num_buckets=16
+        )
+        .to_pandas()
+        .b.to_numpy()
+        .astype("int64")
+    )
 
     out_dir = Path("/tmp/mosr_q103_zorder") / Path(sf_dir).name
     shutil.rmtree(out_dir, ignore_errors=True)
     out_dir.mkdir(parents=True, exist_ok=True)
 
     def add_rng(df: pd.DataFrame) -> pd.DataFrame:
-        m = _ray.get(rng_ref)
         df = df.copy()
-        df["__rng"] = df.zkey.map(m).astype("int64")
+        df["__rng"] = np.searchsorted(
+            boundaries, df.zkey.to_numpy(), side="right"
+        ).astype("int64")
         return df
 
     def sort_and_write(df: pd.DataFrame) -> pd.DataFrame:

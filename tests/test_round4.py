@@ -97,3 +97,57 @@ class TestQ112BoundedNOrders:
             .fetchone()[0]
         )
         assert (out.n_orders == exp).all()
+
+
+class TestZorderBoundaryEquivalence:
+    def test_searchsorted_matches_old_per_key_rule(self, ray_session, tmp_path):
+        """q103's new O(n_ranges) boundary stamp must assign exactly the same
+        range as r3's per-distinct-key dict rule
+        rng(k)=min(floor(16*(cum_k-1)/total), 15) — verified on a SKEWED key
+        distribution (heavy keys spanning multiple depths) where boundary
+        duplicates matter."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from medical_ocr_service_ray.pipelines.queries import q103_zorder_cluster
+
+        rng = np.random.default_rng(11)
+        # zipf-ish skew: a few (user, day) cells carry most rows
+        users = rng.zipf(1.3, 4000) % 50
+        days = rng.zipf(1.5, 4000) % 30
+        base = np.datetime64("2024-01-01T06:00:00", "us")
+        ts = base + days * np.timedelta64(86400, "s")
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(np.arange(len(users)), pa.int64()),
+                    "ts": pa.array(ts),
+                    "user_id": pa.array(users.astype(np.int64)),
+                    "event_type": pa.array(["x"] * len(users)),
+                    "value": pa.array(np.zeros(len(users))),
+                    "props": pa.array(["{}"] * len(users)),
+                }
+            ),
+            d / "events.parquet",
+        )
+        out = q103_zorder_cluster(str(d)).to_pandas()
+
+        # brute-force old rule over the full key histogram
+        h = out.groupby("zkey").size().sort_index()
+        cum = h.cumsum()
+        total = int(cum.iloc[-1])
+        old = np.minimum((16 * (cum.to_numpy() - 1)) // total, 15)
+        old_of_key = dict(zip(h.index, old))
+
+        # recover the new assignment from the written range files
+        from pathlib import Path
+
+        files = sorted(Path("/tmp/mosr_q103_zorder/sf").glob("range-*.parquet"))
+        assert files, "q103 wrote no range files"
+        for f in files:
+            r = int(f.stem.split("-")[1])
+            zk = pq.read_table(f, columns=["zkey"]).column("zkey").to_pylist()
+            for k in set(zk):
+                assert old_of_key[k] == r, (k, old_of_key[k], r)
