@@ -130,6 +130,9 @@ def _consume(res) -> int:
 
 
 def run_bench() -> dict:
+    # timing run: skip the serial single-process golden fixtures q16/q24
+    # write for their DuckDB oracles — nothing reads them during a bench
+    os.environ["MOSR_SKIP_ORACLE_FIXTURES"] = "1"
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_name = os.path.basename(os.path.normpath(sf_dir))

@@ -906,9 +906,12 @@ def _extracted_ordered(sf_dir: str) -> "rd.Dataset":
 
 def q16_extract_transcripts(sf_dir: str):
     """FLAGSHIP: the full extraction pipeline over the deterministic synthetic
-    transcript corpus sized to this sf (north rule; correctness gated by
-    pytest golden parity, not SQL — transcripts are not a DuckDB view)."""
+    transcript corpus sized to this sf (north rule). SQL-oracled since r4 via
+    the single-process golden fixture (_golden_fixture_dir): the oracle reads
+    the serial loop's output, so the driver hash-compares distributed vs
+    serial extraction — the golden parity gate, driver-visible."""
     ds = _extracted_ordered(sf_dir)
+    _golden_fixture_dir(sf_dir)
 
     def flatten(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -974,6 +977,130 @@ def _extraction_view_dir(sf_dir: str) -> str:
     ).write_parquet(out)
     _EXTRACT_VIEW_KEY[0] = key
     return out
+
+
+_GOLDEN_VIEW_KEY: list = [None]  # last (sf_dir, session) copied to .../current
+
+
+def _golden_fixture_dir(sf_dir: str) -> str | None:
+    """Write the SINGLE-PROCESS golden for the flagship to the fixed path
+    /tmp/mosr_golden/current so q16/q24 get real DuckDB oracles: the oracle
+    side is the serial loop (oracle.py — same pure functions, no Ray), the
+    query side is the distributed pipeline, so the SQL hash-compare gates the
+    distribution (batching, ordering, actor-pool broadcast) end-to-end from
+    the driver's harness, not just from pytest. Cached on disk per
+    (corpus, extractor_version) — the 33 s serial extract at sf0.01 runs once
+    per machine. Skipped under MOSR_SKIP_ORACLE_FIXTURES=1 (bench timing
+    runs set it: nothing reads the fixtures there and the serial loop is
+    deliberately unparallelized)."""
+    import os
+    import shutil as _shutil
+
+    if os.environ.get("MOSR_SKIP_ORACLE_FIXTURES") == "1":
+        return None
+    cur = Path("/tmp/mosr_golden/current")
+    key = _session_key(sf_dir)
+    if _GOLDEN_VIEW_KEY[0] == key:
+        return str(cur)
+
+    from medical_ocr_service_ray.schemas import EXTRACTOR_VERSION
+    from medical_ocr_service_ray.synth import ensure_transcripts_for_sf
+
+    corpus = ensure_transcripts_for_sf(sf_dir)
+    cache = Path("/tmp/mosr_golden") / f"{corpus.name}-{EXTRACTOR_VERSION}"
+    flat_p = cache / "q16_flat.parquet"
+    q24_p = cache / "q24_matches.parquet"
+    if not (flat_p.exists() and q24_p.exists()):
+        cache.mkdir(parents=True, exist_ok=True)
+        from medical_ocr_service_ray.oracle import oracle_extract_dir
+
+        golden = oracle_extract_dir(corpus)
+        pq.write_table(
+            pa.table(
+                {
+                    "conv_id": golden["conv_id"],
+                    "turn_idx": golden["turn_idx"],
+                    "role": golden["role"],
+                    "content_type": golden["content_type"],
+                    "extracted_text": golden["extracted_text"],
+                    "n_spans": pc.list_value_length(golden["spans"]).cast(pa.int32()),
+                    "n_warnings": pc.list_value_length(golden["warnings"]).cast(
+                        pa.int32()
+                    ),
+                    "confidence": golden["confidence"],
+                    "text_sha256": golden["text_sha256"],
+                }
+            ),
+            flat_p,
+        )
+        pq.write_table(_q24_serial_golden(golden), q24_p)
+
+    _shutil.rmtree(cur, ignore_errors=True)
+    cur.mkdir(parents=True, exist_ok=True)
+    _shutil.copy2(flat_p, cur / "q16_flat.parquet")
+    _shutil.copy2(q24_p, cur / "q24_matches.parquet")
+    _GOLDEN_VIEW_KEY[0] = key
+    return str(cur)
+
+
+def _q24_serial_golden(golden: pa.Table) -> pa.Table:
+    """Serial (no-Ray) mirror of q24: the same pure matching pieces
+    (fold_accents, _PROCEDURE_RE, make_term_index, match_term) applied in a
+    plain loop over the golden extraction — checks the TermMatcher actor
+    pool's broadcast/batching/dedup plumbing, with an unbounded memo where
+    the actor uses the bounded LRU (cache policy must not change results)."""
+    from medical_ocr_service_ray.functions.normalize import fold_accents
+    from medical_ocr_service_ray.functions.spans import _PROCEDURE_RE
+    from medical_ocr_service_ray.stages.enrich import (
+        load_agreements,
+        load_lookup_terms,
+        make_term_index,
+        match_term,
+    )
+
+    terms = load_lookup_terms()
+    index = make_term_index(terms)
+    agreements = frozenset(load_agreements(terms))
+    memo: dict[str, list] = {}
+    n_matched, best_id, best_agr = [], [], []
+    for text in golden["extracted_text"].to_pylist():
+        folded = fold_accents(text or "").upper()
+        queries = list(dict.fromkeys(m.group(0) for m in _PROCEDURE_RE.finditer(folded)))
+        matches: list[tuple] = []
+        seen: set[int] = set()
+        for q in queries:
+            res = memo.get(q)
+            if res is None:
+                res = match_term(q, index, agreements)
+                memo[q] = res
+            for tid, score, agr in res:
+                if tid not in seen:
+                    seen.add(tid)
+                    matches.append((tid, score, agr))
+        n_matched.append(len(matches))
+        best_id.append(matches[0][0] if matches else -1)
+        best_agr.append(bool(matches[0][2]) if matches else False)
+    return pa.table(
+        {
+            "conv_id": golden["conv_id"],
+            "turn_idx": golden["turn_idx"],
+            "n_matched_terms": pa.array(n_matched, pa.int32()),
+            "best_term_id": pa.array(best_id, pa.int32()),
+            "best_has_agreement": pa.array(best_agr, pa.bool_()),
+        }
+    )
+
+
+_Q16_SQL = """
+SELECT conv_id, turn_idx, role, content_type, extracted_text,
+       n_spans, n_warnings, confidence, text_sha256
+FROM read_parquet('/tmp/mosr_golden/current/q16_flat.parquet')
+"""
+
+_Q24_SQL = """
+SELECT conv_id, turn_idx, n_matched_terms, best_term_id, best_has_agreement
+FROM read_parquet('/tmp/mosr_golden/current/q24_matches.parquet')
+"""
 
 
 def q17_conv_stats(sf_dir: str):
@@ -1376,7 +1503,8 @@ WHERE dot > 0 AND na2 * nb2 > 0 AND 400 * dot * dot >= 49 * na2 * nb2
 def q24_enriched_extraction(sf_dir: str):
     """Flagship + semantic-matching enrichment: per-procedure top-k against
     the broadcast lookup_terms dimension with agreement preference (J1/J5/J6
-    composed, matching.service.js:351-432). Non-SQL (trigram knn ranking)."""
+    composed, matching.service.js:351-432). SQL-oracled since r4 against the
+    serial matching golden (_q24_serial_golden)."""
     import ray
 
     from medical_ocr_service_ray.stages.enrich import (
@@ -8295,6 +8423,7 @@ ORACLE_SQL = {
     "q13_minhash_pairs": _q13_sql(),
     "q14_simhash_pairs": _Q14_SQL,
     "q15_ngram_jaccard": _Q15_SQL,
+    "q16_extract_transcripts": _Q16_SQL,
     "q17_conv_stats": _Q17_SQL,
     "q18_semi_anti_join": _Q18_SQL,
     "q19_distinct_event_types": _Q19_SQL,
@@ -8302,6 +8431,7 @@ ORACLE_SQL = {
     "q21_hourly_user_windows": _Q21_SQL,
     "q22_ann_cosine_topk": _Q22_SQL,
     "q23_embedding_neardup": _Q23_SQL,
+    "q24_enriched_extraction": _Q24_SQL,
     "q25_apply_corrections": _Q25_SQL,
     "q27_assemble_conversations": _Q27_SQL,
     "q28_sessionize_events": _Q28_SQL,
