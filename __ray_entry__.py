@@ -21,10 +21,13 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2 (plus the
-    scale additions: dedup family, ANN, text analysis, windows)."""
-    from medical_ocr_service_ray.pipelines.queries import QUERIES
+    scale additions: dedup family, ANN, text analysis, windows). Ordered
+    risk-first (DRIVER_PRIORITY): the driver's correctness harness checks the
+    first ~50 entries, so the flagship, the newest queries and the heaviest
+    machinery sit inside that window."""
+    from medical_ocr_service_ray.pipelines.queries import QUERIES, driver_ordered
 
-    return dict(QUERIES)
+    return driver_ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
