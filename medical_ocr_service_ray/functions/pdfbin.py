@@ -122,7 +122,12 @@ def _read_hex(data: bytes, i: int) -> tuple[str, int]:
     hx = re.sub(rb"\s", b"", data[i + 1 : j])
     if len(hx) % 2:
         hx += b"0"
-    return bytes.fromhex(hx.decode("ascii")).decode("latin-1"), j + 1
+    try:
+        return bytes.fromhex(hx.decode("ascii")).decode("latin-1"), j + 1
+    except (UnicodeDecodeError, ValueError) as exc:
+        # junk bytes inside <..> (malformed / binary garbage posing as a
+        # hex string) must degrade as PdfBinError, not escape the parser
+        raise PdfBinError(f"bad hex string: {exc}") from exc
 
 
 _NEWLINE_OPS = {b"Td", b"TD", b"T*"}
@@ -257,6 +262,153 @@ def encode_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
             head = f"<< /Length {len(data)} >>".encode()
         objs.append(head + b"\nstream\n" + data + b"\nendstream")
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+# ------------------------------------------------------- image XObjects (r4)
+
+_INT_KEY_RE = {
+    k: re.compile(rb"/" + k.encode() + rb"\s+(\d+)")
+    for k in ("Width", "Height", "BitsPerComponent")
+}
+
+
+def _dict_int(head: bytes, key: str) -> int | None:
+    m = _INT_KEY_RE[key].search(head)
+    return int(m.group(1)) if m else None
+
+
+def extract_pdf_images(payload: bytes) -> list[np.ndarray]:
+    """Embedded image XObjects (/Subtype /Image) decoded to uint8 pixel
+    arrays ((h, w, 3) RGB or (h, w) gray) — the SCANNED-PDF path: a scanned
+    page is one full-page DCTDecode (JPEG) or FlateDecode (raw raster)
+    image and no text layer. DCT streams feed the pure-stdlib baseline JPEG
+    decoder (functions/jpeg.py); Flate streams reshape by /Width /Height
+    /ColorSpace (8-bit DeviceRGB/DeviceGray, no predictor). Reference
+    behavior: src/services/pdf.service.js:17-109 rasterizes every PDF at
+    300 DPI before OCR; this recovers the raster a scanned PDF already
+    carries, with zero new dependencies. Unsupported filters / predictors /
+    bit depths raise PdfBinError (caller falls back)."""
+    if not payload.startswith(b"%PDF"):
+        raise PdfBinError("not a PDF (missing %PDF header)")
+    if b"/Encrypt" in payload:
+        raise PdfBinError("encrypted PDF")
+    imgs: list[np.ndarray] = []
+    for m in _OBJ_RE.finditer(payload):
+        body = m.group(3)
+        sm = _STREAM_RE.search(body)
+        if not sm:
+            continue
+        head = body[: sm.start()]
+        if b"/Subtype" not in head or b"/Image" not in head:
+            continue
+        w, h = _dict_int(head, "Width"), _dict_int(head, "Height")
+        bpc = _dict_int(head, "BitsPerComponent") or 8
+        if not w or not h:
+            raise PdfBinError("image XObject missing /Width or /Height")
+        data = sm.group(1)
+        if b"/DCTDecode" in head:
+            from medical_ocr_service_ray.functions.jpeg import JpegError, decode_jpeg
+
+            try:
+                imgs.append(decode_jpeg(bytes(data)))
+            except JpegError as exc:
+                raise PdfBinError(f"bad DCTDecode stream: {exc}") from exc
+            continue
+        if b"/FlateDecode" in head:
+            if b"/Predictor" in head:
+                raise PdfBinError("PNG/TIFF predictors not supported")
+            if bpc != 8:
+                raise PdfBinError(f"unsupported BitsPerComponent {bpc}")
+            try:
+                raw = zlib.decompress(data)
+            except zlib.error as exc:
+                raise PdfBinError(f"bad FlateDecode image: {exc}") from exc
+            if b"/DeviceRGB" in head:
+                ch = 3
+            elif b"/DeviceGray" in head:
+                ch = 1
+            else:
+                raise PdfBinError("unsupported /ColorSpace")
+            if len(raw) != w * h * ch:
+                raise PdfBinError(
+                    f"image data length {len(raw)} != {w}x{h}x{ch}"
+                )
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            imgs.append(arr.reshape(h, w, ch) if ch == 3 else arr.reshape(h, w))
+            continue
+        raise PdfBinError("unsupported image filter")
+    return imgs
+
+
+def encode_scanned_pdf(
+    images: list[np.ndarray], codec: str = "flate", quality: int = 85
+) -> bytes:
+    """Minimal REAL scanned-style PDF: one page per image, each page's sole
+    content a full-page /Im0 Do of an image XObject — no text layer, like a
+    scanner's output. ``codec='flate'`` stores raw 8-bit pixels under
+    FlateDecode (lossless round-trip); ``codec='dct'`` embeds a real
+    baseline JPEG (functions/jpeg.py encoder). Test-fixture producer, opens
+    in standard viewers."""
+    assert codec in ("flate", "dct")
+    objs: list[bytes] = []
+    n_pages = len(images)
+    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())  # 2
+    for i, img in enumerate(images):
+        img = np.asarray(img, dtype=np.uint8)
+        h, w = img.shape[:2]
+        gray = img.ndim == 2
+        page_num = 3 + 3 * i
+        content_num, xobj_num = page_num + 1, page_num + 2
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] "
+                f"/Resources << /XObject << /Im0 {xobj_num} 0 R >> >> "
+                f"/Contents {content_num} 0 R >>"
+            ).encode()
+        )
+        content = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q".encode()
+        objs.append(
+            f"<< /Length {len(content)} >>".encode()
+            + b"\nstream\n"
+            + content
+            + b"\nendstream"
+        )
+        if codec == "dct":
+            from medical_ocr_service_ray.functions.jpeg import encode_jpeg
+
+            data = encode_jpeg(img if not gray else np.repeat(img[:, :, None], 3, 2), quality=quality)
+            filt, cs = b"/DCTDecode", b"/DeviceRGB"
+        else:
+            data = zlib.compress(img.tobytes())
+            filt, cs = b"/FlateDecode", b"/DeviceGray" if gray else b"/DeviceRGB"
+        objs.append(
+            (
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace %s /BitsPerComponent 8 /Filter %s /Length %d >>"
+                % (w, h, cs, filt, len(data))
+            )
+            + b"\nstream\n"
+            + data
+            + b"\nendstream"
+        )
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]

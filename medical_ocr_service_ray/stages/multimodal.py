@@ -92,8 +92,11 @@ class MediaDecoderStub:
     multi-strip), baseline JPEGs (functions/jpeg.py: huffman + IDCT, 4:4:4
     and 4:2:0) and RIFF/PCM WAV payloads (functions/audio.py). Digital PDFs
     decode their real TEXT layer (functions/pdfbin.py: FlateDecode content
-    streams + BT/ET text operators). Remaining formats (progressive JPEG,
-    scanned/image-only PDF rasters, video) are STUBBED
+    streams + BT/ET text operators); SCANNED PDFs decode their real RASTER
+    (extract_pdf_images: DCTDecode via the baseline JPEG decoder,
+    FlateDecode raw bitmaps — the in-container analogue of the reference's
+    pdftoppm rasterize, pdf.service.js:17-109). Remaining formats
+    (progressive JPEG, video, exotic PDF filters) are STUBBED
     (no pillow/ffmpeg in this container); the deterministic fake keeps every
     distributed aspect real: per-actor setup, small-batch processing,
     fixed-size feature output layout. A malformed PNG/WAV is an undecodable
@@ -195,17 +198,36 @@ class MediaDecoderStub:
 
     def _decode_pdf_text(self, payload: bytes):
         """Real text lines for digital PDFs (functions/pdfbin.py: object
-        graph + FlateDecode + BT/ET text operators). Scanned/encrypted/
-        object-stream PDFs raise PdfBinError -> fake path (those genuinely
-        need the reference's rasterize+OCR route, pdf.service.js:17-109)."""
+        graph + FlateDecode + BT/ET text operators). A PDF with NO text
+        layer (scanned) returns None so the raster path below gets a shot;
+        encrypted/object-stream PDFs raise PdfBinError -> fallback."""
         from medical_ocr_service_ray.functions import pdfbin as _pdf
 
         if not payload or not bytes(payload[:4]) == b"%PDF":
             return None
         try:
-            return _pdf.extract_pdf_text(payload)
+            lines = _pdf.extract_pdf_text(payload)
         except _pdf.PdfBinError:
             return None
+        return lines or None
+
+    def _decode_pdf_images(self, payload: bytes):
+        """Real pixels for SCANNED PDFs: embedded image XObjects decoded by
+        the stdlib codecs (functions/pdfbin.py:extract_pdf_images —
+        DCTDecode via the baseline JPEG decoder, FlateDecode raw raster).
+        Closes the r3 gap where every scanned PDF took the fake path; the
+        reference rasterizes these with pdftoppm (pdf.service.js:17-109).
+        Returns the first page's raster (the scanned-page convention: one
+        full-page image per page), None when not a decodable image PDF."""
+        from medical_ocr_service_ray.functions import pdfbin as _pdf
+
+        if not payload or not bytes(payload[:4]) == b"%PDF":
+            return None
+        try:
+            imgs = _pdf.extract_pdf_images(payload)
+        except _pdf.PdfBinError:
+            return None
+        return imgs[0] if imgs else None
 
     def _fake_features(self, payload: bytes) -> np.ndarray:
         if not self.fake:
@@ -233,6 +255,9 @@ class MediaDecoderStub:
             from medical_ocr_service_ray.functions.pdfbin import pdf_text_features
 
             return pdf_text_features(pdf_lines, dim=self.FEATURE_DIM)
+        pdf_img = self._decode_pdf_images(payload)
+        if pdf_img is not None:
+            return image_features(pdf_img, self.FEATURE_DIM)
         return self._fake_features(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -301,9 +326,10 @@ def media_pipeline(ds, op: str = "features", concurrency=(1, 4)):
 
 def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
     """Deterministic media fixture: REAL decodable JPEG/PNG/BMP/GIF/WAV
-    payloads (encoded with the stdlib codecs, so q26's features come from
-    actual pixel/sample data) mixed with fake PDF/unknown payloads that only
-    carry valid magic numbers."""
+    payloads plus REAL PDFs — digital (text layer), scanned-flate and
+    scanned-dct (image XObjects) — encoded with the stdlib codecs, so q26's
+    features come from actual pixel/sample/text data; a slice of malformed
+    %PDF / unknown payloads exercises the fallback path."""
     from medical_ocr_service_ray.functions.png import encode_png
 
     rng = np.random.default_rng(seed)
@@ -360,6 +386,36 @@ def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
             wave = 0.5 * np.sin(2 * np.pi * float(rng.uniform(100, 2000)) * t)
             wave += 0.05 * rng.standard_normal(t.shape)
             payloads.append(encode_wav(wave, rate))
+        elif k == 2:  # real PDFs: digital (text layer), scanned (flate/dct
+            # image XObject), or malformed %PDF junk (fallback exercise)
+            from medical_ocr_service_ray.functions.pdfbin import (
+                encode_pdf,
+                encode_scanned_pdf,
+            )
+
+            r = rng.random()
+            if r < 0.3:
+                n_lines = int(rng.integers(1, 6))
+                lines = [
+                    f"linea {j} doc {i} valor {int(rng.integers(0, 999))}"
+                    for j in range(n_lines)
+                ]
+                payloads.append(encode_pdf([lines]))
+            elif r < 0.6:
+                h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                payloads.append(encode_scanned_pdf([img], codec="flate"))
+            elif r < 0.85:
+                h, w = int(rng.integers(16, 48)), int(rng.integers(16, 48))
+                yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+                img = np.stack(
+                    [yy * 255 / max(h - 1, 1), xx * 255 / max(w - 1, 1), (yy + xx) * 127 / max(h + w - 2, 1)],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_scanned_pdf([img], codec="dct", quality=88))
+            else:
+                body = rng.integers(0, 256, size=int(rng.integers(500, 4000)), dtype=np.uint8).tobytes()
+                payloads.append(b"%PDF" + body)
         else:
             body = rng.integers(0, 256, size=int(rng.integers(500, 4000)), dtype=np.uint8).tobytes()
             payloads.append(magics[k] + body)

@@ -151,3 +151,88 @@ class TestZorderBoundaryEquivalence:
             zk = pq.read_table(f, columns=["zkey"]).column("zkey").to_pylist()
             for k in set(zk):
                 assert old_of_key[k] == r, (k, old_of_key[k], r)
+
+
+class TestScannedPdf:
+    """r3 verdict ask #4: scanned PDFs decode their real raster via the
+    stdlib codecs (pdfbin image XObjects -> jpeg/zlib), no fake path."""
+
+    def test_flate_roundtrip_exact(self):
+        from medical_ocr_service_ray.functions import pdfbin as P
+
+        rng = np.random.default_rng(3)
+        rgb = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        gray = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+        back = P.extract_pdf_images(P.encode_scanned_pdf([rgb, gray], codec="flate"))
+        assert np.array_equal(back[0], rgb) and np.array_equal(back[1], gray)
+
+    def test_dct_roundtrip_close(self):
+        from medical_ocr_service_ray.functions import pdfbin as P
+
+        h, w = 40, 48
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        img = np.stack(
+            [yy * 255 / (h - 1), xx * 255 / (w - 1), (yy + xx) * 127 / (h + w - 2)],
+            axis=-1,
+        ).astype(np.uint8)
+        back = P.extract_pdf_images(P.encode_scanned_pdf([img], codec="dct", quality=90))
+        assert back[0].shape == img.shape
+        assert np.abs(back[0].astype(int) - img.astype(int)).mean() < 8.0
+
+    def test_planted_pixel_features_not_fake(self):
+        """The stub's feature vector for a scanned PDF must equal
+        image_features(planted pixels) — proving the raster path runs, not
+        the blake2b fake."""
+        from medical_ocr_service_ray.functions.pdfbin import encode_scanned_pdf
+        from medical_ocr_service_ray.functions.png import image_features
+        from medical_ocr_service_ray.stages.multimodal import MediaDecoderStub
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+        stub = MediaDecoderStub(op="features", fake=False)  # would RAISE on fake
+        got = stub._features(encode_scanned_pdf([img], codec="flate"))
+        assert np.allclose(got, image_features(img, 64))
+
+    def test_digital_pdf_still_takes_text_path(self):
+        from medical_ocr_service_ray.functions.pdfbin import (
+            encode_pdf,
+            pdf_text_features,
+        )
+        from medical_ocr_service_ray.stages.multimodal import MediaDecoderStub
+
+        stub = MediaDecoderStub(op="features", fake=False)
+        pdf = encode_pdf([["hola mundo", "segunda linea"]])
+        got = stub._features(pdf)
+        assert np.allclose(got, pdf_text_features(["hola mundo", "segunda linea"], 64))
+
+    def test_unsupported_filter_raises_pdfbin_error(self):
+        from medical_ocr_service_ray.functions import pdfbin as P
+
+        bad = (
+            b"%PDF-1.4\n1 0 obj\n<< /Subtype /Image /Width 4 /Height 4 "
+            b"/Filter /CCITTFaxDecode /Length 8 >>\nstream\nabcdefgh\nendstream\nendobj\n"
+        )
+        with pytest.raises(P.PdfBinError):
+            P.extract_pdf_images(bad)
+
+    def test_q26_fixture_has_all_three_pdf_kinds(self, ray_session):
+        """The q26 fixture now carries digital, scanned-flate and scanned-dct
+        PDFs, and all of them feature-extract deterministically."""
+        from medical_ocr_service_ray.functions import pdfbin as P
+        from medical_ocr_service_ray.stages.multimodal import synth_media_table
+
+        media = synth_media_table(256)
+        kinds = {"text": 0, "flate": 0, "dct": 0, "junk": 0}
+        for p in media["payload"].to_pylist():
+            if not p.startswith(b"%PDF"):
+                continue
+            try:
+                if P.extract_pdf_text(p):
+                    kinds["text"] += 1
+                elif b"/DCTDecode" in p:
+                    kinds["dct"] += 1
+                elif P.extract_pdf_images(p):
+                    kinds["flate"] += 1
+            except P.PdfBinError:
+                kinds["junk"] += 1
+        assert all(v > 0 for v in kinds.values()), kinds
