@@ -67,6 +67,19 @@ def bucket_of(series: pd.Series, num_buckets: int) -> pd.Series:
     return (vals % num_buckets).astype("int32")
 
 
+def bucket_of_arrow(col, num_buckets: int):
+    """Arrow-column twin of ``bucket_of`` — SAME bucket values (int64 modulo;
+    siphash of the str() rendering otherwise), computed without converting
+    the rest of the table to pandas."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype("int64", copy=False)
+    else:
+        v = pd.util.hash_array(col.to_pandas().astype(str).to_numpy(dtype=object))
+    return pa.array((v % num_buckets).astype("int32"))
+
+
 def bucketed_combine(
     ds: "rd.Dataset",
     first_key: str,
@@ -83,8 +96,21 @@ def bucketed_combine(
     bucket-stamp pass bundles blocks back together first (measured on the
     Bloom join: Sort 5.9 s -> sub-second at identical row counts)."""
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
+    def add_bucket(batch):
+        # batch_format=None hands over the NATIVE block: Arrow lineages
+        # (read_parquet-fed callers) stamp via zero-copy append_column with
+        # no Arrow->pandas round-trip of the payload columns; pandas
+        # lineages (partial outputs, incl. object-dtype cells Arrow can't
+        # hold) keep the exact legacy path. Bucket VALUES are identical on
+        # both branches (bucket_of/bucket_of_arrow twins) — q130's SQL
+        # oracle mirrors the int-modulo stamp bit-for-bit.
+        import pyarrow as pa
+
+        if isinstance(batch, pa.Table):
+            return batch.append_column(
+                "__bucket", bucket_of_arrow(batch[first_key], num_buckets)
+            )
+        df = batch.copy()
         df["__bucket"] = bucket_of(df[first_key], num_buckets)
         return df
 
@@ -93,7 +119,7 @@ def bucketed_combine(
 
     kw = {"batch_size": map_batch_size} if map_batch_size is not None else {}
     return (
-        ds.map_batches(add_bucket, batch_format="pandas", **kw)
+        ds.map_batches(add_bucket, batch_format=None, zero_copy_batch=True, **kw)
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )

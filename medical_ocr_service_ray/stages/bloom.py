@@ -117,21 +117,30 @@ def build_bloom(
     return merged.tobytes()
 
 
-def _stamp_batch(df: pd.DataFrame, *, bloom_ref, key_col: str, m_bits: int, k: int, keep: bool) -> pd.DataFrame:
+def _stamp_batch(batch, *, bloom_ref, key_col: str, m_bits: int, k: int, keep: bool):
     """Task-pool stamp: keep rows whose Bloom verdict matches ``keep``
     (True = possible member, False = definite non-member). A plain task —
     not an actor pool — because the anti path forks the stamped lineage into
     two branches; two actor pools on a small cluster can starve the
     read/sort tasks. ``ray.get`` of the bitmap inside the task is a local
-    zero-copy plasma read (the broadcast pattern), not a per-batch ship."""
+    zero-copy plasma read (the broadcast pattern), not a per-batch ship.
+    Native-block dual path (batch_format=None): the probe is usually a raw
+    parquet read, so the Arrow branch filters zero-copy instead of paying an
+    Arrow->pandas conversion of every probe column just to drop rows."""
     bitmap = np.frombuffer(ray.get(bloom_ref), dtype=np.uint8)
-    keys = df[key_col].to_numpy()
+    is_arrow = isinstance(batch, pa.Table)
+    keys = (
+        batch[key_col].to_numpy(zero_copy_only=False)
+        if is_arrow
+        else batch[key_col].to_numpy()
+    )
     maybe = (
         _test_bits(bitmap, _bit_positions(keys, m_bits, k))
         if len(keys)
         else np.zeros(0, dtype=bool)
     )
-    return df[maybe] if keep else df[~maybe]
+    mask = maybe if keep else ~maybe
+    return batch.filter(pa.array(mask)) if is_arrow else batch[mask]
 
 
 def bloom_semi_join(
@@ -164,12 +173,12 @@ def bloom_semi_join(
     # file arrives as ~64 slivers): without it every map stage here runs one
     # tiny task per sliver and the pipeline is task-overhead-bound
     positives = probe.map_batches(
-        _stamp_batch, fn_kwargs=dict(keep=True, **kw), batch_format="pandas",
-        batch_size=1 << 18,
+        _stamp_batch, fn_kwargs=dict(keep=True, **kw), batch_format=None,
+        zero_copy_batch=True, batch_size=1 << 18,
     )
     negatives = probe.map_batches(
-        _stamp_batch, fn_kwargs=dict(keep=False, **kw), batch_format="pandas",
-        batch_size=1 << 18,
+        _stamp_batch, fn_kwargs=dict(keep=False, **kw), batch_format=None,
+        zero_copy_batch=True, batch_size=1 << 18,
     )
 
     # exact membership for the possible-positives: tag-union with the build
