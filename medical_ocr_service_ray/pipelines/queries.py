@@ -8271,6 +8271,390 @@ GROUP BY 1, 2
 """
 
 
+# -------------------------------------------------------------------- q132
+
+def q132_retention_cohorts(sf_dir: str):
+    """Weekly retention cohort matrix — the product-analytics staple: users
+    grouped by the week of their FIRST signup; cell (cohort_week,
+    week_offset) counts distinct cohort users active (any event) that week.
+    One user-keyed exchange: users are partitioned by the bucket hash, so
+    per-bucket distinct-user cell counts SUM exactly; the driver sees
+    O(weeks²) cells. Week index = days-since-2024-01-01 // 7 (nested floor
+    divisions agree with SQL's single floor by 7 days for nonnegative
+    spans)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+    EPOCH0 = np.datetime64("2024-01-01", "us")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            (df.ts.to_numpy().astype("datetime64[us]") - EPOCH0)
+            // np.timedelta64(86400_000_000, "us")
+        ).astype("int64")
+        d = pd.DataFrame(
+            {
+                "user_id": df.user_id.to_numpy(),
+                "week": day // 7,
+                "is_signup": (df.event_type == "signup").to_numpy(),
+            }
+        )
+        su = d[d.is_signup].groupby("user_id")["week"].min().rename("cohort_week")
+        act = d[["user_id", "week"]].drop_duplicates()
+        m = act.merge(su, on="user_id")  # inner: only users with a signup
+        m = m[m.week >= m.cohort_week]
+        m["week_offset"] = m.week - m.cohort_week
+        return m.groupby(["cohort_week", "week_offset"], as_index=False).agg(
+            n_users=("user_id", "nunique")
+        )
+
+    cells = bucketed_combine(ds, "user_id", combine).to_pandas()
+    out = cells.groupby(["cohort_week", "week_offset"], as_index=False)["n_users"].sum()
+    return (
+        out.sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+_Q132_SQL = """
+WITH w AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch_us(ts - TIMESTAMP '2024-01-01') / 604800000000.0) AS BIGINT) AS week
+  FROM events
+), su AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM w WHERE event_type = 'signup' GROUP BY 1
+), act AS (
+  SELECT DISTINCT user_id, week FROM w
+)
+SELECT su.cohort_week, act.week - su.cohort_week AS week_offset,
+       COUNT(DISTINCT act.user_id)::BIGINT AS n_users
+FROM act JOIN su USING (user_id)
+WHERE act.week >= su.cohort_week
+GROUP BY 1, 2
+"""
+
+
+# -------------------------------------------------------------------- q133
+
+def q133_time_weighted_avg(sf_dir: str):
+    """Per-user TIME-WEIGHTED average of `value`: each event's value is
+    held until the user's next event; weighted mean over the observed span
+    in EXACT integer arithmetic (cents × µs summed, floor-divided by the
+    span — Σgap == span bounds the int64 products). Users with <2 events
+    drop (zero span). One user-keyed exchange; mirrors SQL lead() windows
+    bit-for-bit. cents ≥ 0 on this data, so DuckDB's truncating `//`
+    agrees with numpy's floor `//` (asserted in the combine)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df.user_id.to_numpy()
+        ts = df.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        cents = _cents(df.value).to_numpy()
+        assert (cents >= 0).all(), "negative cents: SQL // would diverge"
+        nxt_same = np.r_[uid[1:] == uid[:-1], False]
+        gap = np.where(nxt_same, np.r_[ts[1:], 0] - ts, 0).astype("int64")
+        w = pd.DataFrame({"user_id": uid, "wsum": cents * gap, "span": gap})
+        g = w.groupby("user_id", as_index=False).sum()
+        g = g[g.span > 0]
+        return pd.DataFrame(
+            {
+                "user_id": g.user_id.astype("int64"),
+                "twa_cents": (g.wsum // g.span).astype("int64"),
+            }
+        )
+
+    return (
+        bucketed_combine(ds, "user_id", combine)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+_Q133_SQL = """
+WITH e AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+  FROM events
+), g AS (
+  SELECT user_id, SUM(cents * (t2 - t)) AS wsum, SUM(t2 - t) AS span
+  FROM e WHERE t2 IS NOT NULL GROUP BY 1
+)
+SELECT user_id, CAST(wsum // span AS BIGINT) AS twa_cents
+FROM g WHERE span > 0
+"""
+
+
+# -------------------------------------------------------------------- q134
+
+def q134_quantity_mad(sf_dir: str):
+    """Exact median + MAD (median absolute deviation — the robust-stats
+    pair) of l_quantity ×100. ONE bounded exchange: the quantity domain is
+    discrete, so per-batch value-count partials collapse to a driver-side
+    histogram of O(distinct values); the MAD histogram is a pure driver
+    transform of the same histogram (|v−median| re-binning), no second
+    scan. Rank rule = the engine's integer percentile_disc (first value
+    with cum ≥ ceil(n/2) = (n+1)//2), mirrored literally in SQL cumulative
+    windows."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"v": _cents(df.l_quantity)})
+            .groupby("v", as_index=False)
+            .size()
+        )
+
+    hist = driver_combine(
+        ds, partial, lambda df: df.groupby("v", as_index=False)["size"].sum()
+    ).sort_values("v")
+
+    def disc_median(vals: np.ndarray, counts: np.ndarray) -> int:
+        cum = counts.cumsum()
+        n = int(cum[-1])
+        return int(vals[np.searchsorted(cum, (n + 1) // 2, side="left")])
+
+    v = hist.v.to_numpy()
+    c = hist["size"].to_numpy().astype("int64")
+    med = disc_median(v, c)
+    dev = pd.DataFrame({"dv": np.abs(v - med), "c": c}).groupby("dv", as_index=False)["c"].sum()
+    mad = disc_median(dev.dv.to_numpy(), dev.c.to_numpy().astype("int64"))
+    return pd.DataFrame({"median_x100": [med], "mad_x100": [mad]}).astype("int64")
+
+
+_Q134_SQL = """
+WITH h AS (
+  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS v, COUNT(*)::BIGINT AS c
+  FROM lineitem GROUP BY 1
+), n AS (SELECT SUM(c) AS n FROM h),
+med AS (
+  SELECT MIN(v) AS m FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h), n
+  WHERE cum >= (n + 1) // 2
+), d AS (
+  SELECT abs(v - (SELECT m FROM med)) AS dv, SUM(c) AS c FROM h GROUP BY 1
+), mad AS (
+  SELECT MIN(dv) AS m FROM (SELECT dv, SUM(c) OVER (ORDER BY dv) AS cum FROM d), n
+  WHERE cum >= (n + 1) // 2
+)
+SELECT (SELECT m FROM med)::BIGINT AS median_x100, (SELECT m FROM mad)::BIGINT AS mad_x100
+"""
+
+
+# -------------------------------------------------------------------- q135
+
+def q135_dense_event_grid(sf_dir: str):
+    """Dense (day × event_type) grid over HIGH-VALUE events (value > 250,
+    sparse by construction) with ZERO-FILLED empty cells — the time-series
+    padding op every dashboard needs before plotting/joining. Two tiny
+    driver_combines (bounded outputs): pass A derives the grid bounds
+    (min/max day + type domain) from the FULL data, pass B aggregates the
+    filtered cells; the dense reindex + zero fill happens on the
+    O(days × types) driver frame."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    EPOCH0 = np.datetime64("2024-01-01", "us")
+
+    def day_of(ts) -> np.ndarray:
+        return (
+            (ts.to_numpy().astype("datetime64[us]") - EPOCH0)
+            // np.timedelta64(86400_000_000, "us")
+        ).astype("int64")
+
+    def bounds_partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = day_of(df.ts)
+        types = df.event_type.unique()
+        return pd.DataFrame(
+            {
+                "lo": int(day.min()),
+                "hi": int(day.max()),
+                "event_type": types,
+            }
+        )
+
+    b = driver_combine(
+        ds,
+        bounds_partial,
+        lambda df: pd.DataFrame(
+            {
+                "lo": [int(df.lo.min())],
+                "hi": [int(df.hi.max())],
+                "types": [sorted(df.event_type.unique())],
+            }
+        ),
+    )
+    lo, hi, types = int(b.lo[0]), int(b.hi[0]), list(b.types[0])
+
+    def cells_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df.value > 250.0]
+        if sub.empty:
+            return pd.DataFrame(
+                {
+                    "day": pd.Series(dtype="int64"),
+                    "event_type": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        return (
+            pd.DataFrame({"day": day_of(sub.ts), "event_type": sub.event_type})
+            .groupby(["day", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    cells = driver_combine(
+        ds,
+        cells_partial,
+        lambda df: df.groupby(["day", "event_type"], as_index=False)["n"].sum(),
+    )
+    grid = (
+        cells.set_index(["day", "event_type"])
+        .reindex(
+            pd.MultiIndex.from_product(
+                [range(lo, hi + 1), types], names=["day", "event_type"]
+            ),
+            fill_value=0,
+        )
+        .reset_index()
+    )
+    grid["n"] = grid.n.astype("int64")
+    grid["day"] = grid.day.astype("int64")
+    return grid
+
+
+_Q135_SQL = """
+WITH f AS (
+  SELECT CAST(floor(epoch_us(ts - TIMESTAMP '2024-01-01') / 86400000000.0) AS BIGINT) AS day,
+         event_type, value
+  FROM events
+), bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM f),
+days AS (
+  SELECT CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS day FROM bounds
+), types AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+  SELECT day, event_type, COUNT(*)::BIGINT AS n FROM f WHERE value > 250.0 GROUP BY 1, 2
+)
+SELECT d.day, t.event_type, COALESCE(a.n, 0)::BIGINT AS n
+FROM days d CROSS JOIN types t
+LEFT JOIN agg a ON a.day = d.day AND a.event_type = t.event_type
+"""
+
+
+# -------------------------------------------------------------------- q136
+
+def q136_equidepth_price_bins(sf_dir: str):
+    """16 EQUI-DEPTH bins over l_extendedprice cents + per-bin stats — ML
+    feature binning with exact integer boundaries, the q103 boundary rule
+    generalized to a plain column: boundary b_r = smallest value with
+    cum ≥ ceil(r·n/16)+1 (duplicates kept — a heavy value spanning depths
+    counts multiply), bin = #boundaries ≤ value via searchsorted. Driver /
+    broadcast state is O(n_bins); the value histogram is collected per
+    PREFIX (cents>>8, ≤2^16 cells by key-space width) and only needle
+    prefixes ship their full per-value counts."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    n_bins = 16
+    _PSHIFT = 8  # cents ≤ ~1e7 < 2^24 => prefixes ≤ 2^16
+
+    def cents_of(df: pd.DataFrame) -> np.ndarray:
+        return _cents(df.l_extendedprice).to_numpy()
+
+    def pfx_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"pfx": cents_of(df) >> _PSHIFT})
+            .groupby("pfx", as_index=False)
+            .size()
+        )
+
+    hist = driver_combine(
+        ds, pfx_partial, lambda df: df.groupby("pfx", as_index=False)["size"].sum()
+    ).sort_values("pfx")
+    pc_ = hist["size"].to_numpy().astype("int64")
+    total = int(pc_.sum())
+    pcum = pc_.cumsum()
+    threshes = [
+        -((-r * total) // n_bins) + 1
+        for r in range(1, n_bins)
+        if -((-r * total) // n_bins) + 1 <= total
+    ]
+    needles: dict[int, list[int]] = {}
+    pfx_vals = hist.pfx.to_numpy()
+    for t in threshes:
+        i = int(np.searchsorted(pcum, t, side="left"))
+        needles.setdefault(int(pfx_vals[i]), []).append(t - (int(pcum[i - 1]) if i else 0))
+    needle_set = np.array(sorted(needles), dtype="int64")
+
+    def bnd_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = cents_of(df)
+        sub = cents[np.isin(cents >> _PSHIFT, needle_set)]
+        out = pd.DataFrame({"v": sub}).groupby("v", as_index=False).size()
+        out["pfx"] = out.v.to_numpy() >> _PSHIFT
+        return out
+
+    def bnd_combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pfx, sub in df.groupby("pfx"):
+            sub = sub.groupby("v", as_index=False)["size"].sum().sort_values("v")
+            cc = sub["size"].cumsum().to_numpy()
+            vv = sub.v.to_numpy()
+            for local in needles[int(pfx)]:
+                rows.append(vv[int(np.searchsorted(cc, local, side="left"))])
+        return pd.DataFrame({"b": pd.Series(rows, dtype="int64")})
+
+    boundaries = np.sort(
+        partial_then_combine(ds, bnd_partial, "pfx", bnd_combine, num_buckets=16)
+        .to_pandas()
+        .b.to_numpy()
+        .astype("int64")
+    )
+
+    def bin_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = cents_of(df)
+        b = np.searchsorted(boundaries, cents, side="right").astype("int64")
+        return (
+            pd.DataFrame({"bin": b, "cents": cents})
+            .groupby("bin", as_index=False)
+            .agg(
+                p_n=("cents", "size"),
+                p_sum=("cents", "sum"),
+                p_min=("cents", "min"),
+                p_max=("cents", "max"),
+            )
+        )
+
+    out = driver_combine(
+        ds,
+        bin_partial,
+        lambda df: df.groupby("bin", as_index=False).agg(
+            n=("p_n", "sum"),
+            sum_cents=("p_sum", "sum"),
+            min_cents=("p_min", "min"),
+            max_cents=("p_max", "max"),
+        ),
+    )
+    return out.sort_values("bin").reset_index(drop=True).astype("int64")
+
+
+_Q136_SQL = """
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+), h AS (SELECT cents, COUNT(*)::BIGINT AS c FROM v GROUP BY 1),
+cum AS (SELECT cents, SUM(c) OVER (ORDER BY cents) AS cum FROM h),
+n AS (SELECT SUM(c) AS n FROM h),
+t AS (
+  SELECT r, (r * (SELECT n FROM n) + 15) // 16 + 1 AS thresh
+  FROM (SELECT CAST(range AS BIGINT) AS r FROM range(1, 16))
+  WHERE (r * (SELECT n FROM n) + 15) // 16 + 1 <= (SELECT n FROM n)
+), b AS (
+  SELECT t.r, MIN(cum.cents) AS bval FROM cum, t WHERE cum.cum >= t.thresh GROUP BY t.r
+), assign AS (
+  SELECT cents, (SELECT COUNT(*) FROM b WHERE b.bval <= v.cents) AS bin FROM v
+)
+SELECT bin, COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS sum_cents,
+       MIN(cents)::BIGINT AS min_cents, MAX(cents)::BIGINT AS max_cents
+FROM assign GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -8405,6 +8789,11 @@ QUERIES = {
     "q129_exact_heavy_hitters": q129_exact_heavy_hitters,
     "q130_bucket_checksum_diff": q130_bucket_checksum_diff,
     "q131_first_touch_attribution": q131_first_touch_attribution,
+    "q132_retention_cohorts": q132_retention_cohorts,
+    "q133_time_weighted_avg": q133_time_weighted_avg,
+    "q134_quantity_mad": q134_quantity_mad,
+    "q135_dense_event_grid": q135_dense_event_grid,
+    "q136_equidepth_price_bins": q136_equidepth_price_bins,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -8421,6 +8810,12 @@ DRIVER_PRIORITY = [
     "q25_apply_corrections",
     "q26_media_features",
     "q27_assemble_conversations",
+    # r4 additions
+    "q132_retention_cohorts",
+    "q133_time_weighted_avg",
+    "q134_quantity_mad",
+    "q135_dense_event_grid",
+    "q136_equidepth_price_bins",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -8599,6 +8994,11 @@ ORACLE_SQL = {
     "q129_exact_heavy_hitters": _Q129_SQL,
     "q130_bucket_checksum_diff": _q130_sql(),
     "q131_first_touch_attribution": _Q131_SQL,
+    "q132_retention_cohorts": _Q132_SQL,
+    "q133_time_weighted_avg": _Q133_SQL,
+    "q134_quantity_mad": _Q134_SQL,
+    "q135_dense_event_grid": _Q135_SQL,
+    "q136_equidepth_price_bins": _Q136_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
