@@ -8655,6 +8655,175 @@ FROM assign GROUP BY 1
 """
 
 
+# -------------------------------------------------------------------- q137
+
+def q137_boilerplate_grams(sf_dir: str):
+    """C4-style boilerplate detection: a word-5-gram occurring in more than
+    10 DISTINCT documents is boilerplate; per doc report distinct grams and
+    how many are boilerplate (the removal set). TWO exchanges: distinct
+    (doc, gram) pairs bucket on gram — each bucket counts gram doc-frequency
+    AND flags its own pairs in one task — then per-doc partials sum in a
+    doc-keyed combine. Gram STRINGS are exchanged for oracle exactness at
+    bench scale; at 100 TB swap in the 62-bit Horner gram hash (q13's
+    machinery) — counts identical modulo hash collisions."""
+    from medical_ocr_service_ray.functions.hashing import tokens
+
+    K_DOCS = 10
+    G = 5
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, grams = [], []
+        for doc_id, text in zip(df.doc_id, df.text):
+            tk = tokens(text or "")
+            gs = {
+                " ".join(tk[i : i + G]) for i in range(len(tk) - G + 1)
+            }
+            doc_ids.extend([doc_id] * len(gs))
+            grams.extend(gs)
+        return pd.DataFrame({"g": grams, "doc_id": pd.array(doc_ids, dtype="int64")})
+
+    def per_gram_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df.groupby("g")["doc_id"].nunique()
+        boiler = df.g.map(nd > K_DOCS).to_numpy()
+        out = pd.DataFrame(
+            {"doc_id": df.doc_id, "b": boiler.astype("int64"), "one": np.int64(1)}
+        )
+        return out.groupby("doc_id", as_index=False).agg(
+            p_n=("one", "sum"), p_b=("b", "sum")
+        )
+
+    partials = partial_then_combine(ds, pairs, "g", per_gram_bucket, num_buckets=16)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_grams=("p_n", "sum"), n_boiler=("p_b", "sum")
+        )
+        return g.astype("int64")
+
+    return (
+        bucketed_combine(partials, "doc_id", per_doc, num_buckets=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+_Q137_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS tk
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(tk) < 5 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len(tk) - 3),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])
+    END) AS g
+  FROM toks
+), freq AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY 1
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+       SUM(CASE WHEN f.nd > 10 THEN 1 ELSE 0 END)::BIGINT AS n_boiler
+FROM grams JOIN freq f USING (g)
+GROUP BY 1
+"""
+
+
+# -------------------------------------------------------------------- q138
+
+def q138_negative_sampling(sf_dir: str):
+    """Deterministic negative sampling for contrastive training: each doc
+    gets 2 pseudo-random negatives via modular hash arithmetic over the
+    dense id space (partition-invariant, no RNG state — the q35/q63
+    sampling-family convention); self-collisions step to the next id. One
+    stateless vectorized map; n comes from parquet metadata (count), no
+    scan. Asserts the dense-id precondition (count == max+1)."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    A, B, C = 2654435761, 40503, 12345
+    mx = docs.max("doc_id")
+    assert n == mx + 1, f"doc_id space not dense: n={n} max={mx}"
+
+    def sample(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        out_doc, out_j, out_neg = [], [], []
+        for j in (1, 2):
+            raw = (d * A + j * B + C) % n
+            neg = np.where(raw == d, (raw + 1) % n, raw)
+            out_doc.append(d)
+            out_j.append(np.full(len(d), j, dtype="int64"))
+            out_neg.append(neg)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "neg_idx": pa.array(np.concatenate(out_j), pa.int64()),
+                "neg_id": pa.array(np.concatenate(out_neg), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(["doc_id", "neg_idx"])
+        .reset_index(drop=True)
+    )
+
+
+_Q138_SQL = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+j AS (SELECT CAST(unnest(generate_series(1, 2)) AS BIGINT) AS j),
+raws AS (
+  SELECT d.doc_id, j.j,
+         (d.doc_id * 2654435761 + j.j * 40503 + 12345) % n.n AS raw, n.n AS n
+  FROM documents d CROSS JOIN j CROSS JOIN n
+)
+SELECT doc_id, j AS neg_idx,
+       CASE WHEN raw = doc_id THEN (raw + 1) % n ELSE raw END AS neg_id
+FROM raws
+"""
+
+
+# -------------------------------------------------------------------- q139
+
+def q139_dedup_survivors(sf_dir: str):
+    """The corpus AFTER near-dup dedup — what a training pipeline actually
+    ships: every unclustered doc plus one representative per MinHash-LSH
+    cluster (the min-label rep == cluster_id from q30's min-label
+    propagation). The cluster table is small (bounded by true near-dups),
+    so the drop set broadcasts and the corpus filter is one zero-copy Arrow
+    pass — the corpus itself never exchanges."""
+    import ray
+
+    clusters = q30_dedup_clusters(sf_dir)
+    drop = np.sort(
+        clusters.loc[clusters.doc_id != clusters.cluster_id, "doc_id"].to_numpy()
+    )
+    ref = ray.put(drop)
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        keep = ~np.isin(t["doc_id"].to_numpy(zero_copy_only=False), d)
+        return t.filter(pa.array(keep))
+
+    return (
+        docs.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q139_sql() -> str:
+    return f"""
+WITH clusters AS ({_q30_sql()})
+SELECT d.doc_id, d.n_chars
+FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -8794,6 +8963,9 @@ QUERIES = {
     "q134_quantity_mad": q134_quantity_mad,
     "q135_dense_event_grid": q135_dense_event_grid,
     "q136_equidepth_price_bins": q136_equidepth_price_bins,
+    "q137_boilerplate_grams": q137_boilerplate_grams,
+    "q138_negative_sampling": q138_negative_sampling,
+    "q139_dedup_survivors": q139_dedup_survivors,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -8816,6 +8988,9 @@ DRIVER_PRIORITY = [
     "q134_quantity_mad",
     "q135_dense_event_grid",
     "q136_equidepth_price_bins",
+    "q137_boilerplate_grams",
+    "q138_negative_sampling",
+    "q139_dedup_survivors",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -8999,6 +9174,9 @@ ORACLE_SQL = {
     "q134_quantity_mad": _Q134_SQL,
     "q135_dense_event_grid": _Q135_SQL,
     "q136_equidepth_price_bins": _Q136_SQL,
+    "q137_boilerplate_grams": _Q137_SQL,
+    "q138_negative_sampling": _Q138_SQL,
+    "q139_dedup_survivors": _q139_sql(),
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
