@@ -110,6 +110,14 @@ BENCH_QUERIES = [
     "q129_exact_heavy_hitters",
     "q130_bucket_checksum_diff",
     "q131_first_touch_attribution",
+    "q132_retention_cohorts",
+    "q133_time_weighted_avg",
+    "q134_quantity_mad",
+    "q135_dense_event_grid",
+    "q136_equidepth_price_bins",
+    "q137_boilerplate_grams",
+    "q138_negative_sampling",
+    "q139_dedup_survivors",
 ]
 
 

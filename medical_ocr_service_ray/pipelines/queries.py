@@ -8274,14 +8274,16 @@ GROUP BY 1, 2
 # -------------------------------------------------------------------- q132
 
 def q132_retention_cohorts(sf_dir: str):
-    """Weekly retention cohort matrix — the product-analytics staple: users
-    grouped by the week of their FIRST signup; cell (cohort_week,
-    week_offset) counts distinct cohort users active (any event) that week.
-    One user-keyed exchange: users are partitioned by the bucket hash, so
-    per-bucket distinct-user cell counts SUM exactly; the driver sees
-    O(weeks²) cells. Week index = days-since-2024-01-01 // 7 (nested floor
-    divisions agree with SQL's single floor by 7 days for nonnegative
-    spans)."""
+    """SIGNUP-ANCHORED retention cohort matrix — q80's first-activity
+    cohorts with the anchor moved to a specific event type (the classic
+    product-analytics definition): cohort = week of FIRST signup, users
+    without a signup drop (anchored inner join — the path q80 never takes),
+    cell (cohort_week, week_offset) = distinct cohort users active that
+    week. Same one-user-keyed-exchange shape as q80: users are partitioned
+    by the bucket hash, so per-bucket distinct-user cell counts SUM
+    exactly; the driver sees O(weeks²) cells. Week index =
+    days-since-2024-01-01 // 7 (nested floor divisions agree with SQL's
+    single floor by 7 days for nonnegative spans)."""
     ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
     EPOCH0 = np.datetime64("2024-01-01", "us")
 
@@ -8445,9 +8447,12 @@ SELECT (SELECT m FROM med)::BIGINT AS median_x100, (SELECT m FROM mad)::BIGINT A
 # -------------------------------------------------------------------- q135
 
 def q135_dense_event_grid(sf_dir: str):
-    """Dense (day × event_type) grid over HIGH-VALUE events (value > 250,
-    sparse by construction) with ZERO-FILLED empty cells — the time-series
-    padding op every dashboard needs before plotting/joining. Two tiny
+    """GLOBAL dense (day × event_type) grid over HIGH-VALUE events
+    (value > 250, sparse by construction) with ZERO-FILLED empty cells —
+    the cross-product complement of q89's per-user span densification: the
+    grid axes here come from global bounds × a categorical domain, not
+    per-key spans, and the measure is a filtered subset so empty cells are
+    real. Two tiny
     driver_combines (bounded outputs): pass A derives the grid bounds
     (min/max day + type domain) from the FULL data, pass B aggregates the
     filtered cells; the dense reindex + zero fill happens on the
