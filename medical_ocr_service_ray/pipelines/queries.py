@@ -6893,22 +6893,49 @@ def q112_association_rules(sf_dir: str):
     n_orders = basket universe) from which support/confidence/lift are
     ratios — integers hash-compare exactly, floats wouldn't.
 
-    Plan: order-bucketed DISTINCT pair expansion (q71's bound: cost is
-    sum(basket²)) → one pair-keyed count combine → per-batch partial
-    top-20 merged on the driver; per-item order counts are a separate
-    bounded partial+combine over the item dimension, broadcast-joined onto
-    the 20 survivors driver-side (never a table join for 20 rows)."""
+    Plan (r4 fusion — ONE scan, TWO exchanges; was 3 scans / 4 exchanges):
+    the order-bucketed task already holds the bucket's complete DISTINCT
+    (order, part) relation, so it emits THREE tagged partial kinds in one
+    pass — pair counts (q71's sum(basket²) bound, mega-baskets capped),
+    per-item order-count partials (part_b = -1), and the bucket's distinct
+    order count (part_b = -2) — all riding the SAME part_a-keyed second
+    combine (a plain group-sum works uniformly for every kind). The driver
+    receives per-batch top-20 pair candidates + the item-dimension counts
+    (broadcast class) + one n_orders row; never a table join for 20 rows."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def pairs_distinct(df: pd.DataFrame) -> pd.DataFrame:
         po = df.drop_duplicates(["l_orderkey", "l_partkey"])
-        po = _drop_mega_baskets(po, "q112")
-        m = po.merge(po, on="l_orderkey")
+        item = po.groupby("l_partkey", as_index=False).size()
+        items = pd.DataFrame(
+            {
+                "part_a": item.l_partkey.astype("int64"),
+                "part_b": np.int64(-1),
+                "cnt": item["size"].astype("int64"),
+            }
+        )
+        nord = pd.DataFrame(
+            {
+                "part_a": [np.int64(-2)],
+                "part_b": [np.int64(-2)],
+                "cnt": [np.int64(po.l_orderkey.nunique())],
+            }
+        )
+        # the cap applies to PAIR MINING only (SQL: pc/n CTEs are uncapped)
+        pom = _drop_mega_baskets(po, "q112")
+        m = pom.merge(pom, on="l_orderkey")
         m = m[m.l_partkey_x < m.l_partkey_y]
-        g = m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
-        return g.rename(columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b", "size": "cnt"})
+        g = (
+            m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False)
+            .size()
+            .rename(
+                columns={"l_partkey_x": "part_a", "l_partkey_y": "part_b", "size": "cnt"}
+            )
+            .astype({"part_a": "int64", "part_b": "int64", "cnt": "int64"})
+        )
+        return pd.concat([g, items, nord], ignore_index=True)
 
-    pair_counts = bucketed_combine(
+    combined = bucketed_combine(
         bucketed_combine(ds, "l_orderkey", pairs_distinct, num_buckets=32),
         "part_a",
         lambda df: df.groupby(["part_a", "part_b"], as_index=False)["cnt"].sum(),
@@ -6918,43 +6945,14 @@ def q112_association_rules(sf_dir: str):
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["cnt", "part_a", "part_b"], ascending=[False, True, True]).head(20)
 
-    cand = pair_counts.map_batches(topk, batch_format="pandas").to_pandas()
-    top = topk(cand).reset_index(drop=True)
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df[df.part_b >= 0]
+        return pd.concat([topk(pairs), df[df.part_b < 0]], ignore_index=True)
 
-    # per-item order counts need GLOBAL (order, part) dedup (duplicate lines
-    # exist and can straddle batches): per-batch dedup shrinks, then one
-    # part-keyed exchange finishes the dedup and counts; the result is
-    # item-dimension-sized (broadcast class, like q100's degree map)
-    item = bucketed_combine(
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
-            lambda df: df.drop_duplicates(["l_orderkey", "l_partkey"]),
-            batch_format="pandas",
-        ),
-        "l_partkey",
-        lambda df: df.drop_duplicates(["l_orderkey", "l_partkey"])
-        .groupby("l_partkey", as_index=False)
-        .size()
-        .rename(columns={"size": "c"}),
-        num_buckets=16,
-    ).to_pandas()
-    cnts = item.set_index("l_partkey")["c"]
-    # COUNT(DISTINCT l_orderkey) via one orderkey-bucketed exchange emitting
-    # per-bucket distinct COUNTS (≤ num_buckets rows reach the driver) — the
-    # previous driver_combine pulled every distinct orderkey into the driver
-    # heap, which is O(orders) and unbounded at 100 TB.
-    n_orders = int(
-        bucketed_combine(
-            _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
-                lambda df: df.drop_duplicates(["l_orderkey"]),
-                batch_format="pandas",
-            ),
-            "l_orderkey",
-            lambda df: pd.DataFrame({"n": [df.l_orderkey.nunique()]}),
-            num_buckets=16,
-        )
-        .to_pandas()
-        .n.sum()
-    )
+    cand = combined.map_batches(keep, batch_format="pandas").to_pandas()
+    top = topk(cand[cand.part_b >= 0]).reset_index(drop=True)
+    cnts = cand[cand.part_b == -1].set_index("part_a")["cnt"]
+    n_orders = int(cand[cand.part_b == -2].cnt.sum())
     top["cnt_a"] = top.part_a.map(cnts).astype("int64")
     top["cnt_b"] = top.part_b.map(cnts).astype("int64")
     top["n_orders"] = np.int64(n_orders)
