@@ -8545,25 +8545,24 @@ LEFT JOIN agg a ON a.day = d.day AND a.event_type = t.event_type
 
 # -------------------------------------------------------------------- q136
 
-def q136_equidepth_price_bins(sf_dir: str):
-    """16 EQUI-DEPTH bins over l_extendedprice cents + per-bin stats — ML
-    feature binning with exact integer boundaries, the q103 boundary rule
-    generalized to a plain column: boundary b_r = smallest value with
-    cum ≥ ceil(r·n/16)+1 (duplicates kept — a heavy value spanning depths
-    counts multiply), bin = #boundaries ≤ value via searchsorted. Driver /
-    broadcast state is O(n_bins); the value histogram is collected per
-    PREFIX (cents>>8, ≤2^16 cells by key-space width) and only needle
-    prefixes ship their full per-value counts."""
-    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
-    n_bins = 16
-    _PSHIFT = 8  # cents ≤ ~1e7 < 2^24 => prefixes ≤ 2^16
-
-    def cents_of(df: pd.DataFrame) -> np.ndarray:
-        return _cents(df.l_extendedprice).to_numpy()
+def _equidepth_boundaries(
+    ds: "rd.Dataset",
+    values_of,
+    n_bins: int,
+    pshift: int,
+    num_buckets: int = 16,
+) -> np.ndarray:
+    """Exact equi-depth boundary values over an int64-valued column with
+    O(n_bins) driver/broadcast state (the q103 rule): boundary b_r =
+    smallest value with cum ≥ ceil(r·n/n_bins)+1, duplicates KEPT. The
+    value histogram is collected per PREFIX (value >> pshift — size the
+    shift so prefixes ≤ 2^16 by key-space width) and only needle prefixes
+    ship their per-value counts. ``values_of(df) -> np.ndarray[int64]``.
+    Shared by q136 (feature binning) and q140 (drift monitoring)."""
 
     def pfx_partial(df: pd.DataFrame) -> pd.DataFrame:
         return (
-            pd.DataFrame({"pfx": cents_of(df) >> _PSHIFT})
+            pd.DataFrame({"pfx": values_of(df) >> pshift})
             .groupby("pfx", as_index=False)
             .size()
         )
@@ -8587,10 +8586,10 @@ def q136_equidepth_price_bins(sf_dir: str):
     needle_set = np.array(sorted(needles), dtype="int64")
 
     def bnd_partial(df: pd.DataFrame) -> pd.DataFrame:
-        cents = cents_of(df)
-        sub = cents[np.isin(cents >> _PSHIFT, needle_set)]
+        vals = values_of(df)
+        sub = vals[np.isin(vals >> pshift, needle_set)]
         out = pd.DataFrame({"v": sub}).groupby("v", as_index=False).size()
-        out["pfx"] = out.v.to_numpy() >> _PSHIFT
+        out["pfx"] = out.v.to_numpy() >> pshift
         return out
 
     def bnd_combine(df: pd.DataFrame) -> pd.DataFrame:
@@ -8603,12 +8602,30 @@ def q136_equidepth_price_bins(sf_dir: str):
                 rows.append(vv[int(np.searchsorted(cc, local, side="left"))])
         return pd.DataFrame({"b": pd.Series(rows, dtype="int64")})
 
-    boundaries = np.sort(
-        partial_then_combine(ds, bnd_partial, "pfx", bnd_combine, num_buckets=16)
+    return np.sort(
+        partial_then_combine(ds, bnd_partial, "pfx", bnd_combine, num_buckets=num_buckets)
         .to_pandas()
         .b.to_numpy()
         .astype("int64")
     )
+
+
+def q136_equidepth_price_bins(sf_dir: str):
+    """16 EQUI-DEPTH bins over l_extendedprice cents + per-bin stats — ML
+    feature binning with exact integer boundaries, the q103 boundary rule
+    generalized to a plain column: boundary b_r = smallest value with
+    cum ≥ ceil(r·n/16)+1 (duplicates kept — a heavy value spanning depths
+    counts multiply), bin = #boundaries ≤ value via searchsorted. Driver /
+    broadcast state is O(n_bins); the value histogram is collected per
+    PREFIX (cents>>8, ≤2^16 cells by key-space width) and only needle
+    prefixes ship their full per-value counts."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    n_bins = 16
+
+    def cents_of(df: pd.DataFrame) -> np.ndarray:
+        return _cents(df.l_extendedprice).to_numpy()
+
+    boundaries = _equidepth_boundaries(ds, cents_of, n_bins, pshift=8)
 
     def bin_partial(df: pd.DataFrame) -> pd.DataFrame:
         cents = cents_of(df)
@@ -8827,6 +8844,82 @@ WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
 """
 
 
+# -------------------------------------------------------------------- q140
+
+def q140_drift_bins(sf_dir: str):
+    """Feature-drift monitoring (the PSI / population-stability workflow):
+    8 equi-depth bins are derived from the REFERENCE period's value
+    distribution (events days 0-14, the q136/_equidepth_boundaries rule),
+    then BOTH periods are stamped against those frozen boundaries and
+    counted per bin — (bin, n_ref, n_cur) integer cells from which PSI /
+    KL are driver-side float ratios (integers hash-compare exactly, the
+    float score wouldn't). One boundary derivation over the ref slice +
+    one counting pass over the full table; O(n_bins) broadcast state."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    EPOCH0 = np.datetime64("2024-01-01", "us")
+    SPLIT_DAY = 15
+    n_bins = 8
+
+    def day_of(df: pd.DataFrame) -> np.ndarray:
+        return (
+            (df.ts.to_numpy().astype("datetime64[us]") - EPOCH0)
+            // np.timedelta64(86400_000_000, "us")
+        ).astype("int64")
+
+    def ref_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[day_of(df) < SPLIT_DAY]
+
+    def cents_of(df: pd.DataFrame) -> np.ndarray:
+        return _cents(df.value).to_numpy()
+
+    boundaries = _equidepth_boundaries(
+        ds.map_batches(ref_only, batch_format="pandas"),
+        cents_of,
+        n_bins,
+        pshift=0,  # value cents ≤ ~49k < 2^16: the histogram IS the domain
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.searchsorted(boundaries, cents_of(df), side="right").astype("int64")
+        is_ref = (day_of(df) < SPLIT_DAY).astype("int64")
+        return (
+            pd.DataFrame({"bin": b, "p_ref": is_ref, "p_cur": 1 - is_ref})
+            .groupby("bin", as_index=False)
+            .sum()
+        )
+
+    out = driver_combine(
+        ds,
+        count_partial,
+        lambda df: df.groupby("bin", as_index=False)[["p_ref", "p_cur"]].sum(),
+    ).rename(columns={"p_ref": "n_ref", "p_cur": "n_cur"})
+    return out.sort_values("bin").reset_index(drop=True).astype("int64")
+
+
+_Q140_SQL = """
+WITH f AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(floor(epoch_us(ts - TIMESTAMP '2024-01-01') / 86400000000.0) AS BIGINT) < 15 AS is_ref
+  FROM events
+), h AS (
+  SELECT cents, COUNT(*)::BIGINT AS c FROM f WHERE is_ref GROUP BY 1
+), cum AS (SELECT cents, SUM(c) OVER (ORDER BY cents) AS cum FROM h),
+n AS (SELECT SUM(c) AS n FROM h),
+t AS (
+  SELECT r, (r * (SELECT n FROM n) + 7) // 8 + 1 AS thresh
+  FROM (SELECT CAST(range AS BIGINT) AS r FROM range(1, 8))
+  WHERE (r * (SELECT n FROM n) + 7) // 8 + 1 <= (SELECT n FROM n)
+), b AS (
+  SELECT t.r, MIN(cum.cents) AS bval FROM cum, t WHERE cum.cum >= t.thresh GROUP BY t.r
+), assign AS (
+  SELECT (SELECT COUNT(*) FROM b WHERE b.bval <= f.cents) AS bin, is_ref FROM f
+)
+SELECT bin, SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+       SUM(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS n_cur
+FROM assign GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -8969,6 +9062,7 @@ QUERIES = {
     "q137_boilerplate_grams": q137_boilerplate_grams,
     "q138_negative_sampling": q138_negative_sampling,
     "q139_dedup_survivors": q139_dedup_survivors,
+    "q140_drift_bins": q140_drift_bins,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -8994,6 +9088,7 @@ DRIVER_PRIORITY = [
     "q137_boilerplate_grams",
     "q138_negative_sampling",
     "q139_dedup_survivors",
+    "q140_drift_bins",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -9180,6 +9275,7 @@ ORACLE_SQL = {
     "q137_boilerplate_grams": _Q137_SQL,
     "q138_negative_sampling": _Q138_SQL,
     "q139_dedup_survivors": _q139_sql(),
+    "q140_drift_bins": _Q140_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -160,3 +160,38 @@ def collect_parquet_stats(in_dir: str | Path) -> "pd.DataFrame":
     return (
         pd.DataFrame(rows).sort_values("column").reset_index(drop=True)
     )
+
+
+def gc_orphans(
+    data_dir: str | Path,
+    referenced: set[str],
+    *,
+    dry_run: bool = True,
+) -> "pd.DataFrame":
+    """Lakehouse garbage collection: part files in ``data_dir`` that no
+    manifest references are ORPHANS (crashed writers, aborted compactions,
+    superseded shards — the idempotent sink's deterministic shard names
+    [pipelines/extraction.py:121] make the referenced set derivable from
+    the inputs alone). Returns a deterministic (file, status) frame sorted
+    by name; ``dry_run=True`` (default) only reports, ``dry_run=False``
+    unlinks orphans. Listing + unlink are O(files) metadata operations —
+    never opens file contents; at 100 TB this is a directory walk, not a
+    scan. Deletion is idempotent: a vanished file (concurrent GC) counts
+    as already collected."""
+    import pandas as pd
+
+    data_dir = Path(data_dir)
+    rows = []
+    for f in sorted(p for p in data_dir.iterdir() if p.is_file()):
+        if f.name in referenced:
+            rows.append((f.name, "kept"))
+            continue
+        if dry_run:
+            rows.append((f.name, "orphan"))
+            continue
+        try:
+            f.unlink()
+        except FileNotFoundError:
+            pass
+        rows.append((f.name, "deleted"))
+    return pd.DataFrame(rows, columns=["file", "status"])

@@ -74,3 +74,37 @@ class TestCatalogStats:
         # string column min/max compare natively, not lexicographic-on-repr
         assert stats.loc["name", "min"] == repr(full.name.dropna().min())
         assert stats.loc["name", "max"] == repr(full.name.dropna().max())
+
+
+class TestGcOrphans:
+    def test_dry_run_then_delete(self, tmp_path):
+        import pandas as pd
+
+        from medical_ocr_service_ray.sources.maintenance import gc_orphans
+
+        d = tmp_path / "data"
+        d.mkdir()
+        for name in ("s-aa.parquet", "s-bb.parquet", "orphan-1.parquet", "tmp-xyz"):
+            (d / name).write_bytes(b"x")
+        ref = {"s-aa.parquet", "s-bb.parquet"}
+
+        dry = gc_orphans(d, ref)  # default dry_run
+        assert dict(zip(dry.file, dry.status)) == {
+            "s-aa.parquet": "kept",
+            "s-bb.parquet": "kept",
+            "orphan-1.parquet": "orphan",
+            "tmp-xyz": "orphan",
+        }
+        assert sorted(p.name for p in d.iterdir()) == sorted(
+            ["s-aa.parquet", "s-bb.parquet", "orphan-1.parquet", "tmp-xyz"]
+        )
+
+        out = gc_orphans(d, ref, dry_run=False)
+        assert set(out.loc[out.status == "deleted", "file"]) == {
+            "orphan-1.parquet",
+            "tmp-xyz",
+        }
+        assert sorted(p.name for p in d.iterdir()) == ["s-aa.parquet", "s-bb.parquet"]
+        # idempotent rerun: nothing left to delete
+        again = gc_orphans(d, ref, dry_run=False)
+        assert (again.status == "kept").all()
