@@ -26,7 +26,9 @@ BENCH_QUERIES = [
     "q8_latest_event_per_user",
     "q9_token_stats",
     "q12_knn_quantized_dot",
+    "q13_minhash_pairs",
     "q15_ngram_jaccard",
+    "q30_dedup_clusters",
     "q21_hourly_user_windows",
     "q22_ann_cosine_topk",
     "q36_sliding_windows",
@@ -118,6 +120,7 @@ BENCH_QUERIES = [
     "q137_boilerplate_grams",
     "q138_negative_sampling",
     "q139_dedup_survivors",
+    "q140_drift_bins",
 ]
 
 

@@ -6276,76 +6276,22 @@ def q103_zorder_cluster(sf_dir: str):
             }
         )
 
-    stamped = ds.map_batches(stamp, batch_format="pandas")
+    # materialized ONCE: the boundary derivation (prefix histogram +
+    # needle pass inside _equidepth_boundaries) and the final range write
+    # all re-read cached blocks instead of re-running the scan + interleave
+    stamped = ds.map_batches(stamp, batch_format="pandas").materialize()
 
-    # Equi-depth boundary derivation with O(n_ranges) driver/broadcast state
-    # (the r3 version broadcast a dict over EVERY distinct zkey — O(users ×
-    # days) ~ O(rows) at 100 TB). Same assignment, reformulated: the old
-    # per-key rule rng(k) = floor(n_ranges·(cum_k−1)/total) equals
-    # #{r ∈ 1..n_ranges−1 : cum_k ≥ thresh_r} with
-    # thresh_r = ceil(r·total/n_ranges)+1, and since cum is monotone in k,
-    # cum_k ≥ thresh_r ⟺ k ≥ b_r where b_r = min key with cum ≥ thresh_r.
-    # So only the ≤15 boundary VALUES are needed, and the stamp is one
-    # np.searchsorted(side="right") — duplicates in the boundary array (a
-    # heavy key spanning several depths) count multiply, exactly like the
-    # old floor rule. TestZorderBoundaryEquivalence pins the bit-equality.
+    # Equi-depth boundaries with O(n_ranges) driver/broadcast state — the
+    # shared _equidepth_boundaries rule (this function is where it came
+    # from; q136/q140 reuse it). Same assignment as r3's per-distinct-key
+    # dict, reformulated: rng(k) = floor(n_ranges·(cum_k−1)/total) equals
+    # #{r : b_r ≤ k} with b_r = min key with cum ≥ ceil(r·total/n)+1 —
+    # duplicates kept so a heavy key spanning depths counts multiply.
+    # TestZorderBoundaryEquivalence pins the bit-equality; zkey < 2^33
+    # (16-bit spread ×2, +1 shift) ⇒ pshift=17 keeps prefixes ≤ 2^16.
     n_ranges = 16
-    # zkey < 2^33 (16-bit spread ×2, +1 shift) ⇒ zkey>>17 has ≤2^16 distinct
-    # values: the prefix histogram is bounded by KEY-SPACE WIDTH, not rows.
-    _PSHIFT = 17
-
-    def pfx_partial(df: pd.DataFrame) -> pd.DataFrame:
-        p = df.zkey.to_numpy() >> _PSHIFT
-        return pd.DataFrame({"pfx": p}).groupby("pfx", as_index=False).size()
-
-    hist = driver_combine(
-        stamped, pfx_partial, lambda df: df.groupby("pfx", as_index=False)["size"].sum()
-    ).sort_values("pfx")
-    pc = hist["size"].to_numpy().astype("int64")
-    total = int(pc.sum())
-    pcum = pc.cumsum()
-    threshes = [
-        -((-r * total) // n_ranges) + 1
-        for r in range(1, n_ranges)
-        if -((-r * total) // n_ranges) + 1 <= total
-    ]
-    # needle prefixes: which prefix bucket holds each global rank, and the
-    # rank local to that bucket (≤15 entries — closure-captured, not shipped
-    # per batch: Ray serializes the fn once per task submission of tiny dicts)
-    needles: dict[int, list[int]] = {}
-    pfx_vals = hist.pfx.to_numpy()
-    for t in threshes:
-        i = int(np.searchsorted(pcum, t, side="left"))
-        local = t - (int(pcum[i - 1]) if i else 0)
-        needles.setdefault(int(pfx_vals[i]), []).append(local)
-    needle_set = np.array(sorted(needles), dtype="int64")
-
-    def bnd_partial(df: pd.DataFrame) -> pd.DataFrame:
-        p = df.zkey.to_numpy() >> _PSHIFT
-        sub = df[np.isin(p, needle_set)]
-        out = sub.groupby("zkey", as_index=False).size()
-        out["pfx"] = out.zkey.to_numpy() >> _PSHIFT
-        return out
-
-    def bnd_combine(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for pfx, sub in df.groupby("pfx"):
-            sub = (
-                sub.groupby("zkey", as_index=False)["size"].sum().sort_values("zkey")
-            )
-            cc = sub["size"].cumsum().to_numpy()
-            zk = sub.zkey.to_numpy()
-            for local in needles[int(pfx)]:
-                rows.append(zk[int(np.searchsorted(cc, local, side="left"))])
-        return pd.DataFrame({"b": pd.Series(rows, dtype="int64")})
-
-    boundaries = np.sort(
-        partial_then_combine(
-            stamped, bnd_partial, "pfx", bnd_combine, num_buckets=16
-        )
-        .to_pandas()
-        .b.to_numpy()
-        .astype("int64")
+    boundaries = _equidepth_boundaries(
+        stamped, lambda df: df.zkey.to_numpy(), n_ranges, pshift=17
     )
 
     out_dir = Path("/tmp/mosr_q103_zorder") / Path(sf_dir).name
@@ -8465,6 +8411,14 @@ def q135_dense_event_grid(sf_dir: str):
         ).astype("int64")
 
     def bounds_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # zero-row block: contribute nothing to the bounds
+            return pd.DataFrame(
+                {
+                    "lo": pd.Series(dtype="int64"),
+                    "hi": pd.Series(dtype="int64"),
+                    "event_type": pd.Series(dtype="object"),
+                }
+            )
         day = day_of(df.ts)
         types = df.event_type.unique()
         return pd.DataFrame(
@@ -8763,13 +8717,22 @@ def q138_negative_sampling(sf_dir: str):
     n = docs.count()
     A, B, C = 2654435761, 40503, 12345
     mx = docs.max("doc_id")
-    assert n == mx + 1, f"doc_id space not dense: n={n} max={mx}"
+    if n != mx + 1:
+        raise ValueError(f"doc_id space not dense: n={n} max={mx}")
 
     def sample(t: pa.Table) -> pa.Table:
+        # uint64 WRAPPING multiply (doc_id*A overflows int64 past ~3.5e9
+        # docs) — the SQL mirrors the wrap with HUGEINT % 2^64, the q13
+        # idiom, so both sides agree at any scale instead of one silently
+        # wrapping while the other raises
         d = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        du = d.view(np.uint64)  # nonneg ids: reinterpret, wrap-safe
         out_doc, out_j, out_neg = [], [], []
         for j in (1, 2):
-            raw = (d * A + j * B + C) % n
+            with np.errstate(over="ignore"):
+                raw = ((du * np.uint64(A) + np.uint64(j * B + C)) % np.uint64(n)).astype(
+                    "int64"
+                )
             neg = np.where(raw == d, (raw + 1) % n, raw)
             out_doc.append(d)
             out_j.append(np.full(len(d), j, dtype="int64"))
@@ -8795,7 +8758,9 @@ WITH n AS (SELECT COUNT(*) AS n FROM documents),
 j AS (SELECT CAST(unnest(generate_series(1, 2)) AS BIGINT) AS j),
 raws AS (
   SELECT d.doc_id, j.j,
-         (d.doc_id * 2654435761 + j.j * 40503 + 12345) % n.n AS raw, n.n AS n
+         CAST(((CAST(d.doc_id AS HUGEINT) * 2654435761 + j.j * 40503 + 12345)
+               % 18446744073709551616) % n.n AS BIGINT) AS raw,
+         n.n AS n
   FROM documents d CROSS JOIN j CROSS JOIN n
 )
 SELECT doc_id, j AS neg_idx,

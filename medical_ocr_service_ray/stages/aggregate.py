@@ -70,14 +70,21 @@ def bucket_of(series: pd.Series, num_buckets: int) -> pd.Series:
 def bucket_of_arrow(col, num_buckets: int):
     """Arrow-column twin of ``bucket_of`` — SAME bucket values (int64 modulo;
     siphash of the str() rendering otherwise), computed without converting
-    the rest of the table to pandas."""
+    the rest of the table to pandas. A NULL in an int column would make the
+    fast path cast through NaN (undefined int), so nullable int columns take
+    the pandas twin verbatim — identical buckets to a pandas-lineage block
+    of the same data."""
     import pyarrow as pa
 
-    if pa.types.is_integer(col.type):
+    import numpy as np
+
+    if pa.types.is_integer(col.type) and col.null_count == 0:
         v = col.to_numpy(zero_copy_only=False).astype("int64", copy=False)
-    else:
-        v = pd.util.hash_array(col.to_pandas().astype(str).to_numpy(dtype=object))
-    return pa.array((v % num_buckets).astype("int32"))
+        return pa.array((v % num_buckets).astype("int32"))
+    # bucket_of returns a Series on the int branch, an ndarray on the hash
+    # branch — normalize both ends
+    vals = bucket_of(pd.Series(col.to_pandas()), num_buckets)
+    return pa.array(np.asarray(vals, dtype="int32"))
 
 
 def bucketed_combine(

@@ -440,6 +440,8 @@ def _slice_min_labels(dst: "np.ndarray", lab: "np.ndarray", nb: int) -> list:
 
     g = pd.DataFrame({"dst": dst, "lab": lab}).groupby("dst")["lab"].min()
     gd, gl = g.index.to_numpy(), g.to_numpy()
+    # MUST equal bucket_of's int branch (floor mod) — the adjacency was
+    # partitioned with bucket_of; TestMeshRoutingInvariant pins the equality
     gb = gd % nb
     return [
         {"dst": np.ascontiguousarray(gd[gb == b]), "lab": np.ascontiguousarray(gl[gb == b])}
@@ -495,7 +497,7 @@ def _cc_count_partial(labels: dict, nb: int, my_bucket: int):
 
     g = pd.DataFrame({"c": labels["lab"]}).groupby("c").size()
     cid, cnt = g.index.to_numpy(), g.to_numpy().astype("int64")
-    cb = cid % nb
+    cb = cid % nb  # same bucket_of-int-branch invariant as _slice_min_labels
     return [
         {
             "c": np.ascontiguousarray(cid[cb == b]),

@@ -90,6 +90,8 @@ def _slice_contribs(dst: np.ndarray, c: np.ndarray, num_buckets: int) -> list:
     )
     gd = g.dst.to_numpy()
     gc = g.c.to_numpy()
+    # MUST equal bucket_of's int branch (floor mod) — the adjacency was
+    # partitioned with bucket_of; TestMeshRoutingInvariant pins the equality
     gb = gd % num_buckets
     out = []
     for b2 in range(num_buckets):
@@ -133,7 +135,11 @@ def pagerank_quantized(
     undirected graph. Returns (node, r) micro-unit ranks after
     ``iterations`` rounds from a uniform 1e6 start, as a Dataset backed by
     the step tasks' per-bucket Arrow outputs (never driver-materialized).
-    Deterministic int64 arithmetic throughout."""
+    Deterministic int64 arithmetic throughout. ``iterations`` must be ≥ 1:
+    the mesh's seed round emits contribution slices, not ranks, so the
+    final-rank shape only exists after at least one step."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     stash = _EdgeStash.remote()
 
     def stamp_src(df: pd.DataFrame) -> pd.DataFrame:

@@ -236,3 +236,18 @@ class TestScannedPdf:
             except P.PdfBinError:
                 kinds["junk"] += 1
         assert all(v > 0 for v in kinds.values()), kinds
+
+
+class TestMeshRoutingInvariant:
+    def test_numpy_mod_equals_bucket_of_int_branch(self):
+        """The task-mesh slicers (pagerank._slice_contribs,
+        dedup._slice_min_labels/_cc_count_partial) route messages with a
+        plain `arr % nb`, while the data was partitioned with bucket_of().
+        They agree ONLY while bucket_of's int branch stays floor-mod — this
+        pin fails loudly if anyone swaps in a mixing hash, instead of the
+        meshes silently mis-addressing labels/contributions."""
+        from medical_ocr_service_ray.stages.aggregate import bucket_of
+
+        arr = np.array([0, 1, 15, 16, 17, 2**40 + 3, -1, -17], dtype="int64")
+        for nb in (4, 16, 32):
+            assert (bucket_of(pd.Series(arr), nb).to_numpy() == arr % nb).all()
