@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "q138_negative_sampling",
     "q139_dedup_survivors",
     "q140_drift_bins",
+    "q141_pit_features",
 ]
 
 

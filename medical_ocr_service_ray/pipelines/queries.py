@@ -8885,6 +8885,88 @@ FROM assign GROUP BY 1
 """
 
 
+# -------------------------------------------------------------------- q141
+
+def q141_pit_features(sf_dir: str):
+    """POINT-IN-TIME training-feature assembly (the feature-store join that
+    prevents label leakage): for every purchase, the user's trailing-7-day
+    click count over [ts−7d, ts) — STRICTLY before the label event — and
+    lifetime prior spend (exclusive running sum). One user-keyed exchange;
+    in-bucket it's the q114 composite-key searchsorted (SPAN padded past
+    the window so a range query can never leak into the previous user) plus
+    a per-user exclusive cumsum. Exact integer cents; mirrors SQL windows
+    bit-for-bit."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    WINDOW = 7 * 86400_000_000  # µs
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.event_type.isin(["click", "purchase"])]
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "clicks_7d": pd.Series(dtype="int64"),
+                "spend_cents_prior": pd.Series(dtype="int64"),
+            }
+        )
+        if df.empty:
+            return empty
+        uid = df.user_id.to_numpy()
+        ts = df.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        is_p = (df.event_type == "purchase").to_numpy()
+        _, uinv = np.unique(uid, return_inverse=True)
+        span = int(ts.max() - ts.min()) + WINDOW + 2  # window can't cross users
+        comp = uinv.astype("int64") * span + (ts - int(ts.min()))
+        ck = comp[~is_p]  # sorted: (user, ts) ascending => comp ascending
+        p_comp = comp[is_p]
+        lo = np.searchsorted(ck, p_comp - WINDOW, side="left")
+        hi = np.searchsorted(ck, p_comp, side="left")  # strict <
+        cents_p = _cents(df.value.iloc[is_p.nonzero()[0]]).to_numpy()
+        excl = np.cumsum(cents_p) - cents_p
+        up = uinv[is_p]
+        first = np.flatnonzero(np.r_[True, up[1:] != up[:-1]])
+        base = np.repeat(excl[first], np.diff(np.r_[first, len(up)]))
+        out = pd.DataFrame(
+            {
+                "event_id": df.event_id.to_numpy()[is_p].astype("int64"),
+                "user_id": uid[is_p].astype("int64"),
+                "clicks_7d": (hi - lo).astype("int64"),
+                "spend_cents_prior": (excl - base).astype("int64"),
+            }
+        )
+        return out
+
+    return (
+        bucketed_combine(ds, "user_id", combine)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+_Q141_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM e WHERE event_type = 'click'),
+spend AS (
+  SELECT event_id,
+         COALESCE(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sp
+  FROM p
+)
+SELECT p.event_id, p.user_id,
+       (SELECT COUNT(*) FROM c
+        WHERE c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 7 DAY AND c.ts < p.ts)::BIGINT AS clicks_7d,
+       s.sp::BIGINT AS spend_cents_prior
+FROM p JOIN spend s USING (event_id)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -9028,6 +9110,7 @@ QUERIES = {
     "q138_negative_sampling": q138_negative_sampling,
     "q139_dedup_survivors": q139_dedup_survivors,
     "q140_drift_bins": q140_drift_bins,
+    "q141_pit_features": q141_pit_features,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -9054,6 +9137,7 @@ DRIVER_PRIORITY = [
     "q138_negative_sampling",
     "q139_dedup_survivors",
     "q140_drift_bins",
+    "q141_pit_features",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -9241,6 +9325,7 @@ ORACLE_SQL = {
     "q138_negative_sampling": _Q138_SQL,
     "q139_dedup_survivors": _q139_sql(),
     "q140_drift_bins": _Q140_SQL,
+    "q141_pit_features": _Q141_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

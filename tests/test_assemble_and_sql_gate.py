@@ -79,6 +79,18 @@ GATED = [
     "q92_rolling_wau",
     "q93_user_spend_trend",
     "q94_late_events",
+    # round-4 additions (q16/q24 need the serial golden fixture; covered by
+    # the check_oracle sweeps instead to keep this gate fast)
+    "q132_retention_cohorts",
+    "q133_time_weighted_avg",
+    "q134_quantity_mad",
+    "q135_dense_event_grid",
+    "q136_equidepth_price_bins",
+    "q137_boilerplate_grams",
+    "q138_negative_sampling",
+    "q139_dedup_survivors",
+    "q140_drift_bins",
+    "q141_pit_features",
 ]
 
 
