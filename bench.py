@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q78_ivf_ann",
     "q79_interval_coverage",
     "q80_cohort_retention",
+    "q81_bfs_hops",
     "q84_auc_per_type",
     "q86_fk_integrity",
     "q87_user_gaps_churn",

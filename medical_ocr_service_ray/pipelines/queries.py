@@ -4547,14 +4547,16 @@ GROUP BY 1, 2
 # --------------------------------------------------------------------- q81
 
 def q81_bfs_hops(sf_dir: str):
-    """Bounded-depth BFS (hop distance ≤ 4) from the minimum partkey over the
-    co-purchase graph (q71's edge definition, both directions). Frontier
-    iteration: each hop is one tagged-union bucket join (edges ⋈ frontier on
-    source node) + one min-combine over candidate distances — the PageRank
-    two-exchange pattern (stages/pagerank.py) specialized to reachability.
-    The frontier optimization (expand only nodes discovered last hop) is
-    exactly BFS, so results equal the oracle's level-unrolled MIN chain.
-    Per-hop state is (node, hops) pairs only — never adjacency in one heap."""
+    """Bounded-depth BFS (hop distance ≤ 4) from the minimum partkey over
+    the co-purchase graph (q71's edge definition, both directions), on the
+    TASK MESH (stages/pagerank.py:bfs_hops_mesh — the §23/§24 pattern):
+    adjacency CSR-partitioned once, then each hop is num_buckets raw tasks
+    exchanging only frontier node ids. The r3 plan paid 2 Ray Data sorts
+    per hop (~1.5 s fixed each) plus a per-hop materialize — 64 s at
+    sf0.1/32; the mesh runs the 5 rounds in milliseconds. Results equal
+    the oracle's level-unrolled MIN chain (BFS = first-discovery depth)."""
+    from medical_ocr_service_ray.stages.pagerank import bfs_hops_mesh
+
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def edges_per_order(df: pd.DataFrame) -> pd.DataFrame:
@@ -4565,10 +4567,6 @@ def q81_bfs_hops(sf_dir: str):
         )
 
     edge_partials = bucketed_combine(ds, "l_orderkey", edges_per_order, num_buckets=32)
-    # dedupe edges once on src buckets; edges stay a distributed Dataset
-    edges = bucketed_combine(
-        edge_partials, "src", lambda df: df.drop_duplicates(), num_buckets=16
-    ).materialize()
 
     seed = int(
         _read(sf_dir, "lineitem", ["l_partkey"])
@@ -4578,43 +4576,9 @@ def q81_bfs_hops(sf_dir: str):
         )
         .min("m")
     )
-    dist = rd.from_pandas(pd.DataFrame({"node": [seed], "hops": [0]}))
-
-    for hop in range(1, 5):
-        frontier = dist.filter(
-            lambda r, h=hop: r["hops"] == h - 1
-        )
-
-        def edge_side(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"node": df.src, "nbr": df.dst, "hops": np.int64(-1)}
-            )
-
-        def frontier_side(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"node": df.node, "nbr": np.int64(-1), "hops": df.hops}
-            )
-
-        tagged = edges.map_batches(edge_side, batch_format="pandas").union(
-            frontier.map_batches(frontier_side, batch_format="pandas")
-        )
-
-        def expand(df: pd.DataFrame, h=hop) -> pd.DataFrame:
-            f = df[df.hops >= 0]
-            e = df[df.hops < 0]
-            if f.empty or e.empty:
-                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
-                                     "hops": pd.Series([], dtype="int64")})
-            cand = e.merge(f[["node"]].drop_duplicates(), on="node")
-            return pd.DataFrame({"node": cand.nbr, "hops": np.int64(h)}).drop_duplicates()
-
-        cand = bucketed_combine(tagged, "node", expand, num_buckets=16)
-        merged = dist.union(cand)
-
-        def min_hops(df: pd.DataFrame) -> pd.DataFrame:
-            return df.groupby("node", as_index=False)["hops"].min()
-
-        dist = bucketed_combine(merged, "node", min_hops, num_buckets=16).materialize()
+    # csr_partition dedupes in-bucket, so the cross-bucket duplicate pairs
+    # surviving the order-bucketed expansion are fine
+    dist = bfs_hops_mesh(edge_partials, seed, max_hops=4, num_buckets=16)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         out = df.rename(columns={"node": "partkey"})

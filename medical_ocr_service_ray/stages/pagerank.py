@@ -213,3 +213,160 @@ def pagerank_quantized(
     # the stash-owned edge objects, so the actor may die with the handle
     ray.wait(final_refs, num_returns=len(final_refs))
     return rd.from_arrow_refs(final_refs)
+
+
+def csr_partition(
+    edges: "rd.Dataset", num_buckets: int, stash
+) -> dict:
+    """Hash-partition (src, dst) edges by bucket_of(src) into actor-owned
+    plasma CSR arrays (nodes sorted unique, indptr, neigh; in-bucket edge
+    dedup — complete because every copy of (src, dst) hashes to src's
+    bucket). ONE exchange; returns {bucket: ObjectRef}. Shared by the
+    BFS mesh (q81) and connected components (stages/dedup.py)."""
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = bucket_of(df.src, num_buckets)
+        return df
+
+    def store(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"bucket": pd.Series(dtype="int64")})
+        b = int(df["__bucket"].iloc[0])
+        df = df.drop_duplicates(["src", "dst"])
+        src = df.src.to_numpy().astype("int64", copy=False)
+        order = np.argsort(src, kind="stable")
+        src = src[order]
+        nodes, counts = np.unique(src, return_counts=True)
+        indptr = np.concatenate([[0], counts.cumsum()]).astype("int64")
+        ray.get(
+            stash.put.remote(
+                b,
+                {
+                    "nodes": np.ascontiguousarray(nodes),
+                    "indptr": indptr,
+                    "neigh": np.ascontiguousarray(
+                        df.dst.to_numpy().astype("int64", copy=False)[order]
+                    ),
+                },
+            )
+        )
+        return pd.DataFrame({"bucket": [b]})
+
+    (
+        edges.map_batches(stamp, batch_format="pandas", batch_size=1 << 17)
+        .groupby("__bucket")
+        .map_groups(store, batch_format="pandas")
+        .materialize()
+    )
+    return ray.get(stash.refs.remote())
+
+
+def _slice_nodes(nodes: np.ndarray, nb: int) -> list:
+    u = np.unique(nodes)
+    ub = u % nb  # bucket_of int branch (floor mod) — TestMeshRoutingInvariant
+    return [{"n": np.ascontiguousarray(u[ub == b])} for b in range(nb)]
+
+
+@ray.remote
+def _bfs_round(adj: dict, state: dict, hop: int, nb: int, *slices: dict):
+    """One BFS hop for one bucket: merge the incoming frontier, record
+    newly-discovered nodes at ``hop``, emit their neighbors pre-sliced by
+    destination bucket. Returns (state, slice_0..slice_{nb-1})."""
+    empty = [{"n": np.empty(0, dtype="int64")}] * nb
+    incoming = np.unique(np.concatenate([s["n"] for s in slices]))
+    if not len(incoming):
+        return tuple([state] + empty)
+    seen = np.isin(incoming, state["node"], assume_unique=True)
+    new = incoming[~seen]
+    if not len(new):
+        return tuple([state] + empty)
+    nodes = np.concatenate([state["node"], new])
+    hops = np.concatenate([state["hops"], np.full(len(new), hop, dtype="int64")])
+    order = np.argsort(nodes, kind="stable")
+    state = {"node": nodes[order], "hops": hops[order]}
+    # expand: neighbors of the newly-discovered (every frontier node exists
+    # in some bucket's adjacency, but THIS bucket only expands its own keys)
+    idx = np.searchsorted(adj["nodes"], new)
+    idx = np.minimum(idx, len(adj["nodes"]) - 1)
+    present = adj["nodes"][idx] == new
+    pi = idx[present]
+    counts = adj["indptr"][pi + 1] - adj["indptr"][pi]
+    starts = adj["indptr"][pi]
+    total = int(counts.sum())
+    flat = np.repeat(starts, counts) + (
+        np.arange(total) - np.repeat(counts.cumsum() - counts, counts)
+    )
+    return tuple([state] + _slice_nodes(adj["neigh"][flat], nb))
+
+
+@ray.remote
+def _bfs_finalize(state: dict):
+    return pa.table(
+        {
+            "node": pa.array(state["node"], pa.int64()),
+            "hops": pa.array(state["hops"], pa.int64()),
+        }
+    )
+
+
+def bfs_hops_mesh(
+    edges: "rd.Dataset", seed: int, max_hops: int, num_buckets: int = 16
+) -> "rd.Dataset":
+    """Bounded-depth BFS on the task mesh (the §23/§24 pattern): adjacency
+    partitioned ONCE (csr_partition, the only Dataset exchange), then
+    ``max_hops`` rounds of ``num_buckets`` raw tasks exchanging only
+    frontier node ids (num_returns-sliced per destination bucket). The r3
+    plan paid 2 Ray Data sorts per hop (~1.5 s fixed each); rounds here are
+    milliseconds and empty frontiers short-circuit. Returns (node, hops),
+    hops ∈ [0, max_hops], seed included at 0."""
+    nb = num_buckets
+    stash = _EdgeStash.remote()
+    adj_refs = csr_partition(edges, nb, stash)
+    buckets = sorted(adj_refs)
+    if not buckets:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([seed], pa.int64()),
+                    "hops": pa.array([0], pa.int64()),
+                }
+            )
+        )
+    empty_state = {
+        "node": np.empty(0, dtype="int64"),
+        "hops": np.empty(0, dtype="int64"),
+    }
+    states = {b: empty_state for b in buckets}
+    # seed slice addressed to its bucket (hop 0 discovers the seed itself)
+    seed_arr = np.array([seed], dtype="int64")
+    slices = {
+        b: [
+            {"n": seed_arr if (b == buckets[0] and b2 == seed % nb) else np.empty(0, dtype="int64")}
+            for b2 in range(nb)
+        ]
+        for b in buckets
+    }
+    for hop in range(0, max_hops + 1):
+        nxt = {
+            b: _bfs_round.options(num_returns=nb + 1).remote(
+                adj_refs[b], states[b], hop, nb, *[slices[sb][b] for sb in buckets]
+            )
+            for b in buckets
+        }
+        states = {b: nxt[b][0] for b in buckets}
+        slices = {b: list(nxt[b][1:]) for b in buckets}
+    final_refs = [_bfs_finalize.remote(states[b]) for b in buckets]
+    ray.wait(final_refs, num_returns=len(final_refs))
+    out = rd.from_arrow_refs(final_refs)
+    if seed % nb not in buckets:
+        # isolated seed: its bucket has no adjacency, so no task could
+        # record the hop-0 discovery — emit the seed row directly
+        out = out.union(
+            rd.from_arrow(
+                pa.table(
+                    {"node": pa.array([seed], pa.int64()), "hops": pa.array([0], pa.int64())}
+                )
+            )
+        )
+    return out

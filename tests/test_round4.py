@@ -251,3 +251,34 @@ class TestMeshRoutingInvariant:
         arr = np.array([0, 1, 15, 16, 17, 2**40 + 3, -1, -17], dtype="int64")
         for nb in (4, 16, 32):
             assert (bucket_of(pd.Series(arr), nb).to_numpy() == arr % nb).all()
+
+
+class TestBfsMesh:
+    def test_matches_brute_force_and_isolated_seed(self, ray_session):
+        """Mesh BFS equals a driver BFS on a planted graph; an isolated
+        seed (bucket with no adjacency) still appears at hop 0."""
+        import pandas as pd
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.pagerank import bfs_hops_mesh
+
+        # path graph 0-1-2-3-4-5 plus a detached pair (10, 11)
+        und = [(i, i + 1) for i in range(5)] + [(10, 11)]
+        edges = pd.DataFrame(
+            {"src": [a for a, b in und] + [b for a, b in und],
+             "dst": [b for a, b in und] + [a for a, b in und]}
+        )
+        out = (
+            bfs_hops_mesh(rd.from_pandas(edges), seed=0, max_hops=3, num_buckets=4)
+            .to_pandas()
+            .set_index("node")["hops"]
+            .to_dict()
+        )
+        assert out == {0: 0, 1: 1, 2: 2, 3: 3}  # 4,5 beyond depth; 10,11 unreachable
+
+        # isolated seed: node 99 has no edges at all
+        out2 = (
+            bfs_hops_mesh(rd.from_pandas(edges), seed=99, max_hops=2, num_buckets=4)
+            .to_pandas()
+        )
+        assert (99, 0) in set(zip(out2.node, out2.hops))
