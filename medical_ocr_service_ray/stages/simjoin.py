@@ -31,7 +31,7 @@ import pandas as pd
 
 import ray.data as rd
 
-from medical_ocr_service_ray.functions.editdist import levenshtein
+from medical_ocr_service_ray.functions.editdist import lev_le1_batch
 from medical_ocr_service_ray.stages.aggregate import bucketed_combine
 
 
@@ -98,11 +98,9 @@ def editdist1_selfjoin(
                 }
             )
         m = m.drop_duplicates(["k_x", "k_y"])
-        ok = [
-            abs(len(a) - len(b)) <= 1 and levenshtein(a, b) <= 1
-            for a, b in zip(m.s_x, m.s_y)
-        ]
-        m = m[np.array(ok, dtype=bool)]
+        # vectorized lev<=1 verify (hamming / single-deletion numpy kernels;
+        # the per-pair Python DP was 112 s at sf0.1 — PERF_NOTES §27)
+        m = m[lev_le1_batch(m.s_x, m.s_y)]
         return pd.DataFrame(
             {"a_key": m.k_x.astype("int64"), "b_key": m.k_y.astype("int64")}
         )

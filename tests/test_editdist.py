@@ -93,3 +93,30 @@ class TestBestMatch:
         out = best_match(pd.Series(["scann"]), self.VOCAB)
         assert out.best_term.iloc[0] == "scann"
         assert out.best_dist.iloc[0] == 0
+
+
+class TestLevLe1Batch:
+    def test_matches_dp_over_random_small_alphabet(self):
+        """Vectorized lev<=1 kernel equals the exact DP on 20k random pairs
+        over a 3-letter alphabet (incl. a non-ASCII char to force the
+        fallback path), lengths 0-4 — covers equal-length hamming,
+        single-deletion at every position, and the >=2 length gap."""
+        import itertools
+        import random
+
+        import numpy as np
+
+        from medical_ocr_service_ray.functions.editdist import (
+            lev_le1_batch,
+            levenshtein,
+        )
+
+        alpha = "abñ"
+        strs = [""] + [
+            "".join(t) for L in (1, 2, 3, 4) for t in itertools.product(alpha, repeat=L)
+        ]
+        rng = random.Random(0)
+        pairs = [(rng.choice(strs), rng.choice(strs)) for _ in range(20000)]
+        got = lev_le1_batch([a for a, _ in pairs], [b for _, b in pairs])
+        exp = np.array([levenshtein(a, b) <= 1 for a, b in pairs])
+        assert (got == exp).all()
