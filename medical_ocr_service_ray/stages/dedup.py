@@ -125,6 +125,251 @@ def verify_pairs_jaccard(
     shingle_k: int = 3,
     threshold_x1000: int = 600,
     num_buckets: int | None = None,
+    broadcast_max_ids: int = 32_000_000,
+    broadcast_max_bytes: int = 256 << 20,
+) -> "rd.Dataset":
+    """Verify candidate (doc_a, doc_b) pairs with true shingle Jaccard.
+
+    Fast path (the common case): the distinct candidate-id set — bounded by
+    the LSH candidate pairs, NOT by the corpus — is pulled once and
+    broadcast; the corpus is scanned ONCE and filtered down to pair-involved
+    docs. Tier 1: when those texts also fit ``broadcast_max_bytes``, they are
+    broadcast as an id->text dict and verification is a stateless map over the
+    pair list — ZERO residual exchanges. Tier 2: otherwise the candidate texts
+    enter two residual exchanges (endpoint-keyed text routing, then
+    pair-keyed verification), both sized by the candidate set. The corpus
+    itself never exchanges in either tier. When the candidate-id set exceeds
+    ``broadcast_max_ids`` (256 MiB of int64 at the default — an adversarially
+    dup-dense corpus), it falls back to :func:`_verify_pairs_two_join`, which
+    exchanges the corpus texts instead of broadcasting anything.
+    All paths return identical (doc_a, doc_b, jaccard_x1000) rows
+    (>= threshold only); equality is pinned by TestVerifyPairsFastPath."""
+    import ray
+
+    import numpy as np
+    import pandas as pd
+
+    from medical_ocr_service_ray.stages.aggregate import bucketed_combine, driver_combine
+
+    # the candidate exchange already ran; its output is small — materialize so
+    # the id pull and the routing exchange don't recompute the banding lineage
+    pairs = pairs.materialize()
+    # raw-count guard BEFORE the driver pull: a raw count beyond 4x the
+    # distinct-pair cap (broadcast_max_ids // 2) routes to the no-pull path
+    # without ever materializing the distinct set on the driver; modest
+    # multi-band duplication (< 4x) still reaches the exact distinct check
+    if pairs.count() > 2 * broadcast_max_ids:
+        return _verify_pairs_two_join(pairs, docs, shingle_k, threshold_x1000, num_buckets)
+    pairs_df = driver_combine(
+        pairs,
+        lambda df: df[["doc_a", "doc_b"]].drop_duplicates(),
+        lambda df: df.drop_duplicates().reset_index(drop=True),
+    )
+    if len(pairs_df) > broadcast_max_ids // 2:
+        return _verify_pairs_two_join(pairs, docs, shingle_k, threshold_x1000, num_buckets)
+    cand_ids = np.unique(
+        np.concatenate(
+            [
+                pairs_df.doc_a.to_numpy(dtype="int64", na_value=-1),
+                pairs_df.doc_b.to_numpy(dtype="int64", na_value=-1),
+            ]
+        )
+        if len(pairs_df)
+        else np.empty(0, np.int64)
+    )
+    if not cand_ids.size:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard_x1000": pa.array([], pa.int64()),
+                }
+            )
+        )
+    ids_ref = ray.put(cand_ids)
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        keep = np.isin(t["doc_id"].to_numpy(zero_copy_only=False), ids)
+        return t.filter(pa.array(keep))
+
+    docs_f = docs.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # tier 1 (zero residual exchanges): candidate texts fit the broadcast cap
+    # — ship the id->text dict once via the object store and verify as a
+    # stateless map over the deduplicated pair list. 256 MiB covers ~1M
+    # candidate docs of typical web-page size; beyond that, tier 2 routes
+    # texts through two candidate-sized exchanges instead.
+    if (docs_f.size_bytes() or 0) <= broadcast_max_bytes:
+        tpd = docs_f.to_pandas()
+        tmap_ref = ray.put(dict(zip(tpd.doc_id, tpd.text.fillna("").astype(str))))
+
+        def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "jaccard_x1000": pd.Series(dtype="int64"),
+                }
+            )
+            if df.empty:
+                return empty
+            tmap = ray.get(tmap_ref)
+            sh_memo: dict[int, set] = {}
+
+            def sh_of(doc_id: int) -> set:
+                s = sh_memo.get(doc_id)
+                if s is None:
+                    s = shingles(tmap.get(doc_id, ""), shingle_k)
+                    sh_memo[doc_id] = s
+                return s
+
+            keep_a, keep_b, keep_j = [], [], []
+            for a, b in zip(df.doc_a, df.doc_b):
+                sa = sh_of(int(a))
+                sb = sh_of(int(b))
+                union = len(sa | sb)
+                inter = len(sa & sb)
+                j_x1000 = (1000 * inter) // union if union else 1000
+                if j_x1000 >= threshold_x1000:
+                    keep_a.append(int(a))
+                    keep_b.append(int(b))
+                    keep_j.append(j_x1000)
+            if not keep_a:
+                return empty
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.array(keep_a, "int64"),
+                    "doc_b": pd.array(keep_b, "int64"),
+                    "jaccard_x1000": pd.array(keep_j, "int64"),
+                }
+            )
+
+        chunks = [pairs_df] if len(pairs_df) <= 8192 else np.array_split(
+            pairs_df, int(np.ceil(len(pairs_df) / 8192))
+        )
+        return rd.from_pandas(list(chunks)).map_batches(
+            verify_bcast, batch_format="pandas"
+        )
+
+    def docs_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df.doc_id.astype("int64"),
+                "tag": np.int64(0),
+                "other": np.int64(-1),
+                "text": df.text.fillna("").astype(str),
+            }
+        )
+
+    def copy_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df.doc_a.astype("int64"),
+                "tag": np.int64(1),
+                "other": df.doc_b.astype("int64"),
+                "text": "",
+            }
+        )
+
+    def copy_b(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df.doc_b.astype("int64"),
+                "tag": np.int64(2),
+                "other": df.doc_a.astype("int64"),
+                "text": "",
+            }
+        )
+
+    unified = docs_f.map_batches(docs_side, batch_format="pandas").union(
+        pairs.map_batches(copy_a, batch_format="pandas"),
+        pairs.map_batches(copy_b, batch_format="pandas"),
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        """Attach the keyed endpoint's text to each pair copy. A pair may
+        surface from several LSH bands; every copy-1 duplicate shares doc_a
+        (this bucket's key) and every copy-2 duplicate shares doc_b, so one
+        in-bucket drop_duplicates per tag is globally exact."""
+        d = df[df.tag == 0]
+        p = df[df.tag != 0].drop_duplicates(["key", "tag", "other"])
+        if p.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "which": pd.Series(dtype="int64"),
+                    "text": pd.Series(dtype="string"),
+                }
+            )
+        tmap = dict(zip(d.key, d.text))
+        is_a = (p.tag == 1).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_a": np.where(is_a, p.key, p.other).astype("int64"),
+                "doc_b": np.where(is_a, p.other, p.key).astype("int64"),
+                "which": p.tag.astype("int64").to_numpy(),
+                "text": p.key.map(tmap).fillna("").astype(str),
+            }
+        )
+
+    resolved = bucketed_combine(unified, "key", attach, num_buckets=16, map_batch_size=65536)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "jaccard_x1000": pd.Series(dtype="int64"),
+            }
+        )
+        if df.empty:
+            return empty
+        a_rows = df[df.which == 1]
+        b_rows = df[df.which == 2]
+        tb = dict(zip(zip(b_rows.doc_a, b_rows.doc_b), b_rows.text))
+        sh_memo: dict[int, set] = {}
+
+        def sh_of(doc_id: int, text: str) -> set:
+            s = sh_memo.get(doc_id)
+            if s is None:
+                s = shingles(text, shingle_k)
+                sh_memo[doc_id] = s
+            return s
+
+        keep_a, keep_b, keep_j = [], [], []
+        for a, b, text_a in zip(a_rows.doc_a, a_rows.doc_b, a_rows.text):
+            sa = sh_of(int(a), text_a)
+            sb = sh_of(int(b), tb.get((a, b), ""))
+            union = len(sa | sb)
+            inter = len(sa & sb)
+            j_x1000 = (1000 * inter) // union if union else 1000
+            if j_x1000 >= threshold_x1000:
+                keep_a.append(int(a))
+                keep_b.append(int(b))
+                keep_j.append(j_x1000)
+        if not keep_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_a": pd.array(keep_a, "int64"),
+                "doc_b": pd.array(keep_b, "int64"),
+                "jaccard_x1000": pd.array(keep_j, "int64"),
+            }
+        )
+
+    # both copies of a pair share doc_a, so a doc_a-keyed bucket sees them both
+    return bucketed_combine(resolved, "doc_a", verify, num_buckets=16, map_batch_size=65536)
+
+
+def _verify_pairs_two_join(
+    pairs: "rd.Dataset",
+    docs: "rd.Dataset",
+    shingle_k: int = 3,
+    threshold_x1000: int = 600,
+    num_buckets: int | None = None,
 ) -> "rd.Dataset":
     """Verify candidate (doc_a, doc_b) pairs with true shingle Jaccard,
     resolving texts via TWO keyed bucket joins (the asof.py tagged-union

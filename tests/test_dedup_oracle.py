@@ -107,3 +107,73 @@ class TestSimHash:
         found = {(a, b): h for a, b, h in zip(pairs.doc_a, pairs.doc_b, pairs.hamming)}
         for i in range(10, 20):
             assert found.get((i, 100 + i)) == 0, f"exact copy pair ({i},{100+i}) not at hamming 0"
+
+
+class TestVerifyPairsFastPath:
+    """The three verify_pairs_jaccard tiers (broadcast / candidate-sized
+    exchanges / corpus two-join fallback) must return identical rows."""
+
+    def _pairs_ds(self):
+        import pandas as pd
+        import ray.data as rd
+
+        # duplicated candidates (multi-band surfacing), a low-jaccard pair
+        # that must be filtered, and a pair whose endpoint is absent from
+        # the corpus (text resolves to "")
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_a": pd.array([0, 0, 10, 10, 10, 5, 3, 50], "int64"),
+                    "doc_b": pd.array([100, 100, 110, 110, 110, 7, 103, 999], "int64"),
+                }
+            )
+        )
+
+    def _run(self, planted_docs, **kw):
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.dedup import verify_pairs_jaccard
+
+        out = verify_pairs_jaccard(
+            self._pairs_ds(), rd.from_arrow(planted_docs), threshold_x1000=600, **kw
+        ).to_pandas()
+        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    def test_three_tiers_identical(self, planted_docs):
+        import pandas as pd
+
+        t1 = self._run(planted_docs)  # broadcast tier
+        t2 = self._run(planted_docs, broadcast_max_bytes=0)  # exchange tier
+        t3 = self._run(planted_docs, broadcast_max_ids=0)  # corpus two-join
+        assert len(t1) > 0
+        pd.testing.assert_frame_equal(t1, t2)
+        pd.testing.assert_frame_equal(t1, t3)
+
+    def test_values_and_filtering(self, planted_docs):
+        lookup = dict(
+            zip(planted_docs["doc_id"].to_pylist(), planted_docs["text"].to_pylist())
+        )
+        out = self._run(planted_docs)
+        found = dict(zip(zip(out.doc_a, out.doc_b), out.jaccard_x1000))
+        assert (0, 100) in found and (10, 110) in found
+        assert (5, 7) not in found  # unrelated prose, below threshold
+        assert (50, 999) not in found  # missing endpoint -> empty shingles
+        assert found[(10, 110)] == 1000  # exact copy
+        sa, sb = shingles(lookup[0]), shingles(lookup[100])
+        assert found[(0, 100)] == (1000 * len(sa & sb)) // len(sa | sb)
+        # no duplicate output rows despite multi-band duplicate candidates
+        assert len(out) == len(out.drop_duplicates(["doc_a", "doc_b"]))
+
+    def test_empty_pairs(self, planted_docs):
+        import pandas as pd
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.dedup import verify_pairs_jaccard
+
+        empty = rd.from_pandas(
+            pd.DataFrame(
+                {"doc_a": pd.array([], "int64"), "doc_b": pd.array([], "int64")}
+            )
+        )
+        out = verify_pairs_jaccard(empty, rd.from_arrow(planted_docs)).to_pandas()
+        assert len(out) == 0
