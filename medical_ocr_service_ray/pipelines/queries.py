@@ -8931,6 +8931,148 @@ FROM p JOIN spend s USING (event_id)
 """
 
 
+def q142_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training, K=4 merge rounds (the vocab-learn
+    step of Sennrich-style subword tokenizers, a first-class training-data
+    pipeline op). The corpus is touched ONCE: a word-count reduction (one
+    bucketed exchange) collapses it to the distinct-word vocabulary, which
+    stays a DATASET — every later pass is map_batches over vocab rows, so
+    the design survives 1e8+ distinct words. Per round: adjacent symbol-pair
+    counts are per-batch partials over a pair space bounded by the merged
+    alphabet squared (<= (26+K)^2 cells — the ONLY thing that ever reaches
+    the driver), the argmax pair (count DESC, then lexicographic) is chosen,
+    and the merge is applied as a vectorized padded-string REPLACE whose
+    left-to-right non-overlapping semantics are IDENTICAL in pandas and SQL
+    ('a a a' -> 'aa a': the match consumes the shared trailing space, so
+    overlapping occurrences merge greedy-left on both sides). Pair counts
+    include overlaps (classic BPE: 'aaa' counts (a,a) twice). Returns one
+    row per merge round: (merge_round, left_sym, right_sym, pair_count)."""
+    import re
+    from collections import Counter
+
+    K = 4
+    ds = _read(sf_dir, "documents", ["text"])
+    word_re = re.compile(r"[a-z]+")
+
+    def word_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df.text:
+            c.update(word_re.findall((t or "").lower()))
+        return pd.DataFrame(
+            {"w": list(c.keys()), "n": pd.array(list(c.values()), "int64")}
+        )
+
+    def word_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("w", as_index=False)["n"].sum()
+
+    def to_syms(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"s": df.w.map(lambda w: " ".join(w)), "n": df.n.astype("int64")}
+        )
+
+    vocab = (
+        partial_then_combine(ds, word_partial, "w", word_combine, num_buckets=16)
+        .map_batches(to_syms, batch_format="pandas")
+        .materialize()
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for s, n in zip(df.s, df.n):
+            tk = s.split(" ")
+            for i in range(len(tk) - 1):
+                c[(tk[i], tk[i + 1])] += int(n)
+        if not c:
+            return pd.DataFrame(
+                {
+                    "l": pd.Series(dtype="string"),
+                    "r": pd.Series(dtype="string"),
+                    "cnt": pd.Series(dtype="int64"),
+                }
+            )
+        ls, rs = zip(*c.keys())
+        return pd.DataFrame(
+            {"l": list(ls), "r": list(rs), "cnt": pd.array(list(c.values()), "int64")}
+        )
+
+    rounds = []
+    for rnd in range(1, K + 1):
+        cells = driver_combine(
+            vocab,
+            pair_partial,
+            lambda df: df.groupby(["l", "r"], as_index=False)["cnt"].sum(),
+        )
+        if cells.empty:
+            break
+        best = cells.sort_values(
+            ["cnt", "l", "r"], ascending=[False, True, True]
+        ).iloc[0]
+        left, right, cnt = str(best.l), str(best.r), int(best.cnt)
+        rounds.append((rnd, left, right, cnt))
+        pat, rep = f" {left} {right} ", f" {left}{right} "
+
+        def apply_merge(df: pd.DataFrame, pat=pat, rep=rep) -> pd.DataFrame:
+            s2 = (" " + df.s + " ").str.replace(pat, rep, regex=False).str.slice(1, -1)
+            return pd.DataFrame({"s": s2, "n": df.n})
+
+        vocab = vocab.map_batches(apply_merge, batch_format="pandas").materialize()
+
+    return pd.DataFrame(
+        {
+            "merge_round": pd.array([x[0] for x in rounds], "int64"),
+            "left_sym": [x[1] for x in rounds],
+            "right_sym": [x[2] for x in rounds],
+            "pair_count": pd.array([x[3] for x in rounds], "int64"),
+        }
+    )
+
+
+def _q142_sql() -> str:
+    """Unrolled 4-round BPE in DuckDB: each round re-derives pair counts
+    from the previous vocab CTE, picks the same (count DESC, l, r) argmax,
+    and applies the same padded REPLACE merge."""
+    parts = [
+        r"""WITH words AS (
+  SELECT w, COUNT(*)::BIGINT AS n FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+  ) GROUP BY w
+), v0 AS (
+  SELECT array_to_string(regexp_extract_all(w, '.'), ' ') AS s, n FROM words
+)"""
+    ]
+    for i in range(1, 5):
+        parts.append(
+            f""", c{i} AS (
+  SELECT string_split(pr, '|')[1] AS l, string_split(pr, '|')[2] AS r,
+         SUM(n)::BIGINT AS cnt
+  FROM (
+    SELECT unnest(list_transform(range(1, len(tk)), j -> tk[j] || '|' || tk[j+1])) AS pr, n
+    FROM (SELECT string_split(s, ' ') AS tk, n FROM v{i-1})
+  )
+  GROUP BY 1, 2
+), b{i} AS (SELECT l, r, cnt FROM c{i} ORDER BY cnt DESC, l, r LIMIT 1)
+, v{i} AS (
+  SELECT trim(replace(' ' || s || ' ',
+                      (SELECT ' ' || l || ' ' || r || ' ' FROM b{i}),
+                      (SELECT ' ' || l || r || ' ' FROM b{i}))) AS s, n
+  FROM v{i-1}
+)"""
+        )
+    parts.append(
+        """
+SELECT * FROM (
+  SELECT 1::BIGINT AS merge_round, l AS left_sym, r AS right_sym, cnt AS pair_count FROM b1
+  UNION ALL SELECT 2, l, r, cnt FROM b2
+  UNION ALL SELECT 3, l, r, cnt FROM b3
+  UNION ALL SELECT 4, l, r, cnt FROM b4
+) ORDER BY merge_round"""
+    )
+    return "".join(parts)
+
+
+_Q142_SQL = _q142_sql()
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -9075,6 +9217,7 @@ QUERIES = {
     "q139_dedup_survivors": q139_dedup_survivors,
     "q140_drift_bins": q140_drift_bins,
     "q141_pit_features": q141_pit_features,
+    "q142_bpe_merges": q142_bpe_merges,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -9102,6 +9245,7 @@ DRIVER_PRIORITY = [
     "q139_dedup_survivors",
     "q140_drift_bins",
     "q141_pit_features",
+    "q142_bpe_merges",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -9290,6 +9434,7 @@ ORACLE_SQL = {
     "q139_dedup_survivors": _q139_sql(),
     "q140_drift_bins": _Q140_SQL,
     "q141_pit_features": _Q141_SQL,
+    "q142_bpe_merges": _Q142_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
