@@ -9073,6 +9073,146 @@ SELECT * FROM (
 _Q142_SQL = _q142_sql()
 
 
+def q143_ann_recall_eval(sf_dir: str):
+    """Retrieval-quality evaluation of the IVF index against exact search —
+    the recall@k harness every ANN deployment needs. For the 8 lowest-vec_id
+    query vectors: exact top-10 (integer-quantized dot, q12's kernel
+    generalized to a query MATRIX) and IVF top-10 (q78's probe path,
+    nprobe=2 over the k=8/2-iter quantized-Lloyd's quantizer) are computed
+    in ONE corpus scan — each batch emits per-query partial top-10s for BOTH
+    paths (the IVF side additionally gated on probe-cluster assignment), so
+    the driver merge is blocks x 8 x 2 x 10 rows. Per query:
+    (query_vec_id, n_overlap, recall_x1000). All-integer arithmetic, so the
+    DuckDB oracle rebuilds quantizer, probes, both top-10 cuts, and the
+    overlap bit-for-bit."""
+    import ray
+
+    from medical_ocr_service_ray.stages.ann import _stack_embeddings, probe_clusters
+    from medical_ocr_service_ray.stages.kmeans import assign, kmeans_fit, quantize
+
+    N_Q, K, NPROBE = 8, 10, 2
+    ds = _emb_dataset(sf_dir)  # shared materialized memo (q12/q22/q78)
+    centroids = kmeans_fit(ds, k=8, iters=2)
+
+    emb = _emb_query_table(sf_dir)
+    qdf = (
+        pd.DataFrame(
+            {"vec_id": emb["vec_id"].to_pandas(), "e": emb["embedding"].to_pylist()}
+        )
+        .sort_values("vec_id")
+        .head(N_Q)
+    )
+    qids = qdf.vec_id.to_numpy(dtype=np.int64)
+    qm = quantize(np.asarray(qdf.e.tolist(), dtype=np.float64))  # (N_Q, dim)
+    probes = [probe_clusters(qm[i], centroids, NPROBE) for i in range(len(qids))]
+    bundle = ray.put((centroids, qm, qids, [set(map(int, p)) for p in probes]))
+
+    def partial(batch: pa.Table, _ref=bundle) -> pa.Table:
+        cents, qmat, qv_ids, probe_sets = ray.get(_ref)
+        v = quantize(_stack_embeddings(batch))
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        dots = v @ qmat.T  # (n, N_Q) int64-exact
+        a = assign(v, cents)
+        out_q, out_id, out_dot, out_kind = [], [], [], []
+        for qi in range(len(qv_ids)):
+            col = dots[:, qi]
+            order = np.lexsort((ids, -col))[:K]
+            out_q.extend([int(qv_ids[qi])] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_dot.extend(col[order].tolist())
+            out_kind.extend([0] * len(order))
+            mask = np.isin(a, np.fromiter(probe_sets[qi], dtype=np.int64))
+            mids, mdots = ids[mask], col[mask]
+            morder = np.lexsort((mids, -mdots))[:K]
+            out_q.extend([int(qv_ids[qi])] * len(morder))
+            out_id.extend(mids[morder].tolist())
+            out_dot.extend(mdots[morder].tolist())
+            out_kind.extend([1] * len(morder))
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "dot_q": pa.array(out_dot, pa.int64()),
+                "kind": pa.array(out_kind, pa.int64()),
+            }
+        )
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = merged.sort_values(
+        ["qid", "kind", "dot_q", "vec_id"], ascending=[True, True, False, True]
+    )
+    top = merged.groupby(["qid", "kind"]).head(K)
+    rows = []
+    for qid in qids:
+        ex = set(top[(top.qid == qid) & (top.kind == 0)].vec_id)
+        iv = set(top[(top.qid == qid) & (top.kind == 1)].vec_id)
+        n = len(ex & iv)
+        rows.append((int(qid), n, (1000 * n) // K))
+    return pd.DataFrame(
+        {
+            "query_vec_id": pd.array([r[0] for r in rows], "int64"),
+            "n_overlap": pd.array([r[1] for r in rows], "int64"),
+            "recall_x1000": pd.array([r[2] for r in rows], "int64"),
+        }
+    )
+
+
+def _q143_sql(k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1024,
+              nprobe: int = 2, topk: int = 10, n_q: int = 8) -> str:
+    """q78's quantizer chain, generalized to a query SET: per-query exact
+    and in-probe top-k cuts, then the overlap count."""
+    return (
+        _kmeans_cte_chain(k, iters, dim, scale)
+        + f""", qs AS (
+  SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT {n_q}
+), ex AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, t.vec_id,
+           row_number() OVER (
+             PARTITION BY s.qid
+             ORDER BY CAST(list_inner_product(t.v, s.qv) AS BIGINT) DESC,
+                      t.vec_id) AS rn
+    FROM q t, qs s) WHERE rn <= {topk}
+), af AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT q.vec_id, q.v, c.cluster,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CAST(list_inner_product(c.c, c.c) AS BIGINT)
+                      - 2 * CAST(list_inner_product(q.v, c.c) AS BIGINT),
+                      c.cluster) AS rn
+    FROM q, c{iters} c) WHERE rn = 1
+), pr AS (
+  SELECT qid, cluster FROM (
+    SELECT s.qid, c.cluster,
+           row_number() OVER (
+             PARTITION BY s.qid
+             ORDER BY CAST(list_inner_product(c.c, c.c) AS BIGINT)
+                      - 2 * CAST(list_inner_product(s.qv, c.c) AS BIGINT),
+                      c.cluster) AS rn
+    FROM qs s, c{iters} c) WHERE rn <= {nprobe}
+), iv AS (
+  SELECT qid, vec_id FROM (
+    SELECT p.qid, a.vec_id,
+           row_number() OVER (
+             PARTITION BY p.qid
+             ORDER BY CAST(list_inner_product(a.v, s.qv) AS BIGINT) DESC,
+                      a.vec_id) AS rn
+    FROM af a JOIN pr p ON a.cluster = p.cluster
+              JOIN qs s ON s.qid = p.qid) WHERE rn <= {topk}
+)
+SELECT e.qid AS query_vec_id,
+       COUNT(i.vec_id)::BIGINT AS n_overlap,
+       (100 * COUNT(i.vec_id))::BIGINT AS recall_x1000
+FROM ex e LEFT JOIN iv i ON e.qid = i.qid AND e.vec_id = i.vec_id
+GROUP BY e.qid ORDER BY e.qid
+"""
+    )
+
+
+_Q143_SQL = _q143_sql()
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -9218,6 +9358,7 @@ QUERIES = {
     "q140_drift_bins": q140_drift_bins,
     "q141_pit_features": q141_pit_features,
     "q142_bpe_merges": q142_bpe_merges,
+    "q143_ann_recall_eval": q143_ann_recall_eval,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -9246,6 +9387,7 @@ DRIVER_PRIORITY = [
     "q140_drift_bins",
     "q141_pit_features",
     "q142_bpe_merges",
+    "q143_ann_recall_eval",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -9435,6 +9577,7 @@ ORACLE_SQL = {
     "q140_drift_bins": _Q140_SQL,
     "q141_pit_features": _Q141_SQL,
     "q142_bpe_merges": _Q142_SQL,
+    "q143_ann_recall_eval": _Q143_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
