@@ -9213,6 +9213,215 @@ GROUP BY e.qid ORDER BY e.qid
 _Q143_SQL = _q143_sql()
 
 
+def q144_user_day_paths(sf_dir: str):
+    """Ordered-aggregation journey strings: per (user, day) the time-ordered
+    event-type path ('view>click>purchase') plus its length — session-path
+    mining for funnel/behavior-model training data. ONE user-keyed exchange;
+    the in-bucket combine sorts its own rows (user_id, day, ts, event_id —
+    the deterministic total order) and string-joins per group. Per-group
+    ordering never needs a global sort: a user's rows land in one bucket.
+    Mirrors SQL string_agg(... ORDER BY) bit-for-bit."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.assign(day=df.ts.dt.strftime("%Y-%m-%d")).sort_values(
+            ["user_id", "day", "ts", "event_id"]
+        )
+        g = d.groupby(["user_id", "day"], as_index=False).agg(
+            path=("event_type", ">".join), n_events=("event_id", "size")
+        )
+        g["n_events"] = g.n_events.astype("int64")
+        return g
+
+    return (
+        bucketed_combine(ds, "user_id", per_bucket, num_buckets=16)
+        .to_pandas()
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+
+
+_Q144_SQL = """
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       COUNT(*)::BIGINT AS n_events
+FROM events
+GROUP BY user_id, day
+ORDER BY user_id, day
+"""
+
+
+def q145_embedding_dim_stats(sf_dir: str):
+    """Per-DIMENSION standardization statistics over the embedding column —
+    the stats pass of feature scaling (z-score): exact integer sufficient
+    statistics (n, sum, n*sumsq - sum^2) per dimension from ONE streaming
+    pass with a vectorized axis-0 reduction per batch (no exchange at all:
+    the driver combines blocks x 64 cells). The stamp pass this feeds is a
+    broadcast map_batches; int64 is safe while n * (scale^2 * n) < 2^63 —
+    beyond ~1e8 rows promote the variance numerator to 128-bit (the SQL
+    twin's HUGEINT). Quantization = stages/kmeans.quantize (floor(x*1024
+    + 0.5)), so the oracle is bit-exact."""
+    from medical_ocr_service_ray.stages.ann import _stack_embeddings
+    from medical_ocr_service_ray.stages.kmeans import quantize
+
+    ds = _emb_dataset(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = quantize(_stack_embeddings(batch))
+        return pa.table(
+            {
+                "dim_idx": pa.array(np.arange(1, v.shape[1] + 1), pa.int64()),
+                "n": pa.array(np.full(v.shape[1], v.shape[0]), pa.int64()),
+                "s": pa.array(v.sum(axis=0), pa.int64()),
+                "ss": pa.array((v * v).sum(axis=0), pa.int64()),
+            }
+        )
+
+    cells = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = cells.groupby("dim_idx", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum")
+    )
+    return pd.DataFrame(
+        {
+            "dim_idx": g.dim_idx.astype("int64"),
+            "n": g.n.astype("int64"),
+            "sum_q": g.s.astype("int64"),
+            "var_num": (g.n * g.ss - g.s * g.s).astype("int64"),
+        }
+    ).sort_values("dim_idx").reset_index(drop=True)
+
+
+_Q145_SQL = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(floor(x * 1024 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+)
+SELECT t.i::BIGINT AS dim_idx, COUNT(*)::BIGINT AS n, SUM(v[t.i])::BIGINT AS sum_q,
+       (COUNT(*) * SUM(v[t.i] * v[t.i]) - SUM(v[t.i]) * SUM(v[t.i]))::BIGINT AS var_num
+FROM q, UNNEST(generate_series(1, 64)) AS t(i)
+GROUP BY t.i ORDER BY dim_idx
+"""
+
+
+def q146_collocation_lift(sf_dir: str):
+    """Collocation / phrase-candidate mining (the word2vec-phrases step of a
+    corpus pipeline): top-20 token pairs by integer LIFT = N * n_ab /
+    (n_a * n_b), restricted to the top-64 vocabulary by document frequency
+    so the pair space is bounded (<= 2016 cells). Pass 1: doc-frequency
+    counts via one token-keyed exchange, per-bucket top-64 partials, tiny
+    driver merge. Pass 2: vocab broadcast; each batch intersects its docs
+    with the vocab and emits co-occurrence cells (Counter over <= 2016
+    keys) — the pair count combine is driver-side over blocks x cells.
+    lift_x1e6 = (1e6 * n_ab * N) // (n_a * n_b), all BIGINT-exact."""
+    import re
+    from itertools import combinations
+
+    import ray
+
+    V, TOPN = 64, 20
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    word_re = re.compile(r"[a-z]+")
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in df.text:
+            c.update(set(word_re.findall((t or "").lower())))
+        return pd.DataFrame(
+            {"tok": list(c.keys()), "df": pd.array(list(c.values()), "int64")}
+        )
+
+    def df_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", as_index=False)["df"].sum()
+        # top-(V) partial per bucket: the global top-V is within the union
+        g = g.sort_values(["df", "tok"], ascending=[False, True]).head(V)
+        return g
+
+    bucketed = partial_then_combine(ds, df_partial, "tok", df_combine, num_buckets=16)
+    vocab_df = (
+        bucketed.to_pandas()
+        .sort_values(["df", "tok"], ascending=[False, True])
+        .head(V)
+        .reset_index(drop=True)
+    )
+    n_total = _read(sf_dir, "documents", ["doc_id"]).count()
+    vocab = dict(zip(vocab_df.tok, vocab_df.df.astype("int64")))
+    vocab_ref = ray.put(frozenset(vocab))
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        vs = ray.get(vocab_ref)
+        c: Counter = Counter()
+        for t in df.text:
+            present = sorted(vs & set(word_re.findall((t or "").lower())))
+            c.update(combinations(present, 2))
+        if not c:
+            return pd.DataFrame(
+                {
+                    "tok_a": pd.Series(dtype="string"),
+                    "tok_b": pd.Series(dtype="string"),
+                    "n_ab": pd.Series(dtype="int64"),
+                }
+            )
+        a, b = zip(*c.keys())
+        return pd.DataFrame(
+            {"tok_a": list(a), "tok_b": list(b), "n_ab": pd.array(list(c.values()), "int64")}
+        )
+
+    cells = driver_combine(
+        ds,
+        pair_partial,
+        lambda df: df.groupby(["tok_a", "tok_b"], as_index=False)["n_ab"].sum(),
+    )
+    if cells.empty:
+        return pd.DataFrame(
+            {
+                "tok_a": pd.Series(dtype="string"),
+                "tok_b": pd.Series(dtype="string"),
+                "n_ab": pd.Series(dtype="int64"),
+                "n_a": pd.Series(dtype="int64"),
+                "n_b": pd.Series(dtype="int64"),
+                "lift_x1e6": pd.Series(dtype="int64"),
+            }
+        )
+    cells["n_a"] = cells.tok_a.map(vocab).astype("int64")
+    cells["n_b"] = cells.tok_b.map(vocab).astype("int64")
+    cells["lift_x1e6"] = (
+        1_000_000 * cells.n_ab * int(n_total) // (cells.n_a * cells.n_b)
+    ).astype("int64")
+    return (
+        cells.sort_values(["lift_x1e6", "tok_a", "tok_b"], ascending=[False, True, True])
+        .head(TOPN)
+        .reset_index(drop=True)[["tok_a", "tok_b", "n_ab", "n_a", "n_b", "lift_x1e6"]]
+    )
+
+
+_Q146_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+), dfreq AS (
+  SELECT tok, COUNT(*)::BIGINT AS df FROM toks GROUP BY tok
+), vocab AS (
+  SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT 64
+), vt AS (
+  SELECT t.doc_id, t.tok, v.df FROM toks t JOIN vocab v USING (tok)
+), pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*)::BIGINT AS n_ab,
+         ANY_VALUE(a.df)::BIGINT AS n_a, ANY_VALUE(b.df)::BIGINT AS n_b
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+), n AS (SELECT COUNT(*)::BIGINT AS n_total FROM documents)
+SELECT tok_a, tok_b, n_ab, n_a, n_b,
+       (1000000 * n_ab * n.n_total // (n_a * n_b))::BIGINT AS lift_x1e6
+FROM pairs, n
+ORDER BY lift_x1e6 DESC, tok_a, tok_b
+LIMIT 20
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -9359,6 +9568,9 @@ QUERIES = {
     "q141_pit_features": q141_pit_features,
     "q142_bpe_merges": q142_bpe_merges,
     "q143_ann_recall_eval": q143_ann_recall_eval,
+    "q144_user_day_paths": q144_user_day_paths,
+    "q145_embedding_dim_stats": q145_embedding_dim_stats,
+    "q146_collocation_lift": q146_collocation_lift,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -9388,6 +9600,9 @@ DRIVER_PRIORITY = [
     "q141_pit_features",
     "q142_bpe_merges",
     "q143_ann_recall_eval",
+    "q144_user_day_paths",
+    "q145_embedding_dim_stats",
+    "q146_collocation_lift",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -9578,6 +9793,9 @@ ORACLE_SQL = {
     "q141_pit_features": _Q141_SQL,
     "q142_bpe_merges": _Q142_SQL,
     "q143_ann_recall_eval": _Q143_SQL,
+    "q144_user_day_paths": _Q144_SQL,
+    "q145_embedding_dim_stats": _Q145_SQL,
+    "q146_collocation_lift": _Q146_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
