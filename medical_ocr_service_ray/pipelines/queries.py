@@ -9422,6 +9422,165 @@ LIMIT 20
 """
 
 
+def q147_activity_streaks(sf_dir: str):
+    """Gaps-and-islands: per user the number of distinct active days and the
+    LONGEST run of consecutive calendar days with activity (engagement-streak
+    features). Per-batch distinct (user, day) partials collapse the event
+    stream before the ONE user-keyed exchange; in-bucket the island anchor is
+    day - cumcount DAYS (identical arithmetic to the SQL window), so streak
+    lengths are island sizes. Driver never sees per-event rows."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df.user_id.astype("int64"), "day": df.ts.dt.normalize()}
+        ).drop_duplicates()
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "day"]).sort_values(["user_id", "day"])
+        rn = d.groupby("user_id").cumcount()
+        d = d.assign(anchor=d.day - pd.to_timedelta(rn, unit="D"))
+        isl = d.groupby(["user_id", "anchor"], as_index=False).size()
+        g = isl.groupby("user_id", as_index=False).agg(
+            n_active_days=("size", "sum"), longest_streak=("size", "max")
+        )
+        return g.astype("int64")
+
+    return (
+        partial_then_combine(ds, partial, "user_id", per_bucket, num_buckets=16)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+_Q147_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS anchor
+  FROM d
+), isl AS (
+  SELECT user_id, anchor, COUNT(*)::BIGINT AS streak FROM r GROUP BY user_id, anchor
+)
+SELECT user_id, SUM(streak)::BIGINT AS n_active_days,
+       MAX(streak)::BIGINT AS longest_streak
+FROM isl GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q148_contamination_matrix(sf_dir: str):
+    """Cross-source contamination audit: for every source pair, the count of
+    shared distinct word-8-gram shingles and the integer Jaccard — the
+    train/test-leakage MATRIX generalizing q66's one-directional
+    decontamination. Per-batch distinct (gram, source) partials, ONE
+    gram-keyed exchange; each bucket self-merges its grams (bounded x
+    sources^2) into pair cells AND counts per-source distinct grams — a gram
+    lives wholly in one bucket, so both sums are exact. Driver combines
+    <= sources^2 + sources cells. Gram STRINGS at bench scale for oracle
+    exactness; the 100-TB path swaps in the 62-bit Horner hash (q137's
+    note). Zero-overlap pairs are omitted (mirrors the SQL inner join)."""
+    from medical_ocr_service_ray.functions.hashing import tokens
+
+    G = 8
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        srcs, grams = [], []
+        for src, text in zip(df.source, df.text):
+            tk = tokens(text or "")
+            gs = {" ".join(tk[i : i + G]) for i in range(len(tk) - G + 1)}
+            srcs.extend([src] * len(gs))
+            grams.extend(gs)
+        return pd.DataFrame({"gram": grams, "source": srcs}).drop_duplicates()
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["gram", "source"])
+        per_src = d.groupby("source", as_index=False).size()
+        m = d.merge(d, on="gram")
+        m = m[m.source_x < m.source_y]
+        pairs = m.groupby(["source_x", "source_y"], as_index=False).size()
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "src_a": pairs.source_x,
+                        "src_b": pairs.source_y,
+                        "cnt": pairs["size"].astype("int64"),
+                        "kind": np.int64(0),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "src_a": per_src.source,
+                        "src_b": "",
+                        "cnt": per_src["size"].astype("int64"),
+                        "kind": np.int64(1),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    cells = (
+        partial_then_combine(ds, partial, "gram", per_bucket, num_buckets=16)
+        .to_pandas()
+        .groupby(["src_a", "src_b", "kind"], as_index=False)["cnt"]
+        .sum()
+    )
+    per_src = dict(zip(cells[cells.kind == 1].src_a, cells[cells.kind == 1].cnt))
+    p = cells[cells.kind == 0].copy()
+    if p.empty:
+        return pd.DataFrame(
+            {
+                "src_a": pd.Series(dtype="string"),
+                "src_b": pd.Series(dtype="string"),
+                "n_shared": pd.Series(dtype="int64"),
+                "n_a": pd.Series(dtype="int64"),
+                "n_b": pd.Series(dtype="int64"),
+                "jaccard_x1e6": pd.Series(dtype="int64"),
+            }
+        )
+    p["n_a"] = p.src_a.map(per_src).astype("int64")
+    p["n_b"] = p.src_b.map(per_src).astype("int64")
+    p["n_shared"] = p.cnt.astype("int64")
+    p["jaccard_x1e6"] = (
+        1_000_000 * p.n_shared // (p.n_a + p.n_b - p.n_shared)
+    ).astype("int64")
+    return (
+        p.sort_values(["src_a", "src_b"])
+        .reset_index(drop=True)[["src_a", "src_b", "n_shared", "n_a", "n_b", "jaccard_x1e6"]]
+    )
+
+
+_Q148_SQL = r"""
+WITH toks AS (
+  SELECT source, regexp_extract_all(lower(text), '[\p{L}\p{N}_]+') AS tk
+  FROM documents
+), g AS (
+  SELECT DISTINCT source, unnest(
+    CASE WHEN len(tk) < 8 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len(tk) - 6),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                   || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7])
+    END) AS gram
+  FROM toks
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*)::BIGINT AS n_shared
+  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+), per AS (
+  SELECT source, COUNT(*)::BIGINT AS n FROM g GROUP BY source
+)
+SELECT p.src_a, p.src_b, p.n_shared, pa.n AS n_a, pb.n AS n_b,
+       ((1000000 * p.n_shared) // (pa.n + pb.n - p.n_shared))::BIGINT AS jaccard_x1e6
+FROM pairs p JOIN per pa ON pa.source = p.src_a JOIN per pb ON pb.source = p.src_b
+ORDER BY p.src_a, p.src_b
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -9571,6 +9730,8 @@ QUERIES = {
     "q144_user_day_paths": q144_user_day_paths,
     "q145_embedding_dim_stats": q145_embedding_dim_stats,
     "q146_collocation_lift": q146_collocation_lift,
+    "q147_activity_streaks": q147_activity_streaks,
+    "q148_contamination_matrix": q148_contamination_matrix,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -9603,6 +9764,8 @@ DRIVER_PRIORITY = [
     "q144_user_day_paths",
     "q145_embedding_dim_stats",
     "q146_collocation_lift",
+    "q147_activity_streaks",
+    "q148_contamination_matrix",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -9796,6 +9959,8 @@ ORACLE_SQL = {
     "q144_user_day_paths": _Q144_SQL,
     "q145_embedding_dim_stats": _Q145_SQL,
     "q146_collocation_lift": _Q146_SQL,
+    "q147_activity_streaks": _Q147_SQL,
+    "q148_contamination_matrix": _Q148_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel
