@@ -9233,12 +9233,9 @@ def q144_user_day_paths(sf_dir: str):
         g["n_events"] = g.n_events.astype("int64")
         return g
 
-    return (
-        bucketed_combine(ds, "user_id", per_bucket, num_buckets=16)
-        .to_pandas()
-        .sort_values(["user_id", "day"])
-        .reset_index(drop=True)
-    )
+    # returned as a Dataset: user-day cardinality is unbounded at scale, so
+    # the result must never require a driver pull (harnesses sort themselves)
+    return bucketed_combine(ds, "user_id", per_bucket, num_buckets=16)
 
 
 _Q144_SQL = """
@@ -9446,12 +9443,8 @@ def q147_activity_streaks(sf_dir: str):
         )
         return g.astype("int64")
 
-    return (
-        partial_then_combine(ds, partial, "user_id", per_bucket, num_buckets=16)
-        .to_pandas()
-        .sort_values("user_id")
-        .reset_index(drop=True)
-    )
+    # Dataset out: per-user cardinality is unbounded at scale (q47 convention)
+    return partial_then_combine(ds, partial, "user_id", per_bucket, num_buckets=16)
 
 
 _Q147_SQL = """

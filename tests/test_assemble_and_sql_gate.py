@@ -91,6 +91,13 @@ GATED = [
     "q139_dedup_survivors",
     "q140_drift_bins",
     "q141_pit_features",
+    "q142_bpe_merges",
+    "q143_ann_recall_eval",
+    "q144_user_day_paths",
+    "q145_embedding_dim_stats",
+    "q146_collocation_lift",
+    "q147_activity_streaks",
+    "q148_contamination_matrix",
 ]
 
 
