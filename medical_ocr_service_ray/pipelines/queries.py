@@ -8941,12 +8941,16 @@ def q142_bpe_merges(sf_dir: str):
     counts are per-batch partials over a pair space bounded by the merged
     alphabet squared (<= (26+K)^2 cells — the ONLY thing that ever reaches
     the driver), the argmax pair (count DESC, then lexicographic) is chosen,
-    and the merge is applied as a vectorized padded-string REPLACE whose
-    left-to-right non-overlapping semantics are IDENTICAL in pandas and SQL
-    ('a a a' -> 'aa a': the match consumes the shared trailing space, so
-    overlapping occurrences merge greedy-left on both sides). Pair counts
-    include overlaps (classic BPE: 'aaa' counts (a,a) twice). Returns one
-    row per merge round: (merge_round, left_sym, right_sym, pair_count)."""
+    and the merge is applied as a vectorized REPLACE over the
+    BOUNDARY-WRAPPED form '<a><b><c>': the pattern '<l><r>' cannot consume a
+    neighboring token's boundary, so left-to-right non-overlapping REPLACE
+    is exactly canonical greedy-left BPE ('a a a' -> 'aa a', 'a b a b' ->
+    'ab ab') — pinned against an explicit scan-merge reference by
+    tests/test_bpe_semantics.py, and identical in pandas and DuckDB. (A
+    naive space-padded REPLACE is NOT canonical: it eats the shared
+    separator and skips disjoint adjacent occurrences.) Pair counts include
+    overlaps (classic BPE: 'aaa' counts (a,a) twice). Returns one row per
+    merge round: (merge_round, left_sym, right_sym, pair_count)."""
     import re
     from collections import Counter
 
@@ -9009,10 +9013,16 @@ def q142_bpe_merges(sf_dir: str):
         ).iloc[0]
         left, right, cnt = str(best.l), str(best.r), int(best.cnt)
         rounds.append((rnd, left, right, cnt))
-        pat, rep = f" {left} {right} ", f" {left}{right} "
+        pat, rep = f"<{left}><{right}>", f"<{left}{right}>"
 
         def apply_merge(df: pd.DataFrame, pat=pat, rep=rep) -> pd.DataFrame:
-            s2 = (" " + df.s + " ").str.replace(pat, rep, regex=False).str.slice(1, -1)
+            wrapped = "<" + df.s.str.replace(" ", "><", regex=False) + ">"
+            s2 = (
+                wrapped.str.replace(pat, rep, regex=False)
+                .str.replace("><", " ", regex=False)
+                .str.replace("<", "", regex=False)
+                .str.replace(">", "", regex=False)
+            )
             return pd.DataFrame({"s": s2, "n": df.n})
 
         vocab = vocab.map_batches(apply_merge, batch_format="pandas").materialize()
@@ -9030,7 +9040,8 @@ def q142_bpe_merges(sf_dir: str):
 def _q142_sql() -> str:
     """Unrolled 4-round BPE in DuckDB: each round re-derives pair counts
     from the previous vocab CTE, picks the same (count DESC, l, r) argmax,
-    and applies the same padded REPLACE merge."""
+    and applies the same boundary-wrapped REPLACE merge (canonical
+    greedy-left; see q142_bpe_merges docstring)."""
     parts = [
         r"""WITH words AS (
   SELECT w, COUNT(*)::BIGINT AS n FROM (
@@ -9052,9 +9063,11 @@ def _q142_sql() -> str:
   GROUP BY 1, 2
 ), b{i} AS (SELECT l, r, cnt FROM c{i} ORDER BY cnt DESC, l, r LIMIT 1)
 , v{i} AS (
-  SELECT trim(replace(' ' || s || ' ',
-                      (SELECT ' ' || l || ' ' || r || ' ' FROM b{i}),
-                      (SELECT ' ' || l || r || ' ' FROM b{i}))) AS s, n
+  SELECT replace(replace(replace(
+           replace('<' || replace(s, ' ', '><') || '>',
+                   (SELECT '<' || l || '><' || r || '>' FROM b{i}),
+                   (SELECT '<' || l || r || '>' FROM b{i})),
+           '><', ' '), '<', ''), '>', '') AS s, n
   FROM v{i-1}
 )"""
         )
