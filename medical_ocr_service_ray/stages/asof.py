@@ -15,7 +15,10 @@ reduction.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -29,30 +32,36 @@ def asof_join_events_orders(
     o_orderkey) on user_id + 1 == o_custkey AND o_orderdate <= ts (inner).
     Returns (event_id, user_id, matched_orderkey)."""
 
-    def prep_events(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    # Arrow-native tag preps (VERDICT r3 ask #6): zero-copy payload columns,
+    # constants as numpy fills; the per-bucket merge_asof kernel stays pandas
+    def prep_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
             {
-                "user_key": (df.user_id + 1).astype("int64"),
-                "side": 0,
-                "event_id": df.event_id.astype("int64"),
-                "ts": df.ts,
-                "okey": -1,
+                "user_key": pc.add(t["user_id"].cast(pa.int64()), pa.scalar(1, pa.int64())),
+                "side": pa.array(np.zeros(n, np.int64)),
+                "event_id": t["event_id"].cast(pa.int64()),
+                "ts": t["ts"],
+                "okey": pa.array(np.full(n, -1, np.int64)),
             }
         )
 
-    def prep_orders(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def prep_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
             {
-                "user_key": df.o_custkey.astype("int64"),
-                "side": 1,
-                "event_id": -1,
-                "ts": df.o_orderdate,
-                "okey": df.o_orderkey.astype("int64"),
+                "user_key": t["o_custkey"].cast(pa.int64()),
+                "side": pa.array(np.ones(n, np.int64)),
+                "event_id": pa.array(np.full(n, -1, np.int64)),
+                "ts": t["o_orderdate"],
+                "okey": t["o_orderkey"].cast(pa.int64()),
             }
         )
 
-    unified = events.map_batches(prep_events, batch_format="pandas").union(
-        orders.map_batches(prep_orders, batch_format="pandas")
+    unified = events.map_batches(
+        prep_events, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(prep_orders, batch_format="pyarrow", zero_copy_batch=True)
     )
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:

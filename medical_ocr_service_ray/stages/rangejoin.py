@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data as rd
 
@@ -45,6 +46,12 @@ from medical_ocr_service_ray.stages.aggregate import bucketed_combine
 def _us(series: pd.Series) -> pd.Series:
     """Timestamps as int64 microseconds regardless of pandas ns/us storage."""
     return series.astype("datetime64[us]").astype("int64")
+
+
+def _ts_us_np(arr) -> np.ndarray:
+    """Arrow timestamp column as int64 microseconds (zero-copy when the
+    storage is already us, the parquet default here)."""
+    return arr.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
 def range_join_orders_lineitem(
@@ -59,30 +66,36 @@ def range_join_orders_lineitem(
     Returns (o_orderkey, n_shipped_90d, rev4_90d)."""
     win_us = int(window_days) * 86_400_000_000
 
-    def prep_orders(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    # Arrow-native tag preps: numpy views over the parquet blocks, no
+    # Arrow->pandas round-trip of payload columns (VERDICT r3 ask #6; the
+    # combine kernel below stays pandas where groupby measures faster)
+    def prep_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
             {
-                "key": df.o_orderkey.astype("int64"),
-                "side": np.int8(1),
-                "ts_us": _us(df.o_orderdate),
-                "rev4": np.int64(0),
+                "key": t["o_orderkey"].cast(pa.int64()),
+                "side": pa.array(np.ones(n, np.int8)),
+                "ts_us": pa.array(_ts_us_np(t["o_orderdate"])),
+                "rev4": pa.array(np.zeros(n, np.int64)),
             }
         )
 
-    def prep_lineitem(df: pd.DataFrame) -> pd.DataFrame:
-        cents_p = np.rint(df.l_extendedprice.to_numpy() * 100).astype("int64")
-        cents_d = np.rint((1.0 - df.l_discount.to_numpy()) * 100).astype("int64")
-        return pd.DataFrame(
+    def prep_lineitem(t: pa.Table) -> pa.Table:
+        cents_p = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype("int64")
+        cents_d = np.rint((1.0 - t["l_discount"].to_numpy(zero_copy_only=False)) * 100).astype("int64")
+        return pa.table(
             {
-                "key": df.l_orderkey.astype("int64"),
-                "side": np.int8(0),
-                "ts_us": _us(df.l_shipdate),
-                "rev4": cents_p * cents_d,
+                "key": t["l_orderkey"].cast(pa.int64()),
+                "side": pa.array(np.zeros(t.num_rows, np.int8)),
+                "ts_us": pa.array(_ts_us_np(t["l_shipdate"])),
+                "rev4": pa.array(cents_p * cents_d),
             }
         )
 
-    unified = orders.map_batches(prep_orders, batch_format="pandas").union(
-        lineitem.map_batches(prep_lineitem, batch_format="pandas")
+    unified = orders.map_batches(
+        prep_orders, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        lineitem.map_batches(prep_lineitem, batch_format="pyarrow", zero_copy_batch=True)
     )
 
     empty = pd.DataFrame(
@@ -155,37 +168,43 @@ def band_join_events(
     # neighbor chunk only from the band-wide strips at the chunk edges
     cw = int(chunk_factor) * 2 * band
 
-    def prep_build(df: pd.DataFrame) -> pd.DataFrame:
-        ts = _us(df.ts).to_numpy()
+    def prep_build(t: pa.Table) -> pa.Table:
+        ts = _ts_us_np(t["ts"])
         home = ts // cw
-        parts = [pd.DataFrame({"chunk": home, "side": np.int8(0), "ts_us": ts})]
+        chunk_parts, ts_parts = [home], [ts]
         for shifted in (ts - band, ts + band):
             nb = shifted // cw
             edge = nb != home
             if edge.any():
-                parts.append(
-                    pd.DataFrame(
-                        {"chunk": nb[edge], "side": np.int8(0), "ts_us": ts[edge]}
-                    )
-                )
-        out = pd.concat(parts, ignore_index=True)
-        out["event_id"] = np.int64(-1)
-        return out
-
-    def prep_probes(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df.event_type == probe_type]
-        ts = _us(df.ts).to_numpy()
-        return pd.DataFrame(
+                chunk_parts.append(nb[edge])
+                ts_parts.append(ts[edge])
+        chunk = np.concatenate(chunk_parts)
+        return pa.table(
             {
-                "chunk": ts // cw,
-                "side": np.int8(1),
-                "ts_us": ts,
-                "event_id": df.event_id.astype("int64").to_numpy(),
+                "chunk": pa.array(chunk),
+                "side": pa.array(np.zeros(len(chunk), np.int8)),
+                "ts_us": pa.array(np.concatenate(ts_parts)),
+                "event_id": pa.array(np.full(len(chunk), -1, np.int64)),
             }
         )
 
-    unified = events.map_batches(prep_build, batch_format="pandas").union(
-        events.map_batches(prep_probes, batch_format="pandas")
+    def prep_probes(t: pa.Table) -> pa.Table:
+        mask = pa.compute.equal(t["event_type"], probe_type)
+        t = t.filter(mask)
+        ts = _ts_us_np(t["ts"])
+        return pa.table(
+            {
+                "chunk": pa.array(ts // cw),
+                "side": pa.array(np.ones(len(ts), np.int8)),
+                "ts_us": pa.array(ts),
+                "event_id": t["event_id"].cast(pa.int64()),
+            }
+        )
+
+    unified = events.map_batches(
+        prep_build, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        events.map_batches(prep_probes, batch_format="pyarrow", zero_copy_batch=True)
     )
 
     def per_chunk(df: pd.DataFrame) -> pd.DataFrame:
