@@ -86,3 +86,25 @@ def _silence_schema_hash_warning() -> None:
     logger = logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow")
     if not any(isinstance(f, _Drop) for f in logger.filters):
         logger.addFilter(_Drop())
+
+    class _DropEmptySchemaDivergence(logging.Filter):
+        """Ray's streaming executor warns when an operator bundle's schema
+        differs from the previous bundle's. When the NEW schema is EMPTY
+        ("new schema: .") the bundle is a zero-column empty block — the
+        map_groups empty-partition artifact, not a real divergence (the
+        executor itself early-exits when the OLD schema is empty, just not
+        in this direction). Drop exactly that case; genuine divergences
+        print a non-empty schema and pass through."""
+
+        def filter(self, record: logging.LogRecord) -> bool:  # pragma: no cover
+            msg = str(record.getMessage())
+            return not (
+                "Operator produced a RefBundle with a different schema" in msg
+                and "new schema: . This may lead" in msg
+            )
+
+    ex_logger = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    )
+    if not any(isinstance(f, _DropEmptySchemaDivergence) for f in ex_logger.filters):
+        ex_logger.addFilter(_DropEmptySchemaDivergence())
