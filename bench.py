@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "q146_collocation_lift",
     "q147_activity_streaks",
     "q148_contamination_matrix",
+    "q149_entity_clusters",
 ]
 
 

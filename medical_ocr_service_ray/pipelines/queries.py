@@ -9587,6 +9587,63 @@ ORDER BY p.src_a, p.src_b
 """
 
 
+def q149_entity_clusters(sf_dir: str):
+    """Entity resolution end-to-end: the lev<=1 name-pair graph (q77's
+    deletion-neighborhood blocking join, vectorized verify) fed into the
+    task-mesh connected components (q30's machinery) — canonical entity id =
+    min custkey in the component, plus entity size. A composition query: the
+    fuzzy-match and clustering stages chain as Datasets with no driver
+    materialization between them; only pair-connected customers appear
+    (singletons are their own trivial entities, mirroring the SQL inner
+    shape). Oracle: q77's cross-join filter + the q30 recursive min-label
+    CTE."""
+    from medical_ocr_service_ray.stages.dedup import dedup_clusters_distributed
+
+    pairs = q77_name_editdist_pairs(sf_dir)
+    renamed = pairs.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b"]), batch_format="pyarrow"
+    )
+    out = dedup_clusters_distributed(renamed).to_pandas()
+    return (
+        pd.DataFrame(
+            {
+                "c_custkey": out.doc_id.astype("int64"),
+                "entity_id": out.cluster_id.astype("int64"),
+                "entity_size": out.cluster_size.astype("int64"),
+            }
+        )
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+
+
+_Q149_SQL = """
+WITH pairs AS (
+  SELECT c1.c_custkey AS a_key, c2.c_custkey AS b_key
+  FROM customer c1
+  JOIN customer c2 ON c1.c_custkey < c2.c_custkey
+  WHERE levenshtein(c1.c_name, c2.c_name) <= 1
+), edges AS (
+  SELECT a_key AS u, b_key AS v FROM pairs
+  UNION ALL
+  SELECT b_key, a_key FROM pairs
+), nodes AS (
+  SELECT DISTINCT u AS node FROM edges
+), reach AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.v, r.lbl FROM r JOIN edges e ON e.u = r.node
+  ) SELECT * FROM r
+), comp AS (
+  SELECT node AS c_custkey, MIN(lbl) AS entity_id FROM reach GROUP BY node
+)
+SELECT c.c_custkey::BIGINT AS c_custkey, c.entity_id::BIGINT AS entity_id,
+       CAST(COUNT(*) OVER (PARTITION BY c.entity_id) AS BIGINT) AS entity_size
+FROM comp c
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -9738,6 +9795,7 @@ QUERIES = {
     "q146_collocation_lift": q146_collocation_lift,
     "q147_activity_streaks": q147_activity_streaks,
     "q148_contamination_matrix": q148_contamination_matrix,
+    "q149_entity_clusters": q149_entity_clusters,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -9772,6 +9830,7 @@ DRIVER_PRIORITY = [
     "q146_collocation_lift",
     "q147_activity_streaks",
     "q148_contamination_matrix",
+    "q149_entity_clusters",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -9967,6 +10026,7 @@ ORACLE_SQL = {
     "q146_collocation_lift": _Q146_SQL,
     "q147_activity_streaks": _Q147_SQL,
     "q148_contamination_matrix": _Q148_SQL,
+    "q149_entity_clusters": _Q149_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

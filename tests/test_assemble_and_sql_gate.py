@@ -98,6 +98,7 @@ GATED = [
     "q146_collocation_lift",
     "q147_activity_streaks",
     "q148_contamination_matrix",
+    "q149_entity_clusters",
 ]
 
 
