@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "q147_activity_streaks",
     "q148_contamination_matrix",
     "q149_entity_clusters",
+    "q150_trending_tokens",
 ]
 
 

@@ -9644,6 +9644,75 @@ FROM comp c
 """
 
 
+def q150_trending_tokens(sf_dir: str):
+    """Per-day trending terms: the top-5 props-tokens of each events day by
+    count (ties -> lexicographic) — the daily-trending feed every content
+    pipeline ships. Token cardinality is unbounded, so counts reduce in ONE
+    token-keyed exchange ((day, token) cells, partial per batch first);
+    each bucket then emits only its per-day top-5 CANDIDATES (days are
+    bounded, so bucket output is <= days x 5 rows) and the driver merges
+    blocks x days x 5 rows — the global per-day top-5 is within the union
+    of per-bucket top-5s because a token's global count lives wholly in its
+    bucket. Returns (day, rank, token, n)."""
+    import re
+
+    K = 5
+    ds = _read(sf_dir, "events", ["ts", "props"])
+    word_re = re.compile(r"[a-z]+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for day, props in zip(df.ts.dt.strftime("%Y-%m-%d"), df.props):
+            for t in word_re.findall((props or "").lower()):
+                c[(day, t)] += 1
+        if not c:
+            return pd.DataFrame(
+                {
+                    "day": pd.Series(dtype="string"),
+                    "token": pd.Series(dtype="string"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        days, toks = zip(*c.keys())
+        return pd.DataFrame(
+            {"day": list(days), "token": list(toks), "n": pd.array(list(c.values()), "int64")}
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["day", "token"], as_index=False)["n"].sum()
+        g = g.sort_values(["day", "n", "token"], ascending=[True, False, True])
+        return g.groupby("day").head(K)
+
+    cand = (
+        partial_then_combine(ds, partial, "token", per_bucket, num_buckets=16)
+        .to_pandas()
+        .sort_values(["day", "n", "token"], ascending=[True, False, True])
+    )
+    top = cand.groupby("day").head(K).reset_index(drop=True)
+    top["rank"] = top.groupby("day").cumcount().astype("int64") + 1
+    top["n"] = top.n.astype("int64")
+    return top[["day", "rank", "token", "n"]]
+
+
+_Q150_SQL = r"""
+WITH cells AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         unnest(regexp_extract_all(lower(props), '[a-z]+')) AS token
+  FROM events
+), counts AS (
+  SELECT day, token, COUNT(*)::BIGINT AS n FROM cells GROUP BY day, token
+), ranked AS (
+  SELECT day, token, n,
+         row_number() OVER (PARTITION BY day ORDER BY n DESC, token) AS rank
+  FROM counts
+)
+SELECT day, rank::BIGINT AS rank, token, n FROM ranked WHERE rank <= 5
+ORDER BY day, rank
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -9796,6 +9865,7 @@ QUERIES = {
     "q147_activity_streaks": q147_activity_streaks,
     "q148_contamination_matrix": q148_contamination_matrix,
     "q149_entity_clusters": q149_entity_clusters,
+    "q150_trending_tokens": q150_trending_tokens,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -9831,6 +9901,7 @@ DRIVER_PRIORITY = [
     "q147_activity_streaks",
     "q148_contamination_matrix",
     "q149_entity_clusters",
+    "q150_trending_tokens",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -10027,6 +10098,7 @@ ORACLE_SQL = {
     "q147_activity_streaks": _Q147_SQL,
     "q148_contamination_matrix": _Q148_SQL,
     "q149_entity_clusters": _Q149_SQL,
+    "q150_trending_tokens": _Q150_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q16/q46 (streaming extraction; iterative k-means — its OUTPUT is oracled via q17/q27
     # views), q24 (enrichment over extraction output), q26 (PNG pixel

@@ -99,6 +99,7 @@ GATED = [
     "q147_activity_streaks",
     "q148_contamination_matrix",
     "q149_entity_clusters",
+    "q150_trending_tokens",
 ]
 
 
