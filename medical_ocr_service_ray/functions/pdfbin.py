@@ -365,7 +365,8 @@ def encode_scanned_pdf(
     FlateDecode (lossless round-trip); ``codec='dct'`` embeds a real
     baseline JPEG (functions/jpeg.py encoder). Test-fixture producer, opens
     in standard viewers."""
-    assert codec in ("flate", "dct")
+    if codec not in ("flate", "dct"):
+        raise ValueError(f"codec must be 'flate' or 'dct', got {codec!r}")
     objs: list[bytes] = []
     n_pages = len(images)
     kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))

@@ -119,6 +119,54 @@ def _pairs_from_groups(df, group_cols: list[str]):
     return pd.DataFrame({"doc_a": pd.array(a_out, "int64"), "doc_b": pd.array(b_out, "int64")})
 
 
+def _jaccard_keep(pair_texts, shingle_k: int, threshold_x1000: int):
+    """Single home of the pair-verification kernel shared by all three
+    verify_pairs_jaccard tiers (broadcast / candidate-keyed / two-join):
+    consumes (doc_a, doc_b, text_a, text_b) rows, memoizes shingle sets per
+    doc id, keeps rows meeting the threshold. The jaccard convention —
+    floor(1000*|A∩B| / |A∪B|), union==0 ⇒ 1000 — lives ONLY here so the
+    tiers cannot drift (their equality is pinned by
+    TestVerifyPairsFastPath)."""
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "jaccard_x1000": pd.Series(dtype="int64"),
+        }
+    )
+    sh_memo: dict[int, set] = {}
+
+    def sh_of(doc_id: int, text: str) -> set:
+        s = sh_memo.get(doc_id)
+        if s is None:
+            s = shingles(text, shingle_k)
+            sh_memo[doc_id] = s
+        return s
+
+    keep_a, keep_b, keep_j = [], [], []
+    for a, b, ta, tb in pair_texts:
+        sa = sh_of(a, ta)
+        sb = sh_of(b, tb)
+        union = len(sa | sb)
+        inter = len(sa & sb)
+        j_x1000 = (1000 * inter) // union if union else 1000
+        if j_x1000 >= threshold_x1000:
+            keep_a.append(a)
+            keep_b.append(b)
+            keep_j.append(j_x1000)
+    if not keep_a:
+        return empty
+    return pd.DataFrame(
+        {
+            "doc_a": pd.array(keep_a, "int64"),
+            "doc_b": pd.array(keep_b, "int64"),
+            "jaccard_x1000": pd.array(keep_j, "int64"),
+        }
+    )
+
+
 def verify_pairs_jaccard(
     pairs: "rd.Dataset",
     docs: "rd.Dataset",
@@ -206,44 +254,16 @@ def verify_pairs_jaccard(
         tmap_ref = ray.put(dict(zip(tpd.doc_id, tpd.text.fillna("").astype(str))))
 
         def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame(
-                {
-                    "doc_a": pd.Series(dtype="int64"),
-                    "doc_b": pd.Series(dtype="int64"),
-                    "jaccard_x1000": pd.Series(dtype="int64"),
-                }
-            )
             if df.empty:
-                return empty
+                return _jaccard_keep((), shingle_k, threshold_x1000)
             tmap = ray.get(tmap_ref)
-            sh_memo: dict[int, set] = {}
-
-            def sh_of(doc_id: int) -> set:
-                s = sh_memo.get(doc_id)
-                if s is None:
-                    s = shingles(tmap.get(doc_id, ""), shingle_k)
-                    sh_memo[doc_id] = s
-                return s
-
-            keep_a, keep_b, keep_j = [], [], []
-            for a, b in zip(df.doc_a, df.doc_b):
-                sa = sh_of(int(a))
-                sb = sh_of(int(b))
-                union = len(sa | sb)
-                inter = len(sa & sb)
-                j_x1000 = (1000 * inter) // union if union else 1000
-                if j_x1000 >= threshold_x1000:
-                    keep_a.append(int(a))
-                    keep_b.append(int(b))
-                    keep_j.append(j_x1000)
-            if not keep_a:
-                return empty
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.array(keep_a, "int64"),
-                    "doc_b": pd.array(keep_b, "int64"),
-                    "jaccard_x1000": pd.array(keep_j, "int64"),
-                }
+            return _jaccard_keep(
+                (
+                    (int(a), int(b), tmap.get(a, ""), tmap.get(b, ""))
+                    for a, b in zip(df.doc_a, df.doc_b)
+                ),
+                shingle_k,
+                threshold_x1000,
             )
 
         chunks = [pairs_df] if len(pairs_df) <= 8192 else np.array_split(
@@ -318,46 +338,18 @@ def verify_pairs_jaccard(
     resolved = bucketed_combine(unified, "key", attach, num_buckets=16, map_batch_size=65536)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "doc_a": pd.Series(dtype="int64"),
-                "doc_b": pd.Series(dtype="int64"),
-                "jaccard_x1000": pd.Series(dtype="int64"),
-            }
-        )
         if df.empty:
-            return empty
+            return _jaccard_keep((), shingle_k, threshold_x1000)
         a_rows = df[df.which == 1]
         b_rows = df[df.which == 2]
         tb = dict(zip(zip(b_rows.doc_a, b_rows.doc_b), b_rows.text))
-        sh_memo: dict[int, set] = {}
-
-        def sh_of(doc_id: int, text: str) -> set:
-            s = sh_memo.get(doc_id)
-            if s is None:
-                s = shingles(text, shingle_k)
-                sh_memo[doc_id] = s
-            return s
-
-        keep_a, keep_b, keep_j = [], [], []
-        for a, b, text_a in zip(a_rows.doc_a, a_rows.doc_b, a_rows.text):
-            sa = sh_of(int(a), text_a)
-            sb = sh_of(int(b), tb.get((a, b), ""))
-            union = len(sa | sb)
-            inter = len(sa & sb)
-            j_x1000 = (1000 * inter) // union if union else 1000
-            if j_x1000 >= threshold_x1000:
-                keep_a.append(int(a))
-                keep_b.append(int(b))
-                keep_j.append(j_x1000)
-        if not keep_a:
-            return empty
-        return pd.DataFrame(
-            {
-                "doc_a": pd.array(keep_a, "int64"),
-                "doc_b": pd.array(keep_b, "int64"),
-                "jaccard_x1000": pd.array(keep_j, "int64"),
-            }
+        return _jaccard_keep(
+            (
+                (int(a), int(b), text_a, tb.get((a, b), ""))
+                for a, b, text_a in zip(a_rows.doc_a, a_rows.doc_b, a_rows.text)
+            ),
+            shingle_k,
+            threshold_x1000,
         )
 
     # both copies of a pair share doc_a, so a doc_a-keyed bucket sees them both
@@ -456,44 +448,16 @@ def _verify_pairs_two_join(
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         d = df[df.side == 0]
         p = df[df.side == 1]
-        empty = pd.DataFrame(
-            {
-                "doc_a": pd.Series(dtype="int64"),
-                "doc_b": pd.Series(dtype="int64"),
-                "jaccard_x1000": pd.Series(dtype="int64"),
-            }
-        )
         if p.empty:
-            return empty
+            return _jaccard_keep((), shingle_k, threshold_x1000)
         tmap = dict(zip(d.key, d.text))
-        sh_memo: dict[int, set] = {}
-
-        def sh_of(doc_id: int, text: str) -> set:
-            s = sh_memo.get(doc_id)
-            if s is None:
-                s = shingles(text, shingle_k)
-                sh_memo[doc_id] = s
-            return s
-
-        keep_a, keep_b, keep_j = [], [], []
-        for a, b, text_a in zip(p.doc_a, p.key, p.text):
-            sa = sh_of(int(a), text_a)
-            sb = sh_of(int(b), tmap.get(b, ""))
-            union = len(sa | sb)
-            inter = len(sa & sb)
-            j_x1000 = (1000 * inter) // union if union else 1000
-            if j_x1000 >= threshold_x1000:
-                keep_a.append(int(a))
-                keep_b.append(int(b))
-                keep_j.append(j_x1000)
-        if not keep_a:
-            return empty
-        return pd.DataFrame(
-            {
-                "doc_a": pd.array(keep_a, "int64"),
-                "doc_b": pd.array(keep_b, "int64"),
-                "jaccard_x1000": pd.array(keep_j, "int64"),
-            }
+        return _jaccard_keep(
+            (
+                (int(a), int(b), text_a, tmap.get(b, ""))
+                for a, b, text_a in zip(p.doc_a, p.key, p.text)
+            ),
+            shingle_k,
+            threshold_x1000,
         )
 
     return bucketed_combine(unified2, "key", verify, num_buckets=num_buckets)
@@ -620,6 +584,10 @@ def dedup_clusters_distributed(
         if df.empty:
             return pd.DataFrame({"bucket": pd.Series(dtype="int64")})
         b = int(df["__bucket"].iloc[0])
+        # in-bucket dedup mirrors pagerank.csr_partition: duplicate pairs
+        # (multi-band LSH candidates) would otherwise inflate every
+        # propagation round's message volume
+        df = df.drop_duplicates(["key", "val"])
         key = df.key.to_numpy()
         order = np.argsort(key, kind="stable")
         key, val = key[order], df.val.to_numpy()[order]

@@ -221,8 +221,11 @@ def csr_partition(
     """Hash-partition (src, dst) edges by bucket_of(src) into actor-owned
     plasma CSR arrays (nodes sorted unique, indptr, neigh; in-bucket edge
     dedup — complete because every copy of (src, dst) hashes to src's
-    bucket). ONE exchange; returns {bucket: ObjectRef}. Shared by the
-    BFS mesh (q81) and connected components (stages/dedup.py)."""
+    bucket). ONE exchange; returns {bucket: ObjectRef}. Used by the BFS
+    mesh (q81); connected components (stages/dedup.py) instantiates the
+    same stamp/store/dedup pattern on undirected doc pairs — keep the
+    %num_buckets routing invariant in sync between the two (pinned by
+    TestMeshRoutingInvariant)."""
 
     def stamp(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
