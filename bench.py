@@ -132,6 +132,12 @@ BENCH_QUERIES = [
     "q148_contamination_matrix",
     "q149_entity_clusters",
     "q150_trending_tokens",
+    "q151_curriculum_shards",
+    "q152_vocab_spectrum",
+    "q153_bpe_encode",
+    "q154_daily_anomaly",
+    "q155_ttr_by_source",
+    "q156_clustering_coefficient",
 ]
 
 

@@ -8941,10 +8941,20 @@ FROM p JOIN spend s USING (event_id)
 """
 
 
-def q142_bpe_merges(sf_dir: str):
-    """Distributed BPE tokenizer training, K=4 merge rounds (the vocab-learn
-    step of Sennrich-style subword tokenizers, a first-class training-data
-    pipeline op). The corpus is touched ONCE: a word-count reduction (one
+# trained merge tables are tiny (K rows) and training is deterministic per
+# corpus — memoize per (sf_dir, session) so the apply-side query (q153)
+# doesn't re-train; same policy as _EXTRACT_CACHE
+_BPE_ROUNDS_CACHE: dict[tuple, list] = {}
+
+
+def _bpe_train_rounds(sf_dir: str, K: int = 4) -> list:
+    """Distributed BPE tokenizer training, K merge rounds — returns the
+    merge table as [(round, left_sym, right_sym, pair_count)]. Shared by
+    q142 (reports the table) and q153 (applies it to encode the corpus).
+
+    The vocab-learn step of Sennrich-style subword tokenizers, a
+    first-class training-data pipeline op. The corpus is touched ONCE: a
+    word-count reduction (one
     bucketed exchange) collapses it to the distinct-word vocabulary, which
     stays a DATASET — every later pass is map_batches over vocab rows, so
     the design survives 1e8+ distinct words. Per round: adjacent symbol-pair
@@ -8959,12 +8969,15 @@ def q142_bpe_merges(sf_dir: str):
     tests/test_bpe_semantics.py, and identical in pandas and DuckDB. (A
     naive space-padded REPLACE is NOT canonical: it eats the shared
     separator and skips disjoint adjacent occurrences.) Pair counts include
-    overlaps (classic BPE: 'aaa' counts (a,a) twice). Returns one row per
-    merge round: (merge_round, left_sym, right_sym, pair_count)."""
+    overlaps (classic BPE: 'aaa' counts (a,a) twice)."""
     import re
     from collections import Counter
 
-    K = 4
+    key = (_session_key(sf_dir), K)
+    hit = _BPE_ROUNDS_CACHE.get(key)
+    if hit is not None:
+        return hit
+
     ds = _read(sf_dir, "documents", ["text"])
     word_re = re.compile(r"[a-z]+")
 
@@ -9037,6 +9050,16 @@ def q142_bpe_merges(sf_dir: str):
 
         vocab = vocab.map_batches(apply_merge, batch_format="pandas").materialize()
 
+    _BPE_ROUNDS_CACHE[key] = rounds
+    return rounds
+
+
+def q142_bpe_merges(sf_dir: str):
+    """BPE tokenizer training report: the K=4 merge table learned by
+    ``_bpe_train_rounds`` (see its docstring for the distributed plan and
+    the greedy-left REPLACE semantics). One row per merge round:
+    (merge_round, left_sym, right_sym, pair_count)."""
+    rounds = _bpe_train_rounds(sf_dir)
     return pd.DataFrame(
         {
             "merge_round": pd.array([x[0] for x in rounds], "int64"),
@@ -9723,6 +9746,484 @@ ORDER BY day, rank
 """
 
 
+# -------------------------------------------------------------------- q151
+
+def q151_curriculum_shards(sf_dir: str):
+    """Global ordered shard assignment (distributed zipWithIndex): every
+    document gets its EXACT rank under the curriculum order (n_chars DESC,
+    doc_id ASC) and a contiguous shard id (rank-1)//SHARD — the "sort the
+    corpus by difficulty and cut contiguous training shards" step of
+    curriculum learning. Classic two-pass global ranking with NO global
+    sort: pass 1 reduces the corpus to per-length counts (the length
+    domain is bounded by the ingestion truncation cap — M5's semantics,
+    functions/normalize.py — so the driver offset table is O(domain), not
+    O(rows)); pass 2 is ONE n_chars-keyed exchange where each bucket sorts
+    its lengths locally (doc_id within a length) and adds the broadcast
+    prefix offset. Equal-length docs co-locate by construction, so the
+    within-length tie-break is exact. Returns a per-doc DATASET (q47
+    convention: per-doc cardinality is unbounded at scale)."""
+    import ray as _ray
+
+    from medical_ocr_service_ray.stages.aggregate import (
+        auto_num_buckets,
+        dataset_input_bytes,
+    )
+
+    SHARD = 500
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    nb = auto_num_buckets(dataset_input_bytes(ds))
+
+    def len_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_chars", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    cnt = driver_combine(
+        ds, len_partial, lambda df: df.groupby("n_chars", as_index=False)["n"].sum()
+    ).sort_values("n_chars", ascending=False)
+    # offset[L] = number of docs strictly longer than L
+    off_ref = _ray.put(
+        dict(zip(cnt.n_chars.to_numpy(), (cnt.n.cumsum() - cnt.n).to_numpy()))
+    )
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        om = _ray.get(off_ref)
+        d = df.sort_values(["n_chars", "doc_id"])
+        local = d.groupby("n_chars").cumcount().to_numpy()
+        rank = (d.n_chars.map(om).to_numpy() + local + 1).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": d.doc_id.to_numpy().astype("int64"),
+                "global_rank": rank,
+                "shard_id": ((rank - 1) // SHARD).astype("int64"),
+            }
+        )
+
+    return bucketed_combine(ds, "n_chars", rank_bucket, num_buckets=nb)
+
+
+_Q151_SQL = """
+WITH r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, rk::BIGINT AS global_rank, ((rk - 1) // 500)::BIGINT AS shard_id
+FROM r ORDER BY doc_id
+"""
+
+
+# -------------------------------------------------------------------- q152
+
+def q152_vocab_spectrum(sf_dir: str):
+    """Corpus frequency-of-frequencies spectrum over word 3-gram shingles
+    (the Zipf-tail audit behind hapax filtering / vocab truncation before
+    tokenizer training). Shingle cardinality is unbounded, so occurrence
+    counts reduce in ONE gram-keyed exchange; each bucket then collapses
+    its exact counts into log2-frequency bins (<= 64 cells — a gram's
+    global count lives wholly in its bucket, so binning in-bucket is
+    exact) and the driver merges blocks x 64 rows. freq_bin is the integer
+    bit-length-minus-1 of the count (np.frexp exponent — exact for
+    int64 < 2^53; mirrored in SQL as length(bin(n)) - 1). Returns
+    (freq_bin, n_grams, n_occurrences)."""
+    import re
+    from collections import Counter
+
+    ds = _read(sf_dir, "documents", ["text"])
+    word_re = re.compile(r"[a-z]+")
+
+    def gram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df.text:
+            ws = word_re.findall((t or "").lower())
+            for i in range(len(ws) - 2):
+                c[" ".join(ws[i : i + 3])] += 1
+        return pd.DataFrame(
+            {"g": list(c.keys()), "n": pd.array(list(c.values()), "int64")}
+        )
+
+    def spectrum_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("g", as_index=False)["n"].sum()
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "freq_bin": pd.Series(dtype="int64"),
+                    "n_grams": pd.Series(dtype="int64"),
+                    "n_occurrences": pd.Series(dtype="int64"),
+                }
+            )
+        b = (np.frexp(g.n.to_numpy().astype("float64"))[1] - 1).astype("int64")
+        out = (
+            pd.DataFrame({"freq_bin": b, "n_grams": np.int64(1), "n_occurrences": g.n})
+            .groupby("freq_bin", as_index=False)
+            .sum()
+        )
+        return out.astype("int64")
+
+    cells = partial_then_combine(
+        ds, gram_partial, "g", spectrum_bucket, num_buckets=16
+    ).to_pandas()
+    out = cells.groupby("freq_bin", as_index=False).sum().sort_values("freq_bin")
+    return out.astype("int64").reset_index(drop=True)
+
+
+_Q152_SQL = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
+), grams AS (
+  SELECT unnest(list_transform(range(1, len(ws) - 1),
+                j -> ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2])) AS g
+  FROM toks
+), counts AS (
+  SELECT g, COUNT(*)::BIGINT AS n FROM grams GROUP BY g
+)
+SELECT (length(bin(n)) - 1)::BIGINT AS freq_bin,
+       COUNT(*)::BIGINT AS n_grams,
+       SUM(n)::BIGINT AS n_occurrences
+FROM counts GROUP BY 1 ORDER BY 1
+"""
+
+
+# -------------------------------------------------------------------- q153
+
+def q153_bpe_encode(sf_dir: str):
+    """Tokenizer APPLY: encode the corpus with the q142-trained merge table
+    and report per-source token economics — the "how many tokens is my
+    dataset under this tokenizer" question every training budget starts
+    with. The trained artifact is K tiny rows carried in the task closure;
+    encoding never touches the corpus row-by-row: the corpus reduces to
+    distinct (source, word) count cells in ONE word-keyed exchange, each
+    cell is encoded ONCE (the same boundary-wrapped REPLACE chain as
+    training — chaining works because a merged token stays '<lr>'-wrapped,
+    so later rounds see the updated symbols), and per-source sums are a
+    bounded driver merge. Cost is O(distinct words x sources), not
+    O(corpus tokens). Returns (source, n_docs, n_words, n_tokens)."""
+    import re
+    from collections import Counter
+
+    merges = [(l, r) for (_rnd, l, r, _cnt) in _bpe_train_rounds(sf_dir)]
+    ds = _read(sf_dir, "documents", ["text", "source"])
+    word_re = re.compile(r"[a-z]+")
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for src, t in zip(df.source, df.text):
+            for w in word_re.findall((t or "").lower()):
+                c[(src, w)] += 1
+        if not c:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series(dtype="string"),
+                    "w": pd.Series(dtype="string"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        srcs, ws = zip(*c.keys())
+        return pd.DataFrame(
+            {"source": list(srcs), "w": list(ws), "n": pd.array(list(c.values()), "int64")}
+        )
+
+    def encode_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "w"], as_index=False)["n"].sum()
+        wrapped = "<" + g.w.map(lambda w: "><".join(w)) + ">"
+        for left, right in merges:
+            wrapped = wrapped.str.replace(
+                f"<{left}><{right}>", f"<{left}{right}>", regex=False
+            )
+        t = (wrapped.str.count("><") + 1).astype("int64")
+        part = pd.DataFrame(
+            {"source": g.source, "n_words": g.n, "n_tokens": g.n * t}
+        )
+        return part.groupby("source", as_index=False).sum()
+
+    tok = (
+        partial_then_combine(ds, cell_partial, "w", encode_bucket, num_buckets=16)
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .sum()
+    )
+    docs = driver_combine(
+        ds,
+        lambda df: df.groupby("source", as_index=False).size().rename(
+            columns={"size": "n_docs"}
+        ),
+        lambda df: df.groupby("source", as_index=False)["n_docs"].sum(),
+    )
+    out = docs.merge(tok, on="source", how="left").fillna(0).sort_values("source")
+    for c in ("n_docs", "n_words", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _q153_sql() -> str:
+    """Unrolled 4-round BPE train (identical CTE chain to q142's oracle,
+    but carrying the word w through every merge round) + apply: final token
+    count per word joined back to per-source word counts."""
+    parts = [
+        r"""WITH words AS (
+  SELECT w, COUNT(*)::BIGINT AS n FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+  ) GROUP BY w
+), v0 AS (
+  SELECT w, array_to_string(regexp_extract_all(w, '.'), ' ') AS s, n FROM words
+)"""
+    ]
+    for i in range(1, 5):
+        parts.append(
+            f""", c{i} AS (
+  SELECT string_split(pr, '|')[1] AS l, string_split(pr, '|')[2] AS r,
+         SUM(n)::BIGINT AS cnt
+  FROM (
+    SELECT unnest(list_transform(range(1, len(tk)), j -> tk[j] || '|' || tk[j+1])) AS pr, n
+    FROM (SELECT string_split(s, ' ') AS tk, n FROM v{i-1})
+  )
+  GROUP BY 1, 2
+), b{i} AS (SELECT l, r, cnt FROM c{i} ORDER BY cnt DESC, l, r LIMIT 1)
+, v{i} AS (
+  SELECT w, replace(replace(replace(
+           replace('<' || replace(s, ' ', '><') || '>',
+                   (SELECT '<' || l || '><' || r || '>' FROM b{i}),
+                   (SELECT '<' || l || r || '>' FROM b{i})),
+           '><', ' '), '<', ''), '>', '') AS s, n
+  FROM v{i-1}
+)"""
+        )
+    parts.append(
+        """, tok AS (
+  SELECT w, len(string_split(s, ' '))::BIGINT AS t FROM v4
+), cells AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), sw AS (
+  SELECT source, w, COUNT(*)::BIGINT AS n FROM cells GROUP BY 1, 2
+), enc AS (
+  SELECT sw.source, SUM(sw.n)::BIGINT AS n_words,
+         SUM(sw.n * tok.t)::BIGINT AS n_tokens
+  FROM sw JOIN tok USING (w) GROUP BY 1
+), d AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+)
+SELECT d.source, d.n_docs,
+       COALESCE(enc.n_words, 0)::BIGINT AS n_words,
+       COALESCE(enc.n_tokens, 0)::BIGINT AS n_tokens
+FROM d LEFT JOIN enc USING (source) ORDER BY d.source"""
+    )
+    return "".join(parts)
+
+
+_Q153_SQL = _q153_sql()
+
+
+# -------------------------------------------------------------------- q154
+
+def q154_daily_anomaly(sf_dir: str):
+    """Per event-type daily-count anomaly detection: days whose count sits
+    more than 2 POPULATION sigma from that type's own mean — the alerting
+    primitive on every ingestion dashboard. Exactness without floats: the
+    2-sigma test is the cross-multiplied integer inequality
+    (c*k - s)^2 > 4*(k*ssq - s^2) over per-type day-count cells (k days,
+    sum s, sum-of-squares ssq), evaluated in Python ints on the driver
+    (HUGEINT in the SQL mirror) so no overflow and no float divergence at
+    any scale. The distributed part reduces the event stream to (type, day)
+    counts — bounded by types x the calendar window, the q135 dense-grid
+    precedent — via per-batch partials and one driver merge. Returns only
+    the anomalous (event_type, day, n) rows."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"event_type": df.event_type, "day": df.ts.dt.strftime("%Y-%m-%d")}
+        )
+        return d.groupby(["event_type", "day"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    cells = driver_combine(
+        ds,
+        partial,
+        lambda df: df.groupby(["event_type", "day"], as_index=False)["n"].sum(),
+    )
+    keep_rows = []
+    for _etype, grp in cells.groupby("event_type"):
+        ns = [int(x) for x in grp.n]
+        k, s, ssq = len(ns), sum(ns), sum(x * x for x in ns)
+        for (_, row), c in zip(grp.iterrows(), ns):
+            if (c * k - s) ** 2 > 4 * (k * ssq - s * s):
+                keep_rows.append((row.event_type, row.day, c))
+    keep_rows.sort()
+    return pd.DataFrame(
+        {
+            "event_type": [r[0] for r in keep_rows],
+            "day": [r[1] for r in keep_rows],
+            "n": pd.array([r[2] for r in keep_rows], "int64"),
+        }
+    )
+
+
+_Q154_SQL = """
+WITH d AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, COUNT(*)::HUGEINT AS k, SUM(n)::HUGEINT AS sm,
+         SUM(n::HUGEINT * n::HUGEINT)::HUGEINT AS ssq
+  FROM d GROUP BY 1
+)
+SELECT d.event_type, d.day, d.n
+FROM d JOIN s USING (event_type)
+WHERE (d.n::HUGEINT * s.k - s.sm) * (d.n::HUGEINT * s.k - s.sm)
+      > 4 * (s.k * s.ssq - s.sm * s.sm)
+ORDER BY 1, 2
+"""
+
+
+# -------------------------------------------------------------------- q155
+
+def q155_ttr_by_source(sf_dir: str):
+    """Lexical diversity per source: distinct words, total words, and the
+    integer type-token ratio ttr_x1e6 = 1e6*distinct//total — the cheap
+    repetitiveness screen run next to q11's quality gates. Distinct-word
+    cardinality is unbounded, so (source, word) cells reduce in ONE
+    word-keyed exchange; a word lives wholly in its bucket, so per-bucket
+    per-source distinct counts and word sums are exact partials, and the
+    driver merges blocks x sources rows. Returns (source, n_distinct,
+    n_tokens, ttr_x1e6)."""
+    import re
+    from collections import Counter
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+    word_re = re.compile(r"[a-z]+")
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for src, t in zip(df.source, df.text):
+            for w in word_re.findall((t or "").lower()):
+                c[(src, w)] += 1
+        if not c:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series(dtype="string"),
+                    "w": pd.Series(dtype="string"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        srcs, ws = zip(*c.keys())
+        return pd.DataFrame(
+            {"source": list(srcs), "w": list(ws), "n": pd.array(list(c.values()), "int64")}
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "w"], as_index=False)["n"].sum()
+        return g.groupby("source", as_index=False).agg(
+            n_distinct=("w", "size"), n_tokens=("n", "sum")
+        )
+
+    agg = (
+        partial_then_combine(ds, cell_partial, "w", per_bucket, num_buckets=16)
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .sum()
+        .sort_values("source")
+    )
+    agg["n_distinct"] = agg.n_distinct.astype("int64")
+    agg["n_tokens"] = agg.n_tokens.astype("int64")
+    agg["ttr_x1e6"] = (1_000_000 * agg.n_distinct // agg.n_tokens).astype("int64")
+    return agg.reset_index(drop=True)
+
+
+_Q155_SQL = """
+WITH cells AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+)
+SELECT source, COUNT(DISTINCT w)::BIGINT AS n_distinct,
+       COUNT(*)::BIGINT AS n_tokens,
+       (1000000 * COUNT(DISTINCT w) // COUNT(*))::BIGINT AS ttr_x1e6
+FROM cells GROUP BY source ORDER BY source
+"""
+
+
+# -------------------------------------------------------------------- q156
+
+def q156_clustering_coefficient(sf_dir: str):
+    """Global clustering coefficient of the co-purchase graph — 3*triangles
+    / wedges, the one-number density health check run next to q100. The
+    triangle count, node count, and exact edge count REUSE q100's fused
+    two-exchange plan wholesale (one extra pipeline run, documented
+    tradeoff vs duplicating 100 lines of wedge machinery). EXACT degrees —
+    q100's orientation degrees tolerate cross-bucket duplicate pairs, a
+    wedge COUNT does not — come from one (a)-keyed bucketed dedup: every
+    copy of an (a<b) pair hashes to a's bucket, so in-bucket dedup is
+    complete, and each bucket emits per-node degree partials summed over
+    the bounded part-dimension node domain. Wedges = sum d*(d-1)/2 in
+    Python ints (no overflow at any degree). gcc_x1e6 =
+    (3*tri*1e6)//wedges, 0 when the graph has no wedges."""
+    from medical_ocr_service_ray.stages.aggregate import (
+        auto_num_buckets,
+        dataset_input_bytes,
+    )
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    nb = auto_num_buckets(dataset_input_bytes(ds))
+
+    def pairs_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="l_orderkey")
+        m = m[m.l_partkey_x < m.l_partkey_y]
+        out = m[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+        return out.rename(columns={"l_partkey_x": "a", "l_partkey_y": "b"})
+
+    p1 = bucketed_combine(ds, "l_orderkey", pairs_distinct, num_buckets=nb)
+
+    def deg_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["a", "b"])
+        n = pd.concat([d.a, d.b], ignore_index=True)
+        return n.value_counts().rename_axis("node").reset_index(name="d")
+
+    deg = (
+        bucketed_combine(p1, "a", deg_bucket, num_buckets=nb)
+        .to_pandas()
+        .groupby("node", as_index=False)["d"]
+        .sum()
+    )
+    wedges = sum(int(x) * (int(x) - 1) // 2 for x in deg.d)
+
+    base = q100_triangle_count(sf_dir)
+    tri = int(base.n_triangles.iloc[0])
+    gcc = (3 * tri * 1_000_000) // wedges if wedges else 0
+    return pd.DataFrame(
+        {
+            "n_nodes": base.n_nodes.astype("int64"),
+            "n_edges": base.n_edges.astype("int64"),
+            "n_wedges": pd.array([wedges], "int64"),
+            "n_triangles": base.n_triangles.astype("int64"),
+            "gcc_x1e6": pd.array([gcc], "int64"),
+        }
+    )
+
+
+_Q156_SQL = """
+WITH e AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+), deg AS (
+  SELECT node, COUNT(*)::BIGINT AS d
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node
+), w AS (SELECT SUM(d * (d - 1) // 2)::BIGINT AS nw FROM deg),
+t AS (
+  SELECT COUNT(*)::BIGINT AS nt FROM e x
+  JOIN e y ON y.a = x.b
+  JOIN e z ON z.a = x.a AND z.b = y.b
+)
+SELECT (SELECT COUNT(*) FROM deg)::BIGINT AS n_nodes,
+       (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,
+       (SELECT nw FROM w) AS n_wedges,
+       (SELECT nt FROM t) AS n_triangles,
+       (CASE WHEN (SELECT nw FROM w) = 0 THEN 0
+             ELSE (SELECT 3 * nt * 1000000 FROM t) // (SELECT nw FROM w)
+        END)::BIGINT AS gcc_x1e6
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -9876,6 +10377,12 @@ QUERIES = {
     "q148_contamination_matrix": q148_contamination_matrix,
     "q149_entity_clusters": q149_entity_clusters,
     "q150_trending_tokens": q150_trending_tokens,
+    "q151_curriculum_shards": q151_curriculum_shards,
+    "q152_vocab_spectrum": q152_vocab_spectrum,
+    "q153_bpe_encode": q153_bpe_encode,
+    "q154_daily_anomaly": q154_daily_anomaly,
+    "q155_ttr_by_source": q155_ttr_by_source,
+    "q156_clustering_coefficient": q156_clustering_coefficient,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -9912,6 +10419,12 @@ DRIVER_PRIORITY = [
     "q148_contamination_matrix",
     "q149_entity_clusters",
     "q150_trending_tokens",
+    "q151_curriculum_shards",
+    "q152_vocab_spectrum",
+    "q153_bpe_encode",
+    "q154_daily_anomaly",
+    "q155_ttr_by_source",
+    "q156_clustering_coefficient",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -10109,6 +10622,12 @@ ORACLE_SQL = {
     "q148_contamination_matrix": _Q148_SQL,
     "q149_entity_clusters": _Q149_SQL,
     "q150_trending_tokens": _Q150_SQL,
+    "q151_curriculum_shards": _Q151_SQL,
+    "q152_vocab_spectrum": _Q152_SQL,
+    "q153_bpe_encode": _Q153_SQL,
+    "q154_daily_anomaly": _Q154_SQL,
+    "q155_ttr_by_source": _Q155_SQL,
+    "q156_clustering_coefficient": _Q156_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q26 (media pixel features — codec round-trip pytests) and q58
     # (SpaceSaving approximate heavy hitters — its exact counterpart q129
