@@ -4462,10 +4462,10 @@ def q79_interval_coverage(sf_dir: str):
     oracle (MAX(e) OVER preceding → island cumsum) matches exactly.
     Reference analogue: session/coverage roll-ups over event streams
     (SURVEY.md §2.5 A9 keyed metrics family)."""
-    from medical_ocr_service_ray.stages.aggregate import auto_num_buckets, dataset_input_bytes
+    from medical_ocr_service_ray.stages.aggregate import compute_num_buckets, dataset_input_bytes
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
-    nb = auto_num_buckets(dataset_input_bytes(ds), per_bucket_bytes=256 << 20)
+    nb = compute_num_buckets(dataset_input_bytes(ds), per_bucket_bytes=256 << 20)
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         s = df.ts.to_numpy().astype("datetime64[us]").astype("int64")
@@ -5922,15 +5922,24 @@ def q100_triangle_count(sf_dir: str, broadcast_max_bytes: int = 512 << 20):
     more (v)-keyed tagged-union exchange counts closures — three exchanges
     total, nothing broadcast but the dimension-sized degree map. Both
     paths proven equal in TestTriangleCount."""
-    import ray as _ray
+    p1, nb = _copurchase_pairs(sf_dir)
+    return _triangles_from_pairs(p1, nb, broadcast_max_bytes)
 
+
+def _copurchase_pairs(sf_dir: str):
+    """Stage 1 of the co-purchase graph queries (q100/q156): per-order
+    distinct (a<b) part pairs via one l_orderkey-keyed exchange,
+    MATERIALIZED so both the degree pass and the wedge pass can consume it
+    without recomputing the expansion. Cross-bucket duplicate pairs
+    survive deliberately (each consumer dedups where its semantics need
+    it). Returns (pairs_dataset, num_buckets)."""
     from medical_ocr_service_ray.stages.aggregate import (
-        auto_num_buckets,
+        compute_num_buckets,
         dataset_input_bytes,
     )
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    nb = auto_num_buckets(dataset_input_bytes(ds))
+    nb = compute_num_buckets(dataset_input_bytes(ds))
 
     def pairs_distinct(df: pd.DataFrame) -> pd.DataFrame:
         m = df.merge(df, on="l_orderkey")
@@ -5939,6 +5948,14 @@ def q100_triangle_count(sf_dir: str, broadcast_max_bytes: int = 512 << 20):
         return out.rename(columns={"l_partkey_x": "a", "l_partkey_y": "b"})
 
     p1 = bucketed_combine(ds, "l_orderkey", pairs_distinct, num_buckets=nb).materialize()
+    return p1, nb
+
+
+def _triangles_from_pairs(p1, nb: int, broadcast_max_bytes: int = 512 << 20):
+    """q100's plan from the materialized pair stream on: orientation
+    degrees, fused dedup+wedge+closure buckets, broadcast / no-broadcast
+    paths (see q100_triangle_count docstring)."""
+    import ray as _ray
 
     def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
         n = pd.concat([df.a, df.b], ignore_index=True)
@@ -9765,13 +9782,13 @@ def q151_curriculum_shards(sf_dir: str):
     import ray as _ray
 
     from medical_ocr_service_ray.stages.aggregate import (
-        auto_num_buckets,
+        compute_num_buckets,
         dataset_input_bytes,
     )
 
     SHARD = 500
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    nb = auto_num_buckets(dataset_input_bytes(ds))
+    nb = compute_num_buckets(dataset_input_bytes(ds))
 
     def len_partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("n_chars", as_index=False).size()
@@ -10147,8 +10164,9 @@ def q156_clustering_coefficient(sf_dir: str):
     """Global clustering coefficient of the co-purchase graph — 3*triangles
     / wedges, the one-number density health check run next to q100. The
     triangle count, node count, and exact edge count REUSE q100's fused
-    two-exchange plan wholesale (one extra pipeline run, documented
-    tradeoff vs duplicating 100 lines of wedge machinery). EXACT degrees —
+    plan (_triangles_from_pairs) over the SAME materialized pair stream —
+    the expensive per-order pair expansion runs once, shared with the
+    degree pass. EXACT degrees —
     q100's orientation degrees tolerate cross-bucket duplicate pairs, a
     wedge COUNT does not — come from one (a)-keyed bucketed dedup: every
     copy of an (a<b) pair hashes to a's bucket, so in-bucket dedup is
@@ -10156,21 +10174,7 @@ def q156_clustering_coefficient(sf_dir: str):
     the bounded part-dimension node domain. Wedges = sum d*(d-1)/2 in
     Python ints (no overflow at any degree). gcc_x1e6 =
     (3*tri*1e6)//wedges, 0 when the graph has no wedges."""
-    from medical_ocr_service_ray.stages.aggregate import (
-        auto_num_buckets,
-        dataset_input_bytes,
-    )
-
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    nb = auto_num_buckets(dataset_input_bytes(ds))
-
-    def pairs_distinct(df: pd.DataFrame) -> pd.DataFrame:
-        m = df.merge(df, on="l_orderkey")
-        m = m[m.l_partkey_x < m.l_partkey_y]
-        out = m[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
-        return out.rename(columns={"l_partkey_x": "a", "l_partkey_y": "b"})
-
-    p1 = bucketed_combine(ds, "l_orderkey", pairs_distinct, num_buckets=nb)
+    p1, nb = _copurchase_pairs(sf_dir)
 
     def deg_bucket(df: pd.DataFrame) -> pd.DataFrame:
         d = df.drop_duplicates(["a", "b"])
@@ -10185,7 +10189,7 @@ def q156_clustering_coefficient(sf_dir: str):
     )
     wedges = sum(int(x) * (int(x) - 1) // 2 for x in deg.d)
 
-    base = q100_triangle_count(sf_dir)
+    base = _triangles_from_pairs(p1, nb)
     tri = int(base.n_triangles.iloc[0])
     gcc = (3 * tri * 1_000_000) // wedges if wedges else 0
     return pd.DataFrame(

@@ -233,3 +233,56 @@ def union_datasets(*datasets: "rd.Dataset") -> "rd.Dataset":
     """D5: union of several job/record streams into one dataset."""
     first, *rest = datasets
     return first.union(*rest) if rest else first
+
+
+def read_parquet_evolving(
+    sources: list[str],
+    columns: list[str] | None = None,
+) -> "rd.Dataset":
+    """Schema-evolution-on-read: union several parquet sources whose schemas
+    DRIFTED over time (columns added/dropped across ingest generations, int
+    widths widened) into one dataset under the promoted union schema —
+    missing columns surface as typed nulls, narrower numeric types are cast
+    up. The contract every long-lived lakehouse table needs once writers
+    evolve.
+
+    Scale shape: the driver touches only parquet FOOTERS (one
+    ``read_schema`` per source path — file listing cost, no data); each
+    source is then a normal pruned streaming ``read_parquet`` whose batches
+    are aligned to the union schema with zero-copy ``append_column`` of
+    null arrays + Arrow casts. ``columns`` prunes at the read for columns a
+    source has, and back-fills nulls for those it doesn't."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _schema_of(src: str) -> pa.Schema:
+        p = Path(src)
+        f = sorted(p.rglob("*.parquet"))[0] if p.is_dir() else p
+        return pq.read_schema(str(f))
+
+    schemas = [_schema_of(s) for s in sources]
+    target = pa.unify_schemas(schemas, promote_options="permissive")
+    if columns is not None:
+        missing = [c for c in columns if c not in target.names]
+        if missing:
+            raise KeyError(f"columns not in any source schema: {missing}")
+        target = pa.schema([target.field(c) for c in columns])
+
+    def _align(batch: pa.Table, target: pa.Schema = target) -> pa.Table:
+        cols = []
+        for field in target:
+            if field.name in batch.column_names:
+                col = batch[field.name]
+                cols.append(col.cast(field.type) if col.type != field.type else col)
+            else:
+                cols.append(pa.nulls(batch.num_rows, field.type))
+        return pa.Table.from_arrays(cols, schema=target)
+
+    parts = []
+    for src, sch in zip(sources, schemas):
+        have = [c for c in (columns or [f.name for f in target]) if c in sch.names]
+        # a source holding NONE of the requested columns still contributes
+        # its row count (all-null rows): read its cheapest single column
+        ds = rd.read_parquet(src, columns=have or [sch.names[0]])
+        parts.append(ds.map_batches(_align, batch_format="pyarrow", zero_copy_batch=True))
+    return union_datasets(*parts)

@@ -41,6 +41,27 @@ def auto_num_buckets(
     return max(lo, min(hi, math.ceil(max(0, input_bytes) / per_bucket_bytes)))
 
 
+def compute_num_buckets(input_bytes: int, per_bucket_bytes: int = 1 << 30) -> int:
+    """``auto_num_buckets`` with an additional floor of 2x the cluster CPU
+    count, for bucketed combines whose per-bucket kernel is COMPUTE-heavy
+    (pair expansion, wedge closure, shingle verify): the byte rule alone
+    floors at 16 buckets, which caps those kernels at 16 concurrent tasks
+    and strands half a 32-CPU node (measured: the q100 pair expansion at
+    sf0.1/32 drops 3.97 s -> 1.07 s going 16 -> 64 buckets). At real scale
+    the byte rule dominates anyway; the CPU floor only lifts small-input
+    runs. Every per-bucket kernel is partition-count-invariant by the
+    engine-wide contract, so bucket count is a pure performance knob —
+    EXCEPT q130's checksum, whose SQL oracle mirrors a FIXED 16 and must
+    not route through this helper."""
+    import ray
+
+    try:
+        min_parallel = int(ray.cluster_resources().get("CPU", 8)) * 2
+    except Exception:
+        min_parallel = 16
+    return max(auto_num_buckets(input_bytes, per_bucket_bytes), min_parallel)
+
+
 def dataset_input_bytes(ds: "rd.Dataset") -> int:
     """Best-effort input size WITHOUT executing the dataset: sum of the
     source files' on-disk sizes (0 when unavailable, e.g. from_arrow)."""

@@ -378,8 +378,8 @@ def _verify_pairs_two_join(
     import pandas as pd
 
     from medical_ocr_service_ray.stages.aggregate import (
-        auto_num_buckets,
         bucketed_combine,
+        compute_num_buckets,
         dataset_input_bytes,
     )
 
@@ -387,7 +387,7 @@ def _verify_pairs_two_join(
         # each join's per-bucket task holds ~corpus/num_buckets text bytes in
         # a dict: derive the count from the input size (sizing rule,
         # aggregate.py) instead of trusting a fixed default
-        num_buckets = auto_num_buckets(dataset_input_bytes(docs))
+        num_buckets = compute_num_buckets(dataset_input_bytes(docs))
 
     def docs_side(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -193,3 +193,61 @@ class TestXlsxReader:
         assert out.term_id.tolist() == [101, 102]
         assert out.term.tolist() == ["ecografia", "tomografia"]
         assert list(out.synonyms.tolist()[0]) == ["eco", "ultrasonido"]
+
+
+class TestSchemaEvolvingRead:
+    """read_parquet_evolving: drifted schemas unify under the promoted
+    union schema with typed-null backfill and numeric up-casts."""
+
+    def _write_generations(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        g1 = tmp_path / "gen1.parquet"
+        g2 = tmp_path / "gen2.parquet"
+        g3 = tmp_path / "gen3.parquet"
+        pq.write_table(
+            pa.table({"id": pa.array([1, 2], pa.int32()), "name": ["a", "b"]}), g1
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([3], pa.int64()),
+                    "name": ["c"],
+                    "score": pa.array([0.5], pa.float64()),
+                }
+            ),
+            g2,
+        )
+        pq.write_table(pa.table({"name": ["d"], "flag": [True]}), g3)
+        return [str(g1), str(g2), str(g3)]
+
+    def test_union_schema_nulls_and_promotion(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.sources.readers import read_parquet_evolving
+
+        srcs = self._write_generations(tmp_path)
+        out = read_parquet_evolving(srcs).to_pandas().sort_values("name")
+        assert list(out.columns) == ["id", "name", "score", "flag"]
+        assert out.name.tolist() == ["a", "b", "c", "d"]
+        assert out.id.tolist()[:3] == [1, 2, 3]  # int32 promoted into int64
+        assert out.id.isna().tolist() == [False, False, False, True]
+        assert out.score.isna().tolist() == [True, True, False, True]
+        assert out.flag.isna().tolist() == [True, True, True, False]
+
+    def test_column_pruned_read_with_backfill(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.sources.readers import read_parquet_evolving
+
+        srcs = self._write_generations(tmp_path)
+        out = read_parquet_evolving(srcs, columns=["score", "name"]).to_pandas()
+        assert list(out.columns) == ["score", "name"]
+        assert len(out) == 4
+        assert out.score.notna().sum() == 1
+
+    def test_unknown_column_raises(self, ray_session, tmp_path):
+        import pytest as _pytest
+
+        from medical_ocr_service_ray.sources.readers import read_parquet_evolving
+
+        srcs = self._write_generations(tmp_path)
+        with _pytest.raises(KeyError):
+            read_parquet_evolving(srcs, columns=["nope"])
