@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "q154_daily_anomaly",
     "q155_ttr_by_source",
     "q156_clustering_coefficient",
+    "q157_global_revenue_rank",
 ]
 
 

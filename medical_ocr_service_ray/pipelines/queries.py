@@ -10228,6 +10228,131 @@ SELECT (SELECT COUNT(*) FROM deg)::BIGINT AS n_nodes,
 """
 
 
+# -------------------------------------------------------------------- q157
+
+def q157_global_revenue_rank(sf_dir: str):
+    """Exact global ROW_NUMBER and DENSE_RANK over every part's lifetime
+    revenue (rev DESC, part ASC) — q151's zipWithIndex generalized to an
+    UNBOUNDED value domain: no per-value driver offset table can exist, so
+    prefix offsets come from 64 equi-depth revenue RANGES instead
+    (_equidepth_boundaries — O(n_bins) driver/broadcast state; equal values
+    always land in the same range under one searchsorted side, so both
+    window functions decompose exactly across ranges). Plan: one
+    l_partkey-keyed exchange reduces lineitem to per-part revenue (integer
+    rev4 units, the q29 convention, materialized once); boundary
+    derivation is two bounded histogram passes; then ONE range-keyed
+    exchange per phase — phase 1 emits per-range (count, n_distinct)
+    summaries (<= n_bins rows to the driver, which prefix-sums them into
+    row/dense offsets), phase 2 sorts each range in-bucket (rev DESC,
+    part ASC) and stamps offset + local rank. Equi-depth ranges bound
+    per-bucket rows at ~n_parts/64 by construction; a single hot revenue
+    VALUE concentrates in one range (disclosed — rev4 units make exact
+    ties rare). Returns a per-part DATASET (q47 convention)."""
+    import ray as _ray
+
+    N_BINS = 64
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        units = _cents(df.l_extendedprice) * _cents(1.0 - df.l_discount)
+        return (
+            pd.DataFrame({"l_partkey": df.l_partkey, "rev": units})
+            .groupby("l_partkey", as_index=False)["rev"]
+            .sum()
+        )
+
+    rev = partial_then_combine(
+        line,
+        rev_partial,
+        "l_partkey",
+        lambda df: df.groupby("l_partkey", as_index=False)["rev"].sum(),
+        num_buckets=16,
+    ).materialize()
+
+    mx = int(
+        driver_combine(
+            rev,
+            lambda df: pd.DataFrame({"m": [int(df.rev.max()) if len(df) else 0]}),
+            lambda df: pd.DataFrame({"m": [int(df.m.max()) if len(df) else 0]}),
+        ).m.iloc[0]
+    )
+    pshift = max(0, mx.bit_length() - 14)  # prefixes <= 2^14 regardless of scale
+    boundaries = _equidepth_boundaries(
+        rev, lambda df: df.rev.to_numpy(), N_BINS, pshift=pshift
+    )
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        rng = np.searchsorted(boundaries, df.rev.to_numpy(), side="right")
+        return df.assign(rng=rng.astype("int64"))
+
+    stamped = rev.map_batches(stamp, batch_format="pandas").materialize()
+
+    def summary_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("rng").agg(cnt=("rev", "size"), nd=("rev", "nunique"))
+        return g.reset_index().astype("int64")
+
+    summ = (
+        bucketed_combine(stamped, "rng", summary_bucket, num_buckets=N_BINS)
+        .to_pandas()
+        .sort_values("rng", ascending=False)  # highest revenue range first
+    )
+    row_off = dict(zip(summ.rng, summ.cnt.cumsum() - summ.cnt))
+    dense_off = dict(zip(summ.rng, summ.nd.cumsum() - summ.nd))
+    off_ref = _ray.put((row_off, dense_off))
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        row_o, dense_o = _ray.get(off_ref)
+        outs = []
+        for r, grp in df.groupby("rng"):
+            g = grp.sort_values(["rev", "l_partkey"], ascending=[False, True])
+            rv = g.rev.to_numpy()
+            # desc-sorted, so first-appearance factorize codes ARE the
+            # local dense ranks
+            dense_local = pd.factorize(rv)[0] + 1
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "l_partkey": g.l_partkey.to_numpy().astype("int64"),
+                        "rev_units": rv.astype("int64"),
+                        "global_row": (
+                            int(row_o[r]) + np.arange(1, len(g) + 1)
+                        ).astype("int64"),
+                        "revenue_dense_rank": (
+                            int(dense_o[r]) + dense_local
+                        ).astype("int64"),
+                    }
+                )
+            )
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(
+                {
+                    "l_partkey": pd.Series(dtype="int64"),
+                    "rev_units": pd.Series(dtype="int64"),
+                    "global_row": pd.Series(dtype="int64"),
+                    "revenue_dense_rank": pd.Series(dtype="int64"),
+                }
+            )
+        )
+
+    return bucketed_combine(stamped, "rng", rank_bucket, num_buckets=N_BINS)
+
+
+_Q157_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+                * CAST(round((1.0-l_discount)*100, 0) AS BIGINT)) AS BIGINT) AS rev_units
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, rev_units,
+       row_number() OVER (ORDER BY rev_units DESC, l_partkey)::BIGINT AS global_row,
+       dense_rank() OVER (ORDER BY rev_units DESC)::BIGINT AS revenue_dense_rank
+FROM rev ORDER BY l_partkey
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -10387,6 +10512,7 @@ QUERIES = {
     "q154_daily_anomaly": q154_daily_anomaly,
     "q155_ttr_by_source": q155_ttr_by_source,
     "q156_clustering_coefficient": q156_clustering_coefficient,
+    "q157_global_revenue_rank": q157_global_revenue_rank,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -10429,6 +10555,7 @@ DRIVER_PRIORITY = [
     "q154_daily_anomaly",
     "q155_ttr_by_source",
     "q156_clustering_coefficient",
+    "q157_global_revenue_rank",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -10632,6 +10759,7 @@ ORACLE_SQL = {
     "q154_daily_anomaly": _Q154_SQL,
     "q155_ttr_by_source": _Q155_SQL,
     "q156_clustering_coefficient": _Q156_SQL,
+    "q157_global_revenue_rank": _Q157_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q26 (media pixel features — codec round-trip pytests) and q58
     # (SpaceSaving approximate heavy hitters — its exact counterpart q129

@@ -106,6 +106,7 @@ GATED = [
     "q154_daily_anomaly",
     "q155_ttr_by_source",
     "q156_clustering_coefficient",
+    "q157_global_revenue_rank",
 ]
 
 

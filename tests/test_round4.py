@@ -282,3 +282,48 @@ class TestBfsMesh:
             .to_pandas()
         )
         assert (99, 0) in set(zip(out2.node, out2.hops))
+
+
+class TestGlobalRevenueRank:
+    def test_planted_ties_match_window_oracle(self, ray_session, tmp_path):
+        """Massive equal-revenue groups are the risky path for the range-
+        decomposed dense_rank (q157): one hot value concentrates in one
+        range and its local factorize must still splice exactly into the
+        global prefix offsets. 300 parts, only 7 distinct revenues."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from medical_ocr_service_ray.pipelines.queries import (
+            _Q157_SQL,
+            q157_global_revenue_rank,
+        )
+
+        rng = np.random.default_rng(11)
+        parts = np.arange(300)
+        # 7 price levels, many parts per level -> huge rev ties
+        price = rng.choice([5.0, 10.0, 20.0, 20.0, 40.0, 80.0, 160.0, 320.0], 300)
+        li = pa.table(
+            {
+                "l_partkey": pa.array(parts, pa.int64()),
+                "l_extendedprice": pa.array(price, pa.float64()),
+                "l_discount": pa.array(np.zeros(300), pa.float64()),
+            }
+        )
+        pq.write_table(li, tmp_path / "lineitem.parquet")
+
+        got = (
+            q157_global_revenue_rank(str(tmp_path))
+            .to_pandas()
+            .sort_values("l_partkey")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'"
+        )
+        exp = con.execute(_Q157_SQL).df()
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+        )
+        assert got.revenue_dense_rank.max() <= 7
