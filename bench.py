@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "q155_ttr_by_source",
     "q156_clustering_coefficient",
     "q157_global_revenue_rank",
+    "q158_semantic_dedup",
 ]
 
 

@@ -26,6 +26,10 @@ def _stack_embeddings(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if isinstance(arr, pa.ExtensionArray):
+        # blocks that round-tripped through pandas carry the embedding as an
+        # ArrowTensorArray (no .values); its to_numpy is already (n, dim)
+        return np.asarray(arr.to_numpy(zero_copy_only=False), dtype=np.float64)
     return np.asarray(arr.values).reshape(len(batch), -1).astype(np.float64)
 
 
