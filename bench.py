@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "q156_clustering_coefficient",
     "q157_global_revenue_rank",
     "q158_semantic_dedup",
+    "q159_semantic_dedup_multiprobe",
 ]
 
 

@@ -10448,6 +10448,98 @@ WHERE dot > 0 AND na2 * nb2 > 0 AND {td2} * dot * dot >= {tn2} * na2 * nb2
 _Q158_SQL = _q158_sql()
 
 
+# -------------------------------------------------------------------- q159
+
+def q159_semantic_dedup_multiprobe(sf_dir: str, t_num: int = 7, t_den: int = 20,
+                                   nprobe: int = 2):
+    """q158 with MULTI-ASSIGNMENT blocking (nprobe=2): every vector joins
+    its two nearest coarse clusters, so a near-dup pair straddling one
+    cluster boundary is still co-blocked somewhere — the standard IVF
+    recall fix, bought with 2x block membership instead of any cross-block
+    exchange. Plan: one Arrow explode stamps (cluster, vec) rows for the
+    top-nprobe centroids (stable argsort == the SQL row_number tie-break:
+    score, then cluster id), per-cluster chunked int64 pairs
+    (_cos_pairs_group), then ONE vec_a-keyed bucketed dedup collapses the
+    pairs found in BOTH shared clusters (same vectors -> bit-identical
+    score rows, so drop_duplicates is exact). Post-threshold pairs are
+    bounded by true near-dups (q13's argument), so the dedup exchange is
+    tiny. Returns the distinct (vec_a, vec_b, cos2_x1e6) pairs."""
+    import ray as _ray
+
+    from medical_ocr_service_ray.stages.kmeans import kmeans_fit, quantize
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    centroids = kmeans_fit(ds, k=8, iters=2)
+    cref = _ray.put(centroids)
+
+    def stamp_multi(batch: pa.Table) -> pa.Table:
+        from medical_ocr_service_ray.stages.ann import _stack_embeddings
+
+        cents = _ray.get(cref)
+        q = quantize(_stack_embeddings(batch))
+        cc = (cents * cents).sum(axis=1)
+        scores = q @ cents.T * (-2) + cc[None, :]  # int64 exact
+        # stable argsort: ties resolve to the LOWER cluster id, exactly the
+        # SQL window's ORDER BY score, cluster
+        top = np.argsort(scores, axis=1, kind="stable")[:, :nprobe]
+        n = batch.num_rows
+        idx = np.repeat(np.arange(n), nprobe)
+        out = batch.take(pa.array(idx))
+        return out.append_column("cluster", pa.array(top.reshape(-1).astype("int64")))
+
+    labeled = ds.map_batches(stamp_multi, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(group: pa.Table) -> pa.Table:
+        return _cos_pairs_group(group, t_num, t_den)
+
+    found = labeled.groupby("cluster").map_groups(pairs, batch_format="pyarrow")
+    return bucketed_combine(
+        found,
+        "vec_a",
+        lambda df: df.drop_duplicates(["vec_a", "vec_b"]),
+        num_buckets=16,
+    )
+
+
+def _q159_sql(k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1024,
+              t_num: int = 7, t_den: int = 20, nprobe: int = 2) -> str:
+    """q158's oracle with rn <= nprobe in the assignment CTE and a DISTINCT
+    over the pair output."""
+    tn2, td2 = t_num * t_num, t_den * t_den
+    return (
+        _kmeans_cte_chain(k, iters, dim, scale)
+        + f""", af AS (
+  SELECT vec_id, cluster FROM (
+    SELECT q.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CAST(list_inner_product(c.c, c.c) AS BIGINT)
+                      - 2 * CAST(list_inner_product(q.v, c.c) AS BIGINT),
+                      c.cluster) AS rn
+    FROM q, c{iters} c) WHERE rn <= {nprobe}
+), v1000 AS (
+  SELECT e.vec_id, af.cluster,
+         list_transform(e.embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vv
+  FROM embeddings e JOIN af USING (vec_id)
+), p AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(list_inner_product(a.vv, b.vv) AS HUGEINT) AS dot,
+         CAST(list_inner_product(a.vv, a.vv) AS HUGEINT) AS na2,
+         CAST(list_inner_product(b.vv, b.vv) AS HUGEINT) AS nb2
+  FROM v1000 a JOIN v1000 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       CAST((1000000 * dot * dot) // (na2 * nb2) AS BIGINT) AS cos2_x1e6
+FROM p
+WHERE dot > 0 AND na2 * nb2 > 0 AND {td2} * dot * dot >= {tn2} * na2 * nb2
+"""
+    )
+
+
+_Q159_SQL = _q159_sql()
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -10609,6 +10701,7 @@ QUERIES = {
     "q156_clustering_coefficient": q156_clustering_coefficient,
     "q157_global_revenue_rank": q157_global_revenue_rank,
     "q158_semantic_dedup": q158_semantic_dedup,
+    "q159_semantic_dedup_multiprobe": q159_semantic_dedup_multiprobe,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -10653,6 +10746,7 @@ DRIVER_PRIORITY = [
     "q156_clustering_coefficient",
     "q157_global_revenue_rank",
     "q158_semantic_dedup",
+    "q159_semantic_dedup_multiprobe",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -10858,6 +10952,7 @@ ORACLE_SQL = {
     "q156_clustering_coefficient": _Q156_SQL,
     "q157_global_revenue_rank": _Q157_SQL,
     "q158_semantic_dedup": _Q158_SQL,
+    "q159_semantic_dedup_multiprobe": _Q159_SQL,
     # Remaining no-oracle entries (driver falls back to rows-only + pytest):
     # q26 (media pixel features — codec round-trip pytests) and q58
     # (SpaceSaving approximate heavy hitters — its exact counterpart q129

@@ -108,6 +108,7 @@ GATED = [
     "q156_clustering_coefficient",
     "q157_global_revenue_rank",
     "q158_semantic_dedup",
+    "q159_semantic_dedup_multiprobe",
 ]
 
 

@@ -327,3 +327,23 @@ class TestGlobalRevenueRank:
             got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
         )
         assert got.revenue_dense_rank.max() <= 7
+
+
+class TestSemanticDedupMultiprobe:
+    def test_multiprobe_is_superset_of_single_probe(self, ray_session):
+        """nprobe=2 must recover every single-probe pair plus the boundary
+        straddlers — the whole point of the variant."""
+        from medical_ocr_service_ray.pipelines.queries import (
+            q158_semantic_dedup,
+            q159_semantic_dedup_multiprobe,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        single = q158_semantic_dedup(sf)
+        multi = q159_semantic_dedup_multiprobe(sf).to_pandas()
+        sp = set(zip(single.vec_a, single.vec_b))
+        mp = set(zip(multi.vec_a, multi.vec_b))
+        assert sp <= mp
+        assert len(mp) >= len(sp)
+        # distinctness: the two-cluster co-membership path must not emit dupes
+        assert len(multi) == len(mp)
