@@ -195,3 +195,114 @@ def gc_orphans(
             pass
         rows.append((f.name, "deleted"))
     return pd.DataFrame(rows, columns=["file", "status"])
+
+
+# --------------------------------------------------------------- snapshots
+
+def commit_snapshot(
+    table_dir: str | Path,
+    files: list[str],
+    *,
+    op: str = "append",
+) -> int:
+    """Commit a table SNAPSHOT: an immutable manifest naming exactly the
+    part files that make up the table at this version (op='append' extends
+    the parent's file list with ``files``; op='replace' makes ``files``
+    the complete new list — what a compaction commits). Snapshots live as
+    ``_snapshots/<id>.json`` next to the data; the commit is a single
+    O_EXCL create of the next id, so two racing writers cannot both win
+    one id — the loser's FileExistsError retries against the refreshed
+    parent, a filesystem-native optimistic-concurrency commit (the
+    Iceberg/Delta commit protocol shrunk to one primitive). Data files are
+    NEVER rewritten or touched: time travel is just reading an older
+    manifest. Returns the new snapshot id (1-based)."""
+    import json
+
+    snap_dir = Path(table_dir) / "_snapshots"
+    snap_dir.mkdir(parents=True, exist_ok=True)
+    while True:
+        log = sorted(int(p.stem) for p in snap_dir.glob("*.json"))
+        sid = (log[-1] + 1) if log else 1
+        if op == "append":
+            prev = (
+                json.loads((snap_dir / f"{log[-1]}.json").read_text())["files"]
+                if log
+                else []
+            )
+            flist = list(dict.fromkeys([*prev, *files]))
+        elif op == "replace":
+            flist = list(dict.fromkeys(files))
+        else:
+            raise ValueError(f"op must be 'append' or 'replace', got {op!r}")
+        payload = json.dumps({"snapshot_id": sid, "op": op, "files": flist})
+        try:
+            with open(snap_dir / f"{sid}.json", "x") as fh:
+                fh.write(payload)
+            return sid
+        except FileExistsError:
+            continue  # lost the race: recompute against the new head
+
+
+def snapshot_log(table_dir: str | Path) -> "pd.DataFrame":
+    """The table's snapshot history: (snapshot_id, op, n_files), ascending."""
+    import json
+
+    import pandas as pd
+
+    snap_dir = Path(table_dir) / "_snapshots"
+    rows = []
+    if snap_dir.is_dir():
+        for p in sorted(snap_dir.glob("*.json"), key=lambda p: int(p.stem)):
+            d = json.loads(p.read_text())
+            rows.append((d["snapshot_id"], d["op"], len(d["files"])))
+    return pd.DataFrame(rows, columns=["snapshot_id", "op", "n_files"])
+
+
+def read_at_snapshot(
+    table_dir: str | Path,
+    snapshot_id: int | None = None,
+    columns: list[str] | None = None,
+) -> "rd.Dataset":
+    """TIME TRAVEL: a streaming pruned read of exactly the part files the
+    given snapshot (default: current head) references — older versions
+    stay readable until ``expire_snapshots`` + ``gc_orphans`` reclaim
+    them. O(1) manifest read on the driver; the scan itself is a normal
+    ``read_parquet`` over the named files."""
+    import json
+
+    snap_dir = Path(table_dir) / "_snapshots"
+    ids = sorted(int(p.stem) for p in snap_dir.glob("*.json"))
+    if not ids:
+        raise FileNotFoundError(f"no snapshots committed under {table_dir}")
+    sid = ids[-1] if snapshot_id is None else snapshot_id
+    if sid not in ids:
+        raise KeyError(f"snapshot {sid} not in log (have {ids[0]}..{ids[-1]})")
+    d = json.loads((snap_dir / f"{sid}.json").read_text())
+    paths = [str(Path(table_dir) / f) for f in d["files"]]
+    return rd.read_parquet(paths, columns=columns)
+
+
+def expire_snapshots(table_dir: str | Path, keep_last: int) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` snapshot manifests
+    (their ids are returned). Data files they referenced become orphans
+    exactly when NO surviving snapshot references them — feed
+    ``live_files`` to ``gc_orphans`` to reclaim the bytes."""
+    snap_dir = Path(table_dir) / "_snapshots"
+    ids = sorted(int(p.stem) for p in snap_dir.glob("*.json"))
+    expired = ids[:-keep_last] if keep_last > 0 else ids
+    for sid in expired:
+        (snap_dir / f"{sid}.json").unlink(missing_ok=True)
+    return expired
+
+
+def live_files(table_dir: str | Path) -> set[str]:
+    """Union of every surviving snapshot's file list — the ``referenced``
+    set ``gc_orphans`` must keep for time travel to stay sound."""
+    import json
+
+    snap_dir = Path(table_dir) / "_snapshots"
+    out: set[str] = set()
+    if snap_dir.is_dir():
+        for p in snap_dir.glob("*.json"):
+            out.update(json.loads(p.read_text())["files"])
+    return out

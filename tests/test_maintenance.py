@@ -108,3 +108,81 @@ class TestGcOrphans:
         # idempotent rerun: nothing left to delete
         again = gc_orphans(d, ref, dry_run=False)
         assert (again.status == "kept").all()
+
+
+class TestSnapshotsTimeTravel:
+    def _write(self, d, name, lo, hi):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.table({"x": list(range(lo, hi))}), d / name)
+        return name
+
+    def test_append_replace_time_travel(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.sources.maintenance import (
+            commit_snapshot,
+            read_at_snapshot,
+            snapshot_log,
+        )
+
+        f1 = self._write(tmp_path, "a.parquet", 0, 10)
+        s1 = commit_snapshot(tmp_path, [f1])
+        f2 = self._write(tmp_path, "b.parquet", 10, 30)
+        s2 = commit_snapshot(tmp_path, [f2])  # append
+        fc = self._write(tmp_path, "compacted.parquet", 0, 30)
+        s3 = commit_snapshot(tmp_path, [fc], op="replace")
+
+        assert (s1, s2, s3) == (1, 2, 3)
+        assert read_at_snapshot(tmp_path, 1).count() == 10
+        assert read_at_snapshot(tmp_path, 2).count() == 30
+        assert read_at_snapshot(tmp_path).count() == 30  # head = replace
+        log = snapshot_log(tmp_path)
+        assert log.op.tolist() == ["append", "append", "replace"]
+        assert log.n_files.tolist() == [1, 2, 1]
+
+    def test_expire_then_gc_reclaims_only_dead_files(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.sources.maintenance import (
+            commit_snapshot,
+            expire_snapshots,
+            gc_orphans,
+            live_files,
+            read_at_snapshot,
+        )
+
+        f1 = self._write(tmp_path, "a.parquet", 0, 10)
+        commit_snapshot(tmp_path, [f1])
+        f2 = self._write(tmp_path, "b.parquet", 10, 30)
+        commit_snapshot(tmp_path, [f2])
+        fc = self._write(tmp_path, "compacted.parquet", 0, 30)
+        commit_snapshot(tmp_path, [fc], op="replace")
+
+        # all three snapshots live -> nothing is an orphan
+        rep = gc_orphans(tmp_path, live_files(tmp_path), dry_run=True)
+        assert (rep.status == "kept").all()
+
+        expired = expire_snapshots(tmp_path, keep_last=1)
+        assert expired == [1, 2]
+        rep = gc_orphans(tmp_path, live_files(tmp_path), dry_run=False)
+        got = dict(zip(rep.file, rep.status))
+        assert got["compacted.parquet"] == "kept"
+        assert got["a.parquet"] == "deleted" and got["b.parquet"] == "deleted"
+        assert read_at_snapshot(tmp_path).count() == 30  # head still reads
+
+    def test_commit_race_never_reuses_an_id(self, tmp_path):
+        """Two concurrent committers: O_EXCL must hand out distinct ids and
+        both file lists must survive in the final union."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from medical_ocr_service_ray.sources.maintenance import (
+            commit_snapshot,
+            live_files,
+        )
+
+        self._write(tmp_path, "a.parquet", 0, 1)
+        self._write(tmp_path, "b.parquet", 0, 1)
+        with ThreadPoolExecutor(2) as ex:
+            ids = list(
+                ex.map(lambda f: commit_snapshot(tmp_path, [f]), ["a.parquet", "b.parquet"])
+            )
+        assert sorted(ids) == [1, 2]
+        assert live_files(tmp_path) == {"a.parquet", "b.parquet"}
