@@ -1061,13 +1061,42 @@ def _golden_fixture_dir(sf_dir: str) -> str | None:
         )
         pq.write_table(_q24_serial_golden(golden), q24_p)
 
+    n_media = 256 if "0.1" in sf_dir else 64
+    q26_p = cache / f"q26_media_{n_media}.parquet"
+    if not q26_p.exists():
+        cache.mkdir(parents=True, exist_ok=True)
+        pq.write_table(_q26_serial_golden(n_media), q26_p)
+
     _shutil.rmtree(cur, ignore_errors=True)
     cur.mkdir(parents=True, exist_ok=True)
     _shutil.copy2(flat_p, cur / "q16_flat.parquet")
     _shutil.copy2(q24_p, cur / "q24_matches.parquet")
+    _shutil.copy2(q26_p, cur / "q26_media.parquet")
     (cur / "KEY").write_text(marker)
     _GOLDEN_VIEW_KEY[0] = key
     return str(cur)
+
+
+def _q26_serial_golden(n: int) -> pa.Table:
+    """Serial (no-Ray) mirror of q26 over the SAME deterministic media
+    fixture: sniff + the MediaDecoderStub feature decode applied in ONE
+    plain call over the whole table — the SQL hash-compare then gates
+    exactly the distributed risk (the actor pool's batch_size=16 slicing
+    and concurrency must not change a single feature bit)."""
+    from medical_ocr_service_ray.stages.multimodal import (
+        MediaDecoderStub,
+        sniff_media_batch,
+        synth_media_table,
+    )
+
+    tbl = synth_media_table(n)
+    sn = sniff_media_batch(tbl).to_pandas()[
+        ["item_id", "sniffed_mime", "mime_mismatch"]
+    ]
+    ft = MediaDecoderStub(op="features")(tbl).to_pandas()
+    ft["feat_sum_x1000"] = ft.features.map(lambda f: int(sum(f) * 1000)).astype("int64")
+    out = sn.merge(ft[["item_id", "feat_sum_x1000"]], on="item_id")
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def _q24_serial_golden(golden: pa.Table) -> pa.Table:
@@ -1127,6 +1156,11 @@ FROM read_parquet('/tmp/mosr_golden/current/q16_flat.parquet')
 _Q24_SQL = """
 SELECT conv_id, turn_idx, n_matched_terms, best_term_id, best_has_agreement
 FROM read_parquet('/tmp/mosr_golden/current/q24_matches.parquet')
+"""
+
+_Q26_SQL = """
+SELECT item_id, sniffed_mime, mime_mismatch, feat_sum_x1000
+FROM read_parquet('/tmp/mosr_golden/current/q26_media.parquet')
 """
 
 
@@ -1669,8 +1703,12 @@ def q26_media_features(sf_dir: str):
     REAL images decoded by the pure-stdlib codec (functions/png.py), so their
     features come from actual pixel data; formats without a codec in this
     container use the documented deterministic stand-in
-    (stages/multimodal.py)."""
+    (stages/multimodal.py). SQL-oracled since late r4 against a serial
+    single-call golden (_q26_serial_golden → /tmp/mosr_golden/current):
+    the hash-compare gates the actor pool's batching/concurrency."""
     import ray.data as _rd
+
+    _golden_fixture_dir(sf_dir)  # oracle fixture (no-op under bench skip)
 
     from medical_ocr_service_ray.stages.multimodal import (
         media_pipeline,
@@ -10540,6 +10578,215 @@ WHERE dot > 0 AND na2 * nb2 > 0 AND {td2} * dot * dot >= {tn2} * na2 * nb2
 _Q159_SQL = _q159_sql()
 
 
+# -------------------------------------------------------------------- q160
+
+def q160_daily_token_drift(sf_dir: str):
+    """Day-over-day vocabulary drift: integer Jaccard between CONSECUTIVE
+    days' distinct props-token sets — the content-drift time series that
+    tells an ingestion pipeline its upstream changed. Token cardinality is
+    unbounded, so distinct (token, day) cells reduce in ONE token-keyed
+    exchange; a token's full day-set lives in its bucket, so each bucket
+    emits exact per-(day, next_day) intersection partials plus per-day
+    distinct partials (days are calendar-bounded, q135's precedent), and
+    the driver merges blocks x days cells: jacc_x1e6 =
+    1e6*|A∩B| // |A∪B|. Returns (day, next_day, n_common, n_union,
+    jacc_x1e6) for adjacent observed days."""
+    import re
+    from collections import Counter
+
+    ds = _read(sf_dir, "events", ["ts", "props"])
+    word_re = re.compile(r"[a-z]+")
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        seen = set()
+        for day, props in zip(df.ts.dt.strftime("%Y-%m-%d"), df.props):
+            for t in word_re.findall((props or "").lower()):
+                seen.add((t, day))
+        if not seen:
+            return pd.DataFrame(
+                {"token": pd.Series(dtype="string"), "day": pd.Series(dtype="string")}
+            )
+        toks, days = zip(*seen)
+        return pd.DataFrame({"token": list(toks), "day": list(days)})
+
+    def drift_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["token", "day"])
+        per_day = d.groupby("day").size().rename("n").reset_index()
+        per_day["next_day"] = ""
+        per_day["kind"] = np.int8(0)
+        # adjacent-day co-presence: sort each token's days, pair consecutive
+        # CALENDAR days (day + 1) only
+        d = d.sort_values(["token", "day"])
+        same_tok = d.token.to_numpy()[1:] == d.token.to_numpy()[:-1]
+        day_np = d.day.to_numpy()
+        prev_d = pd.to_datetime(day_np[:-1])
+        next_d = pd.to_datetime(day_np[1:])
+        adj = same_tok & ((next_d - prev_d) == pd.Timedelta(days=1))
+        inter = pd.DataFrame(
+            {"day": day_np[:-1][adj], "next_day": day_np[1:][adj]}
+        )
+        inter = inter.groupby(["day", "next_day"]).size().rename("n").reset_index()
+        inter["kind"] = np.int8(1)
+        return pd.concat([per_day, inter], ignore_index=True)
+
+    cells = partial_then_combine(
+        ds, cell_partial, "token", drift_bucket, num_buckets=16
+    ).to_pandas()
+    per_day = (
+        cells[cells.kind == 0].groupby("day")["n"].sum().astype("int64").to_dict()
+    )
+    inter = (
+        cells[cells.kind == 1]
+        .groupby(["day", "next_day"], as_index=False)["n"]
+        .sum()
+    )
+    days_sorted = sorted(per_day)
+    rows = []
+    imap = {(r.day, r.next_day): int(r.n) for r in inter.itertuples()}
+    for a, b in zip(days_sorted[:-1], days_sorted[1:]):
+        if (pd.Timestamp(b) - pd.Timestamp(a)) != pd.Timedelta(days=1):
+            continue
+        ni = imap.get((a, b), 0)
+        nu = per_day[a] + per_day[b] - ni
+        rows.append((a, b, ni, nu, (1_000_000 * ni) // nu if nu else 1_000_000))
+    return pd.DataFrame(
+        {
+            "day": [r[0] for r in rows],
+            "next_day": [r[1] for r in rows],
+            "n_common": pd.array([r[2] for r in rows], "int64"),
+            "n_union": pd.array([r[3] for r in rows], "int64"),
+            "jacc_x1e6": pd.array([r[4] for r in rows], "int64"),
+        }
+    )
+
+
+_Q160_SQL = """
+WITH cells AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+         unnest(regexp_extract_all(lower(props), '[a-z]+')) AS token
+  FROM events
+), days AS (
+  SELECT day, COUNT(*)::BIGINT AS n FROM cells GROUP BY day
+), pairs AS (
+  SELECT a.day, b.day AS next_day, COUNT(*)::BIGINT AS n_common
+  FROM cells a JOIN cells b
+    ON a.token = b.token
+   AND CAST(b.day AS DATE) = CAST(a.day AS DATE) + INTERVAL 1 DAY
+  GROUP BY 1, 2
+), adj AS (
+  SELECT da.day, db.day AS next_day, da.n AS na, db.n AS nb
+  FROM days da JOIN days db
+    ON CAST(db.day AS DATE) = CAST(da.day AS DATE) + INTERVAL 1 DAY
+)
+SELECT adj.day, adj.next_day,
+       COALESCE(p.n_common, 0)::BIGINT AS n_common,
+       (adj.na + adj.nb - COALESCE(p.n_common, 0))::BIGINT AS n_union,
+       (1000000 * COALESCE(p.n_common, 0)
+        // (adj.na + adj.nb - COALESCE(p.n_common, 0)))::BIGINT AS jacc_x1e6
+FROM adj LEFT JOIN pairs p USING (day, next_day)
+ORDER BY adj.day
+"""
+
+
+# -------------------------------------------------------------------- q161
+
+def q161_emd_value_drift(sf_dir: str):
+    """Earth-mover's distance between the purchase-value distributions of
+    the reference period (first SPLIT_DAY days) and the rest — the
+    distribution-shift metric that catches drift PSI bins (q140) smooth
+    over, exact in integers: EMD over the q140-style equi-depth bins is
+    sum |cumsum(ref_share) - cumsum(cur_share)| per boundary, computed on
+    counts cross-multiplied to avoid division (x1e6 over n_ref*n_cur
+    common denominator). Boundary derivation + one counting pass, both
+    bounded (O(n_bins) state; (bin x period) count cells to the driver) —
+    the q140 plan with a different driver-side final. Returns one row
+    (n_ref, n_cur, emd_x1e6)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    SPLIT_DAY = 15
+    n_bins = 8
+
+    def ref_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_day_index(df.ts) < SPLIT_DAY]
+
+    def cents_of(df: pd.DataFrame) -> np.ndarray:
+        return _cents(df.value).to_numpy()
+
+    boundaries = _equidepth_boundaries(
+        ds.map_batches(ref_only, batch_format="pandas"),
+        cents_of,
+        n_bins,
+        pshift=8,
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.searchsorted(boundaries, cents_of(df), side="right").astype("int64")
+        is_ref = (_day_index(df.ts) < SPLIT_DAY).astype("int64")
+        return (
+            pd.DataFrame({"bin": b, "p_ref": is_ref, "p_cur": 1 - is_ref})
+            .groupby("bin", as_index=False)
+            .sum()
+        )
+
+    cells = driver_combine(
+        ds, count_partial, lambda df: df.groupby("bin", as_index=False).sum()
+    ).sort_values("bin")
+    n_ref = int(cells.p_ref.sum())
+    n_cur = int(cells.p_cur.sum())
+    # |cum_ref/n_ref - cum_cur/n_cur| summed, common denominator n_ref*n_cur
+    cr = ck = 0
+    num = 0
+    for _, row in cells.iterrows():
+        cr += int(row.p_ref)
+        ck += int(row.p_cur)
+        num += abs(cr * n_cur - ck * n_ref)
+    den = n_ref * n_cur
+    emd = (1_000_000 * num) // den if den else 0
+    return pd.DataFrame(
+        {
+            "n_ref": pd.array([n_ref], "int64"),
+            "n_cur": pd.array([n_cur], "int64"),
+            "emd_x1e6": pd.array([emd], "int64"),
+        }
+    )
+
+
+# boundary CTE mirrors q140's oracle (same helper, same counts); the EMD
+# final is the cumulative-share L1 with HUGEINT cross-multiplication.
+_Q161_SQL = """
+WITH f AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(floor(epoch_us(ts - TIMESTAMP '2024-01-01') / 86400000000.0)
+              AS BIGINT) < 15 AS is_ref
+  FROM events
+), h AS (
+  SELECT cents, COUNT(*)::BIGINT AS c FROM f WHERE is_ref GROUP BY 1
+), cum AS (SELECT cents, SUM(c) OVER (ORDER BY cents) AS cum FROM h),
+n AS (SELECT SUM(c) AS n FROM h),
+t AS (
+  SELECT r, (r * (SELECT n FROM n) + 7) // 8 + 1 AS thresh
+  FROM (SELECT CAST(range AS BIGINT) AS r FROM range(1, 8))
+  WHERE (r * (SELECT n FROM n) + 7) // 8 + 1 <= (SELECT n FROM n)
+), b AS (
+  SELECT t.r, MIN(cum.cents) AS bval FROM cum, t WHERE cum.cum >= t.thresh GROUP BY t.r
+), cells AS (
+  SELECT (SELECT COUNT(*) FROM b WHERE b.bval <= f.cents) AS bin,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)::HUGEINT AS p_ref,
+         SUM(CASE WHEN is_ref THEN 0 ELSE 1 END)::HUGEINT AS p_cur
+  FROM f GROUP BY 1
+), tot AS (
+  SELECT SUM(p_ref)::HUGEINT AS n_ref, SUM(p_cur)::HUGEINT AS n_cur FROM cells
+), cums AS (
+  SELECT SUM(p_ref) OVER (ORDER BY bin)::HUGEINT AS cr,
+         SUM(p_cur) OVER (ORDER BY bin)::HUGEINT AS ck
+  FROM cells
+)
+SELECT tot.n_ref::BIGINT AS n_ref, tot.n_cur::BIGINT AS n_cur,
+       ((1000000 * (SELECT SUM(abs(cr * tot.n_cur - ck * tot.n_ref)) FROM cums))
+        // (tot.n_ref * tot.n_cur))::BIGINT AS emd_x1e6
+FROM tot
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -10702,6 +10949,8 @@ QUERIES = {
     "q157_global_revenue_rank": q157_global_revenue_rank,
     "q158_semantic_dedup": q158_semantic_dedup,
     "q159_semantic_dedup_multiprobe": q159_semantic_dedup_multiprobe,
+    "q160_daily_token_drift": q160_daily_token_drift,
+    "q161_emd_value_drift": q161_emd_value_drift,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -10747,6 +10996,8 @@ DRIVER_PRIORITY = [
     "q157_global_revenue_rank",
     "q158_semantic_dedup",
     "q159_semantic_dedup_multiprobe",
+    "q160_daily_token_drift",
+    "q161_emd_value_drift",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -10820,6 +11071,7 @@ ORACLE_SQL = {
     "q22_ann_cosine_topk": _Q22_SQL,
     "q23_embedding_neardup": _Q23_SQL,
     "q24_enriched_extraction": _Q24_SQL,
+    "q26_media_features": _Q26_SQL,
     "q25_apply_corrections": _Q25_SQL,
     "q27_assemble_conversations": _Q27_SQL,
     "q28_sessionize_events": _Q28_SQL,
@@ -10953,11 +11205,12 @@ ORACLE_SQL = {
     "q157_global_revenue_rank": _Q157_SQL,
     "q158_semantic_dedup": _Q158_SQL,
     "q159_semantic_dedup_multiprobe": _Q159_SQL,
-    # Remaining no-oracle entries (driver falls back to rows-only + pytest):
-    # q26 (media pixel features — codec round-trip pytests) and q58
-    # (SpaceSaving approximate heavy hitters — its exact counterpart q129
-    # is SQL-oracled with the guarantee condition asserted).
-    # q16/q24 gained real oracles in round 4 (serial golden fixture at
+    "q160_daily_token_drift": _Q160_SQL,
+    "q161_emd_value_drift": _Q161_SQL,
+    # Remaining no-oracle entry (driver falls back to rows-only + pytest):
+    # q58 (SpaceSaving approximate heavy hitters — its exact counterpart
+    # q129 is SQL-oracled with the guarantee condition asserted).
+    # q16/q24/q26 gained real oracles in round 4 (serial golden fixtures at
     # /tmp/mosr_golden/current); q13/q14/q17/q20/q22/q23/q25/q27/q30/q38/q39
     # gained exact DuckDB oracles in round 3 (arithmetic hashes, extraction
     # registered as a view, recursive-CTE simulations).

@@ -109,6 +109,8 @@ GATED = [
     "q157_global_revenue_rank",
     "q158_semantic_dedup",
     "q159_semantic_dedup_multiprobe",
+    "q160_daily_token_drift",
+    "q161_emd_value_drift",
 ]
 
 
