@@ -251,3 +251,22 @@ class TestSchemaEvolvingRead:
         srcs = self._write_generations(tmp_path)
         with _pytest.raises(KeyError):
             read_parquet_evolving(srcs, columns=["nope"])
+
+    def test_directory_sources(self, ray_session, tmp_path):
+        """A source may be a DIRECTORY of part files (the normal table
+        layout); schema probing must touch one footer per source."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from medical_ocr_service_ray.sources.readers import read_parquet_evolving
+
+        d1 = tmp_path / "gen1"; d1.mkdir()
+        d2 = tmp_path / "gen2"; d2.mkdir()
+        pq.write_table(pa.table({"id": [1, 2], "name": ["a", "b"]}), d1 / "p0.parquet")
+        pq.write_table(pa.table({"id": [3], "name": ["c"]}), d1 / "p1.parquet")
+        pq.write_table(pa.table({"id": [4], "score": [1.5]}), d2 / "p0.parquet")
+        out = read_parquet_evolving([str(d1), str(d2)]).to_pandas().sort_values("id")
+        assert list(out.columns) == ["id", "name", "score"]
+        assert out.id.tolist() == [1, 2, 3, 4]
+        assert out.name.isna().tolist() == [False, False, False, True]
+        assert out.score.isna().tolist() == [True, True, True, False]
