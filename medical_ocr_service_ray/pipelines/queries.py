@@ -999,6 +999,16 @@ def _extraction_view_dir(sf_dir: str) -> str:
 _GOLDEN_VIEW_KEY: list = [None]  # last (sf_dir, session) copied to .../current
 
 
+def _q26_n_media(sf_dir: str) -> int:
+    """Single home of the q26 media-fixture size rule — the query and its
+    serial golden (_golden_fixture_dir) MUST agree on n or the hash gate
+    fails confusingly. Keyed on the sf directory BASENAME only, so a parent
+    path containing '0.1' cannot misfire."""
+    import os
+
+    return 256 if "0.1" in os.path.basename(os.path.normpath(sf_dir)) else 64
+
+
 def _golden_fixture_dir(sf_dir: str) -> str | None:
     """Write the SINGLE-PROCESS golden for the flagship to the fixed path
     /tmp/mosr_golden/current so q16/q24 get real DuckDB oracles: the oracle
@@ -1061,7 +1071,7 @@ def _golden_fixture_dir(sf_dir: str) -> str | None:
         )
         pq.write_table(_q24_serial_golden(golden), q24_p)
 
-    n_media = 256 if "0.1" in sf_dir else 64
+    n_media = _q26_n_media(sf_dir)
     q26_p = cache / f"q26_media_{n_media}.parquet"
     if not q26_p.exists():
         cache.mkdir(parents=True, exist_ok=True)
@@ -1716,7 +1726,7 @@ def q26_media_features(sf_dir: str):
         synth_media_table,
     )
 
-    n = 256 if "0.1" in sf_dir else 64
+    n = _q26_n_media(sf_dir)
     media = _rd.from_arrow(synth_media_table(n))
     sniffed = media.map_batches(sniff_media_batch, batch_format="pyarrow", batch_size=16)
     feats = media_pipeline(media, op="features")

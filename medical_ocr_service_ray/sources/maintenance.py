@@ -209,14 +209,19 @@ def commit_snapshot(
     part files that make up the table at this version (op='append' extends
     the parent's file list with ``files``; op='replace' makes ``files``
     the complete new list — what a compaction commits). Snapshots live as
-    ``_snapshots/<id>.json`` next to the data; the commit is a single
-    O_EXCL create of the next id, so two racing writers cannot both win
-    one id — the loser's FileExistsError retries against the refreshed
-    parent, a filesystem-native optimistic-concurrency commit (the
-    Iceberg/Delta commit protocol shrunk to one primitive). Data files are
-    NEVER rewritten or touched: time travel is just reading an older
-    manifest. Returns the new snapshot id (1-based)."""
+    ``_snapshots/<id>.json`` next to the data; the commit writes the FULL
+    payload to a private temp file first and publishes it with an atomic
+    ``os.link`` onto the next id — link fails with FileExistsError if the
+    id is taken, so two racing writers cannot both win one id AND no
+    reader (or crash) can ever observe a truncated manifest: the id either
+    doesn't exist or holds complete JSON. The loser retries against the
+    refreshed parent — a filesystem-native optimistic-concurrency commit
+    (the Iceberg/Delta commit protocol shrunk to one primitive). Data
+    files are NEVER rewritten or touched: time travel is just reading an
+    older manifest. Returns the new snapshot id (1-based)."""
     import json
+    import os
+    import uuid
 
     snap_dir = Path(table_dir) / "_snapshots"
     snap_dir.mkdir(parents=True, exist_ok=True)
@@ -224,23 +229,29 @@ def commit_snapshot(
         log = sorted(int(p.stem) for p in snap_dir.glob("*.json"))
         sid = (log[-1] + 1) if log else 1
         if op == "append":
-            prev = (
-                json.loads((snap_dir / f"{log[-1]}.json").read_text())["files"]
-                if log
-                else []
-            )
+            try:
+                prev = (
+                    json.loads((snap_dir / f"{log[-1]}.json").read_text())["files"]
+                    if log
+                    else []
+                )
+            except FileNotFoundError:
+                continue  # parent expired between glob and read: re-glob
             flist = list(dict.fromkeys([*prev, *files]))
         elif op == "replace":
             flist = list(dict.fromkeys(files))
         else:
             raise ValueError(f"op must be 'append' or 'replace', got {op!r}")
         payload = json.dumps({"snapshot_id": sid, "op": op, "files": flist})
+        tmp = snap_dir / f".tmp-{uuid.uuid4().hex}"
+        tmp.write_text(payload)  # complete payload BEFORE publication
         try:
-            with open(snap_dir / f"{sid}.json", "x") as fh:
-                fh.write(payload)
+            os.link(tmp, snap_dir / f"{sid}.json")  # atomic claim of the id
             return sid
         except FileExistsError:
             continue  # lost the race: recompute against the new head
+        finally:
+            tmp.unlink(missing_ok=True)
 
 
 def snapshot_log(table_dir: str | Path) -> "pd.DataFrame":
@@ -253,7 +264,10 @@ def snapshot_log(table_dir: str | Path) -> "pd.DataFrame":
     rows = []
     if snap_dir.is_dir():
         for p in sorted(snap_dir.glob("*.json"), key=lambda p: int(p.stem)):
-            d = json.loads(p.read_text())
+            try:
+                d = json.loads(p.read_text())
+            except FileNotFoundError:
+                continue  # expired between glob and read
             rows.append((d["snapshot_id"], d["op"], len(d["files"])))
     return pd.DataFrame(rows, columns=["snapshot_id", "op", "n_files"])
 
@@ -304,5 +318,8 @@ def live_files(table_dir: str | Path) -> set[str]:
     out: set[str] = set()
     if snap_dir.is_dir():
         for p in snap_dir.glob("*.json"):
-            out.update(json.loads(p.read_text())["files"])
+            try:
+                out.update(json.loads(p.read_text())["files"])
+            except FileNotFoundError:
+                continue  # expired between glob and read
     return out

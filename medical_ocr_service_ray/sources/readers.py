@@ -247,20 +247,35 @@ def read_parquet_evolving(
     evolve.
 
     Scale shape: the driver touches only parquet FOOTERS (one
-    ``read_schema`` per source path — file listing cost, no data); each
-    source is then a normal pruned streaming ``read_parquet`` whose batches
-    are aligned to the union schema with zero-copy ``append_column`` of
-    null arrays + Arrow casts. ``columns`` prunes at the read for columns a
-    source has, and back-fills nulls for those it doesn't."""
+    ``read_schema`` per part FILE — drift can happen WITHIN a directory
+    source too, so every file's footer is probed and files are grouped by
+    their actual schema; footer reads are KBs each, the same cost model as
+    ``collect_parquet_stats``); each schema-group is then a normal pruned
+    streaming ``read_parquet`` whose batches are aligned to the union
+    schema with zero-copy ``append_column`` of null arrays + Arrow casts.
+    ``columns`` prunes at the read for columns a group has, and back-fills
+    nulls for those it doesn't."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    def _schema_of(src: str) -> pa.Schema:
+    def _files_of(src: str) -> list[str]:
         p = Path(src)
-        f = sorted(p.rglob("*.parquet"))[0] if p.is_dir() else p
-        return pq.read_schema(str(f))
+        if not p.is_dir():
+            return [str(p)]
+        fs = sorted(str(f) for f in p.rglob("*.parquet"))
+        if not fs:
+            raise FileNotFoundError(f"no parquet files under source {src}")
+        return fs
 
-    schemas = [_schema_of(s) for s in sources]
+    # group every part file (across all sources) by its ACTUAL footer schema
+    groups: dict[tuple, tuple[pa.Schema, list[str]]] = {}
+    for src in sources:
+        for f in _files_of(src):
+            sch = pq.read_schema(f)
+            key = tuple(sorted((fld.name, str(fld.type)) for fld in sch))
+            groups.setdefault(key, (sch, []))[1].append(f)
+
+    schemas = [sch for sch, _ in groups.values()]
     target = pa.unify_schemas(schemas, promote_options="permissive")
     if columns is not None:
         missing = [c for c in columns if c not in target.names]
@@ -279,10 +294,10 @@ def read_parquet_evolving(
         return pa.Table.from_arrays(cols, schema=target)
 
     parts = []
-    for src, sch in zip(sources, schemas):
+    for sch, files in groups.values():
         have = [c for c in (columns or [f.name for f in target]) if c in sch.names]
-        # a source holding NONE of the requested columns still contributes
+        # a group holding NONE of the requested columns still contributes
         # its row count (all-null rows): read its cheapest single column
-        ds = rd.read_parquet(src, columns=have or [sch.names[0]])
+        ds = rd.read_parquet(files, columns=have or [sch.names[0]])
         parts.append(ds.map_batches(_align, batch_format="pyarrow", zero_copy_batch=True))
     return union_datasets(*parts)

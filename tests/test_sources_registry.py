@@ -270,3 +270,28 @@ class TestSchemaEvolvingRead:
         assert out.id.tolist() == [1, 2, 3, 4]
         assert out.name.isna().tolist() == [False, False, False, True]
         assert out.score.isna().tolist() == [True, True, True, False]
+
+    def test_drift_within_one_directory(self, ray_session, tmp_path):
+        """Schema drift WITHIN a source dir (early files missing a column
+        later files carry) must keep the real values — files are grouped by
+        their actual footer schema, not the first file's."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from medical_ocr_service_ray.sources.readers import read_parquet_evolving
+
+        d = tmp_path / "tbl"; d.mkdir()
+        pq.write_table(pa.table({"id": [1, 2]}), d / "p0.parquet")
+        pq.write_table(pa.table({"id": [3], "score": [2.5]}), d / "p1.parquet")
+        out = read_parquet_evolving([str(d)]).to_pandas().sort_values("id")
+        assert out.score.tolist()[:2] == [None, None] or out.score.isna().tolist()[:2] == [True, True]
+        assert out.score.tolist()[2] == 2.5  # p1's real value survives
+
+    def test_empty_directory_raises(self, ray_session, tmp_path):
+        import pytest as _pytest
+
+        from medical_ocr_service_ray.sources.readers import read_parquet_evolving
+
+        d = tmp_path / "empty"; d.mkdir()
+        with _pytest.raises(FileNotFoundError):
+            read_parquet_evolving([str(d)])
