@@ -10797,6 +10797,75 @@ FROM tot
 """
 
 
+# -------------------------------------------------------------------- q162
+
+def q162_embedding_covariance(sf_dir: str):
+    """Exact integer covariance (Gram) matrix of the embedding column — the
+    sufficient-statistics pass PCA / whitening starts from, q145 lifted
+    from per-dimension to per-PAIR: each batch contributes its upper-
+    triangular V^T·V (one 64x64 int64 matmul, vectorized) plus per-dim
+    sums, the driver combines blocks x 2080 cells, ZERO exchanges. cov_num
+    = n*gram - s_i*s_j on the combined totals (int64 safe while
+    n * dim-scaled gram < 2^63, ~1e8 rows at scale 1024 — promote to the
+    SQL twin's HUGEINT beyond). Quantization = stages/kmeans.quantize, so
+    the oracle is bit-exact. Returns (dim_i, dim_j, n, gram, cov_num) for
+    i <= j."""
+    from medical_ocr_service_ray.stages.ann import _stack_embeddings
+    from medical_ocr_service_ray.stages.kmeans import quantize
+
+    ds = _emb_dataset(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = quantize(_stack_embeddings(batch))
+        d = v.shape[1]
+        gram = v.T @ v  # (d, d) int64, exact
+        s = v.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "dim_i": pa.array(iu + 1, pa.int64()),
+                "dim_j": pa.array(ju + 1, pa.int64()),
+                "n": pa.array(np.full(iu.size, v.shape[0]), pa.int64()),
+                "gram": pa.array(gram[iu, ju], pa.int64()),
+                "sxi": pa.array(s[iu], pa.int64()),
+                "sxj": pa.array(s[ju], pa.int64()),
+            }
+        )
+
+    cells = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = cells.groupby(["dim_i", "dim_j"], as_index=False).sum()
+    return pd.DataFrame(
+        {
+            "dim_i": g.dim_i.astype("int64"),
+            "dim_j": g.dim_j.astype("int64"),
+            "n": g.n.astype("int64"),
+            "gram": g.gram.astype("int64"),
+            "cov_num": (g.n * g.gram - g.sxi * g.sxj).astype("int64"),
+        }
+    ).sort_values(["dim_i", "dim_j"]).reset_index(drop=True)
+
+
+_Q162_SQL = """
+WITH q AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(floor(x * 1024 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+), cells AS (
+  SELECT i.i AS dim_i, j.j AS dim_j,
+         q.v[i.i] AS xi, q.v[j.j] AS xj
+  FROM q,
+       UNNEST(generate_series(1, 64)) AS i(i),
+       UNNEST(generate_series(1, 64)) AS j(j)
+  WHERE j.j >= i.i
+)
+SELECT dim_i, dim_j, COUNT(*)::BIGINT AS n,
+       SUM(xi * xj)::BIGINT AS gram,
+       (COUNT(*) * SUM(xi * xj) - SUM(xi) * SUM(xj))::BIGINT AS cov_num
+FROM cells GROUP BY dim_i, dim_j
+ORDER BY dim_i, dim_j
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -10961,6 +11030,7 @@ QUERIES = {
     "q159_semantic_dedup_multiprobe": q159_semantic_dedup_multiprobe,
     "q160_daily_token_drift": q160_daily_token_drift,
     "q161_emd_value_drift": q161_emd_value_drift,
+    "q162_embedding_covariance": q162_embedding_covariance,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -11008,6 +11078,7 @@ DRIVER_PRIORITY = [
     "q159_semantic_dedup_multiprobe",
     "q160_daily_token_drift",
     "q161_emd_value_drift",
+    "q162_embedding_covariance",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -11217,6 +11288,7 @@ ORACLE_SQL = {
     "q159_semantic_dedup_multiprobe": _Q159_SQL,
     "q160_daily_token_drift": _Q160_SQL,
     "q161_emd_value_drift": _Q161_SQL,
+    "q162_embedding_covariance": _Q162_SQL,
     # Remaining no-oracle entry (driver falls back to rows-only + pytest):
     # q58 (SpaceSaving approximate heavy hitters — its exact counterpart
     # q129 is SQL-oracled with the guarantee condition asserted).

@@ -111,6 +111,7 @@ GATED = [
     "q159_semantic_dedup_multiprobe",
     "q160_daily_token_drift",
     "q161_emd_value_drift",
+    "q162_embedding_covariance",
 ]
 
 
