@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "q160_daily_token_drift",
     "q161_emd_value_drift",
     "q162_embedding_covariance",
+    "q163_label_propagation",
 ]
 
 

@@ -10866,6 +10866,77 @@ ORDER BY dim_i, dim_j
 """
 
 
+# -------------------------------------------------------------------- q163
+
+def q163_label_propagation(sf_dir: str):
+    """Community detection by SYNCHRONOUS label propagation (3 rounds) over
+    the co-purchase graph (q81's capped edge set, both directions) — the
+    clustering complement to PageRank/CC on the same TASK MESH
+    (stages/pagerank.py:label_propagation_mesh): adjacency CSR-partitioned
+    once, each round is num_buckets raw tasks exchanging pre-reduced
+    (dst, label, count) cells. Majority vote, ties -> lowest label,
+    strictly synchronous — so the unrolled 3-round SQL CTE chain rebuilds
+    every round bit-for-bit. Returns (partkey, community) per graph node
+    as a Dataset."""
+    from medical_ocr_service_ray.stages.pagerank import label_propagation_mesh
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def edges_per_order(df: pd.DataFrame) -> pd.DataFrame:
+        df = _drop_mega_baskets(df, "q163")
+        m = df.merge(df, on="l_orderkey")
+        m = m[m.l_partkey_x != m.l_partkey_y]
+        return m[["l_partkey_x", "l_partkey_y"]].drop_duplicates().rename(
+            columns={"l_partkey_x": "src", "l_partkey_y": "dst"}
+        )
+
+    edge_partials = bucketed_combine(ds, "l_orderkey", edges_per_order, num_buckets=32)
+    com = label_propagation_mesh(edge_partials, rounds=3, num_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={"node": "partkey"})
+        out["community"] = out.community.astype("int64")
+        return out[["partkey", "community"]]
+
+    return com.map_batches(finish, batch_format="pandas")
+
+
+def _q163_sql(rounds: int = 3) -> str:
+    """q81's capped edge CTE + unrolled synchronous majority rounds: every
+    round, node label = argmax neighbor-label count (ties -> lowest label)
+    over the PREVIOUS round's labels."""
+    parts = [
+        """WITH ok AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING COUNT(*) <= 1000
+), e AS (
+  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+  WHERE l1.l_orderkey IN (SELECT l_orderkey FROM ok)
+), l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", r{i} AS (
+  SELECT e.dst AS node, l.lab, COUNT(*)::BIGINT AS c
+  FROM e JOIN l{i - 1} l ON l.node = e.src GROUP BY 1, 2
+), l{i} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM r{i}) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS partkey, lab::BIGINT AS community FROM l{rounds} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+_Q163_SQL = _q163_sql()
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -11031,6 +11102,7 @@ QUERIES = {
     "q160_daily_token_drift": q160_daily_token_drift,
     "q161_emd_value_drift": q161_emd_value_drift,
     "q162_embedding_covariance": q162_embedding_covariance,
+    "q163_label_propagation": q163_label_propagation,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -11079,6 +11151,7 @@ DRIVER_PRIORITY = [
     "q160_daily_token_drift",
     "q161_emd_value_drift",
     "q162_embedding_covariance",
+    "q163_label_propagation",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -11289,6 +11362,7 @@ ORACLE_SQL = {
     "q160_daily_token_drift": _Q160_SQL,
     "q161_emd_value_drift": _Q161_SQL,
     "q162_embedding_covariance": _Q162_SQL,
+    "q163_label_propagation": _Q163_SQL,
     # Remaining no-oracle entry (driver falls back to rows-only + pytest):
     # q58 (SpaceSaving approximate heavy hitters — its exact counterpart
     # q129 is SQL-oracled with the guarantee condition asserted).

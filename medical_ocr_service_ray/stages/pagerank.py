@@ -373,3 +373,120 @@ def bfs_hops_mesh(
             )
         )
     return out
+
+
+# ------------------------------------------------- label propagation (LPA)
+
+def _lpa_slices(lab: "np.ndarray", indptr: "np.ndarray", neigh: "np.ndarray", nb: int) -> list:
+    """Outgoing label messages, pre-reduced to (dst, label, count) cells and
+    pre-sliced by destination bucket (dst % nb — the mesh routing
+    invariant). Cell count per bucket-pair is bounded by distinct
+    (dst, label), which shrinks as communities converge."""
+    import pandas as pd
+
+    deg = np.diff(indptr)
+    df = pd.DataFrame({"d": neigh, "l": np.repeat(lab, deg)})
+    g = df.groupby(["d", "l"], as_index=False).size()
+    d = g.d.to_numpy().astype("int64")
+    l = g.l.to_numpy().astype("int64")
+    c = g["size"].to_numpy().astype("int64")
+    gb = d % nb
+    out = []
+    for b2 in range(nb):
+        m = gb == b2
+        out.append({"d": d[m], "l": l[m], "c": c[m]})
+    return out
+
+
+@ray.remote
+def _lpa_seed(adj: dict, nb: int):
+    """Labels start as node ids; emit the first round's message slices."""
+    lab = adj["nodes"].copy()
+    return (lab, *_lpa_slices(lab, adj["indptr"], adj["neigh"], nb))
+
+
+@ray.remote
+def _lpa_round(adj: dict, lab_old: "np.ndarray", nb: int, last: bool, *slices: dict):
+    """SYNCHRONOUS majority round: merge incoming (node, label, count)
+    cells (all derived from every bucket's OLD labels), new label = argmax
+    count with ties -> min label; a node with no messages keeps its label
+    (cannot happen on a both-directions edge set, kept for safety). Emits
+    the next round's slices from the NEW labels (none on the last round)."""
+    import pandas as pd
+
+    nodes = adj["nodes"]
+    d = np.concatenate([s["d"] for s in slices]) if slices else np.empty(0, "int64")
+    new_lab = lab_old.copy()
+    if d.size:
+        df = pd.DataFrame(
+            {
+                "d": d,
+                "l": np.concatenate([s["l"] for s in slices]),
+                "c": np.concatenate([s["c"] for s in slices]),
+            }
+        )
+        g = df.groupby(["d", "l"], as_index=False)["c"].sum()
+        g = g.sort_values(["d", "c", "l"], ascending=[True, False, True])
+        win = g.drop_duplicates("d")
+        pos = np.searchsorted(nodes, win.d.to_numpy())
+        ok = (pos < len(nodes)) & (nodes[np.minimum(pos, len(nodes) - 1)] == win.d.to_numpy())
+        new_lab[pos[ok]] = win.l.to_numpy()[ok]
+    if last:
+        empty = {"d": np.empty(0, "int64"), "l": np.empty(0, "int64"), "c": np.empty(0, "int64")}
+        return (new_lab, *[empty] * nb)
+    return (new_lab, *_lpa_slices(new_lab, adj["indptr"], adj["neigh"], nb))
+
+
+@ray.remote
+def _lpa_finalize(adj: dict, lab: "np.ndarray") -> "pa.Table":
+    return pa.table(
+        {
+            "node": pa.array(adj["nodes"], pa.int64()),
+            "community": pa.array(lab.astype("int64"), pa.int64()),
+        }
+    )
+
+
+def label_propagation_mesh(
+    edges: "rd.Dataset", rounds: int = 3, num_buckets: int = 16
+) -> "rd.Dataset":
+    """Synchronous label-propagation community detection on the task mesh
+    (the §23/§24 pattern, majority vote instead of PageRank's sum / CC's
+    min): adjacency CSR-partitioned ONCE (the only Dataset exchange), then
+    ``rounds`` waves of ``num_buckets`` raw tasks exchanging pre-reduced
+    (dst, label, count) cells sliced per destination bucket. Deterministic:
+    ties break to the LOWEST label, updates are strictly synchronous, so an
+    unrolled SQL CTE chain reproduces every round bit-for-bit (q163's
+    oracle). Returns (node, community) — community = the surviving label."""
+    stash = _EdgeStash.remote()
+    nb = num_buckets
+    adj_refs = csr_partition(edges, nb, stash)
+    buckets = sorted(adj_refs)
+    if not buckets:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "community": pa.array([], pa.int64()),
+                }
+            )
+        )
+    seed = {
+        b: _lpa_seed.options(num_returns=nb + 1).remote(adj_refs[b], nb)
+        for b in buckets
+    }
+    labels = {b: seed[b][0] for b in buckets}
+    slices = {b: seed[b][1:] for b in buckets}
+    for r in range(rounds):
+        last = r == rounds - 1
+        nxt = {
+            b: _lpa_round.options(num_returns=nb + 1).remote(
+                adj_refs[b], labels[b], nb, last, *[slices[sb][b] for sb in buckets]
+            )
+            for b in buckets
+        }
+        labels = {b: nxt[b][0] for b in buckets}
+        slices = {b: list(nxt[b][1:]) for b in buckets}
+    final_refs = [_lpa_finalize.remote(adj_refs[b], labels[b]) for b in buckets]
+    ray.wait(final_refs, num_returns=len(final_refs))
+    return rd.from_arrow_refs(final_refs)

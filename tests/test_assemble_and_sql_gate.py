@@ -112,6 +112,7 @@ GATED = [
     "q160_daily_token_drift",
     "q161_emd_value_drift",
     "q162_embedding_covariance",
+    "q163_label_propagation",
 ]
 
 

@@ -347,3 +347,31 @@ class TestSemanticDedupMultiprobe:
         assert len(mp) >= len(sp)
         # distinctness: the two-cluster co-membership path must not emit dupes
         assert len(multi) == len(mp)
+
+
+class TestLabelPropagationMesh:
+    def test_two_cliques_converge_to_two_communities(self, ray_session):
+        """Planted structure: two 6-cliques joined by ONE bridge edge must
+        settle into exactly two communities labeled by each clique's min
+        node; 3 synchronous rounds suffice at diameter 1."""
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.pagerank import label_propagation_mesh
+
+        a = list(range(0, 6))
+        b = list(range(100, 106))
+        rows = []
+        for grp in (a, b):
+            for x in grp:
+                for y in grp:
+                    if x != y:
+                        rows.append({"src": x, "dst": y})
+        rows += [{"src": 5, "dst": 100}, {"src": 100, "dst": 5}]
+        out = (
+            label_propagation_mesh(rd.from_items(rows), rounds=3, num_buckets=4)
+            .to_pandas()
+            .sort_values("node")
+        )
+        com = dict(zip(out.node, out.community))
+        assert all(com[x] == 0 for x in a)
+        assert all(com[x] == 100 for x in b)
