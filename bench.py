@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "q161_emd_value_drift",
     "q162_embedding_covariance",
     "q163_label_propagation",
+    "q164_random_walks",
 ]
 
 

@@ -10937,6 +10937,69 @@ SELECT node AS partkey, lab::BIGINT AS community FROM l{rounds} ORDER BY node"""
 _Q163_SQL = _q163_sql()
 
 
+# -------------------------------------------------------------------- q164
+
+def q164_random_walks(sf_dir: str):
+    """Fixed-length (3-step) deterministic random walks from every node of
+    the co-purchase graph — the corpus-prep step of node2vec/DeepWalk
+    graph embeddings, made hash-deterministic
+    (stages/pagerank.py:random_walks_mesh) so the unrolled SQL chain
+    replays every step: next = neighbors-sorted-by-dst[(cur*48271 +
+    step*12345) % (2^31-1) % deg]. Adjacency partitioned once; each step
+    is num_buckets raw tasks re-routing (start, cur) walker pairs — walker
+    traffic is O(nodes) per step, never O(edges). Returns
+    (start_node, end_node)."""
+    from medical_ocr_service_ray.stages.pagerank import random_walks_mesh
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def edges_per_order(df: pd.DataFrame) -> pd.DataFrame:
+        df = _drop_mega_baskets(df, "q164")
+        m = df.merge(df, on="l_orderkey")
+        m = m[m.l_partkey_x != m.l_partkey_y]
+        return m[["l_partkey_x", "l_partkey_y"]].drop_duplicates().rename(
+            columns={"l_partkey_x": "src", "l_partkey_y": "dst"}
+        )
+
+    edge_partials = bucketed_combine(ds, "l_orderkey", edges_per_order, num_buckets=32)
+    return random_walks_mesh(edge_partials, length=3, num_buckets=16)
+
+
+def _q164_sql(length: int = 3) -> str:
+    parts = [
+        """WITH ok AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING COUNT(*) <= 1000
+), e AS (
+  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+  WHERE l1.l_orderkey IN (SELECT l_orderkey FROM ok)
+), adj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY src) AS d
+  FROM e
+), w0 AS (SELECT DISTINCT src AS start, src AS cur FROM e)"""
+    ]
+    for i in range(1, length + 1):
+        parts.append(
+            f""", w{i} AS (
+  SELECT w.start, a.dst AS cur
+  FROM w{i - 1} w JOIN adj a
+    ON a.src = w.cur
+   AND a.idx = (((w.cur % 2147483647) * 48271 + {i} * 12345) % 2147483647) % a.d
+)"""
+        )
+    parts.append(
+        f"""
+SELECT start AS start_node, cur AS end_node FROM w{length} ORDER BY start"""
+    )
+    return "".join(parts)
+
+
+_Q164_SQL = _q164_sql()
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -11103,6 +11166,7 @@ QUERIES = {
     "q161_emd_value_drift": q161_emd_value_drift,
     "q162_embedding_covariance": q162_embedding_covariance,
     "q163_label_propagation": q163_label_propagation,
+    "q164_random_walks": q164_random_walks,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -11152,6 +11216,7 @@ DRIVER_PRIORITY = [
     "q161_emd_value_drift",
     "q162_embedding_covariance",
     "q163_label_propagation",
+    "q164_random_walks",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -11363,6 +11428,7 @@ ORACLE_SQL = {
     "q161_emd_value_drift": _Q161_SQL,
     "q162_embedding_covariance": _Q162_SQL,
     "q163_label_propagation": _Q163_SQL,
+    "q164_random_walks": _Q164_SQL,
     # Remaining no-oracle entry (driver falls back to rows-only + pytest):
     # q58 (SpaceSaving approximate heavy hitters — its exact counterpart
     # q129 is SQL-oracled with the guarantee condition asserted).

@@ -490,3 +490,107 @@ def label_propagation_mesh(
     final_refs = [_lpa_finalize.remote(adj_refs[b], labels[b]) for b in buckets]
     ray.wait(final_refs, num_returns=len(final_refs))
     return rd.from_arrow_refs(final_refs)
+
+
+# --------------------------------------------------- deterministic walks
+
+_WALK_M = 2147483647  # 2^31 - 1: (cur % M) * 48271 stays < 2^62, int64-safe
+
+
+@ray.remote
+def _walk_sorted_adj(adj: dict) -> dict:
+    """One-time per-bucket transform: sort each node's neighbor slice by
+    dst so ``neigh[indptr[p] + h % deg]`` is a DETERMINISTIC pick that SQL
+    reproduces with row_number() OVER (PARTITION BY src ORDER BY dst)."""
+    src_rep = np.repeat(adj["nodes"], np.diff(adj["indptr"]))
+    order = np.lexsort((adj["neigh"], src_rep))
+    return {
+        "nodes": adj["nodes"],
+        "indptr": adj["indptr"],
+        "neigh": adj["neigh"][order],
+    }
+
+
+def _walk_slices(start: "np.ndarray", cur: "np.ndarray", nb: int) -> list:
+    gb = cur % nb
+    return [
+        {"s": start[gb == b2], "c": cur[gb == b2]} for b2 in range(nb)
+    ]
+
+
+@ray.remote
+def _walk_seed(adj: dict, nb: int):
+    """Every graph node starts one walker at itself."""
+    nodes = adj["nodes"]
+    return tuple(_walk_slices(nodes, nodes.copy(), nb))
+
+
+@ray.remote
+def _walk_round(adj: dict, step: int, nb: int, last: bool, *slices: dict):
+    """Advance every walker currently AT a node this bucket owns:
+    next = sorted_neigh[ (cur*48271 + step*12345) % M % deg ]. Walkers
+    re-route to their new node's bucket; on the last step they are
+    returned as (start, end) pairs instead."""
+    start = np.concatenate([s["s"] for s in slices]) if slices else np.empty(0, "int64")
+    cur = np.concatenate([s["c"] for s in slices]) if slices else np.empty(0, "int64")
+    nodes, indptr, neigh = adj["nodes"], adj["indptr"], adj["neigh"]
+    pos = np.searchsorted(nodes, cur)
+    deg = indptr[pos + 1] - indptr[pos]
+    h = (cur % _WALK_M) * 48271 + step * 12345
+    idx = (h % _WALK_M) % deg
+    nxt = neigh[indptr[pos] + idx]
+    if last:
+        done = pa.table(
+            {
+                "start_node": pa.array(start, pa.int64()),
+                "end_node": pa.array(nxt.astype("int64"), pa.int64()),
+            }
+        )
+        empty = {"s": np.empty(0, "int64"), "c": np.empty(0, "int64")}
+        return (done, *[empty] * nb)
+    return (None, *_walk_slices(start, nxt.astype("int64"), nb))
+
+
+def random_walks_mesh(
+    edges: "rd.Dataset", length: int = 3, num_buckets: int = 16
+) -> "rd.Dataset":
+    """Deterministic fixed-length random walks from EVERY node (the
+    corpus-prep step of node2vec/DeepWalk-style graph embeddings, made
+    hash-deterministic so a SQL oracle can replay each step): adjacency
+    CSR-partitioned once with per-node neighbor lists SORTED (one extra
+    per-bucket task), then ``length`` mesh rounds where each walker picks
+    sorted_neigh[(cur*48271 + step*12345) % (2^31-1) % deg] and re-routes
+    to the new node's bucket. Returns (start_node, end_node)."""
+    stash = _EdgeStash.remote()
+    nb = num_buckets
+    adj_refs = csr_partition(edges, nb, stash)
+    buckets = sorted(adj_refs)
+    if not buckets:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "start_node": pa.array([], pa.int64()),
+                    "end_node": pa.array([], pa.int64()),
+                }
+            )
+        )
+    sorted_refs = {b: _walk_sorted_adj.remote(adj_refs[b]) for b in buckets}
+    seed = {
+        b: _walk_seed.options(num_returns=nb).remote(sorted_refs[b], nb)
+        for b in buckets
+    }
+    slices = {b: list(seed[b]) for b in buckets}
+    done_refs = []
+    for step in range(1, length + 1):
+        last = step == length
+        nxt = {
+            b: _walk_round.options(num_returns=nb + 1).remote(
+                sorted_refs[b], step, nb, last, *[slices[sb][b] for sb in buckets]
+            )
+            for b in buckets
+        }
+        slices = {b: list(nxt[b][1:]) for b in buckets}
+        if last:
+            done_refs = [nxt[b][0] for b in buckets]
+    ray.wait(done_refs, num_returns=len(done_refs))
+    return rd.from_arrow_refs(done_refs)

@@ -113,6 +113,7 @@ GATED = [
     "q161_emd_value_drift",
     "q162_embedding_covariance",
     "q163_label_propagation",
+    "q164_random_walks",
 ]
 
 

@@ -375,3 +375,34 @@ class TestLabelPropagationMesh:
         com = dict(zip(out.node, out.community))
         assert all(com[x] == 0 for x in a)
         assert all(com[x] == 100 for x in b)
+
+
+class TestRandomWalksMesh:
+    def test_walks_follow_the_hash_rule_on_a_known_graph(self, ray_session):
+        """Tiny cycle graph: replay the hash rule in plain Python and
+        demand bit-equality with the mesh."""
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.pagerank import random_walks_mesh
+
+        n = 7
+        rows = []
+        for v in range(n):
+            for u in ((v + 1) % n, (v - 1) % n):
+                rows.append({"src": v, "dst": u})
+        out = (
+            random_walks_mesh(rd.from_items(rows), length=3, num_buckets=4)
+            .to_pandas()
+            .sort_values("start_node")
+        )
+        M = 2147483647
+        adj = {v: sorted(((v + 1) % n, (v - 1) % n)) for v in range(n)}
+        exp = {}
+        for v in range(n):
+            cur = v
+            for step in (1, 2, 3):
+                nb = adj[cur]
+                cur = nb[(((cur % M) * 48271 + step * 12345) % M) % len(nb)]
+            exp[v] = cur
+        got = dict(zip(out.start_node, out.end_node))
+        assert got == exp
