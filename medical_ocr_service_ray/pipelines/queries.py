@@ -11000,6 +11000,211 @@ SELECT start AS start_node, cur AS end_node FROM w{length} ORDER BY start"""
 _Q164_SQL = _q164_sql()
 
 
+# -------------------------------------------------------------------- q165
+
+def q165_chi2_contingency(sf_dir: str):
+    """Association test between event_type and value QUARTILE — the
+    data-quality screen for "is this feature independent of the label".
+    Exact integers end to end: quartile boundaries via the shared
+    equi-depth machinery (O(n_bins) state), then ONE bounded contingency
+    pass (types x 4 cells to the driver, q135's precedent). The statistic
+    is the per-cell floored chi-square term chi2_x1e6 =
+    Σ 1e6·(n·O − R·C)² // (n·R·C) — floors are applied PER CELL in both
+    shapes, so the SQL mirror is bit-exact (sum-of-floors is the defined
+    metric, disclosed). Returns one row per event_type with its cell-sum
+    plus the global statistic repeated (bounded rows)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents_of(df: pd.DataFrame) -> np.ndarray:
+        return _cents(df.value).to_numpy()
+
+    boundaries = _equidepth_boundaries(ds, cents_of, 4, pshift=8)
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.searchsorted(boundaries, cents_of(df), side="right").astype("int64")
+        return (
+            pd.DataFrame({"event_type": df.event_type, "bin": b})
+            .groupby(["event_type", "bin"], as_index=False)
+            .size()
+            .rename(columns={"size": "o"})
+        )
+
+    cells = driver_combine(
+        ds,
+        cell_partial,
+        lambda df: df.groupby(["event_type", "bin"], as_index=False)["o"].sum(),
+    )
+    n = int(cells.o.sum())
+    rsum = cells.groupby("event_type")["o"].sum().to_dict()
+    csum = cells.groupby("bin")["o"].sum().to_dict()
+    per_type: dict[str, int] = {}
+    for _, row in cells.iterrows():
+        r, c, o = int(rsum[row.event_type]), int(csum[row.bin]), int(row.o)
+        term = (1_000_000 * (n * o - r * c) ** 2) // (n * r * c)
+        per_type[row.event_type] = per_type.get(row.event_type, 0) + term
+    total = sum(per_type.values())
+    types = sorted(per_type)
+    return pd.DataFrame(
+        {
+            "event_type": types,
+            "chi2_part_x1e6": pd.array([per_type[t] for t in types], "int64"),
+            "chi2_total_x1e6": pd.array([total] * len(types), "int64"),
+        }
+    )
+
+
+_Q165_SQL = """
+WITH f AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), h AS (
+  SELECT cents, COUNT(*)::BIGINT AS c FROM f GROUP BY 1
+), cum AS (SELECT cents, SUM(c) OVER (ORDER BY cents) AS cum FROM h),
+n0 AS (SELECT SUM(c) AS n FROM h),
+t AS (
+  SELECT r, (r * (SELECT n FROM n0) + 3) // 4 + 1 AS thresh
+  FROM (SELECT CAST(range AS BIGINT) AS r FROM range(1, 4))
+  WHERE (r * (SELECT n FROM n0) + 3) // 4 + 1 <= (SELECT n FROM n0)
+), b AS (
+  SELECT t.r, MIN(cum.cents) AS bval FROM cum, t WHERE cum.cum >= t.thresh GROUP BY t.r
+), cells AS (
+  SELECT event_type,
+         (SELECT COUNT(*) FROM b WHERE b.bval <= f.cents) AS bin,
+         COUNT(*)::HUGEINT AS o
+  FROM f GROUP BY 1, 2
+), tot AS (SELECT SUM(o)::HUGEINT AS n FROM cells),
+rs AS (SELECT event_type, SUM(o)::HUGEINT AS r FROM cells GROUP BY 1),
+cs AS (SELECT bin, SUM(o)::HUGEINT AS c FROM cells GROUP BY 1),
+terms AS (
+  SELECT cells.event_type,
+         (1000000 * (tot.n * cells.o - rs.r * cs.c) * (tot.n * cells.o - rs.r * cs.c)
+          // (tot.n * rs.r * cs.c)) AS term
+  FROM cells JOIN rs USING (event_type) JOIN cs USING (bin) CROSS JOIN tot
+), per_t AS (
+  SELECT event_type, SUM(term)::BIGINT AS chi2_part_x1e6 FROM terms GROUP BY 1
+)
+SELECT event_type, chi2_part_x1e6,
+       (SELECT SUM(chi2_part_x1e6) FROM per_t)::BIGINT AS chi2_total_x1e6
+FROM per_t ORDER BY event_type
+"""
+
+
+# -------------------------------------------------------------------- q166
+
+def q166_markov_backtest(sf_dir: str):
+    """Train/serve split for a first-order next-event model: transition
+    counts learned on the first 15 days (consecutive same-user event
+    pairs, both in-train), prediction = argmax next (ties -> lexicographic),
+    accuracy measured on the eval period's pairs (both in-eval; boundary
+    straddlers dropped in both shapes) — the backtest-shaped pipeline every
+    behavioral model ships with. ONE user-keyed exchange: in-bucket each
+    user's events sort by (ts, event_id), consecutive pairs tag their
+    period, and (prev, next, is_train) COUNT partials are bounded by
+    types^2 x 2 — the driver fits the tiny model and scores the tiny eval
+    matrix. Returns per prev-type (prev_type, predicted, n_eval, n_hits,
+    acc_x1e6)."""
+    from medical_ocr_service_ray.stages.aggregate import (
+        compute_num_buckets,
+        dataset_input_bytes,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    nb = compute_num_buckets(dataset_input_bytes(ds))
+    SPLIT_DAY = 15
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"])
+        same = d.user_id.to_numpy()[1:] == d.user_id.to_numpy()[:-1]
+        day = _day_index(d.ts)
+        tr = (day[:-1] < SPLIT_DAY) & (day[1:] < SPLIT_DAY) & same
+        ev = (day[:-1] >= SPLIT_DAY) & (day[1:] >= SPLIT_DAY) & same
+        et = d.event_type.to_numpy()
+        out = pd.DataFrame(
+            {
+                "prev": np.concatenate([et[:-1][tr], et[:-1][ev]]),
+                "nxt": np.concatenate([et[1:][tr], et[1:][ev]]),
+                "is_train": np.concatenate(
+                    [np.ones(int(tr.sum()), "int64"), np.zeros(int(ev.sum()), "int64")]
+                ),
+            }
+        )
+        return out.groupby(["prev", "nxt", "is_train"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    cells = (
+        partial_then_combine(
+            ds,
+            lambda df: df,  # raw rows must co-locate per user before pairing
+            "user_id",
+            pair_bucket,
+            num_buckets=nb,
+        )
+        .to_pandas()
+        .groupby(["prev", "nxt", "is_train"], as_index=False)["n"]
+        .sum()
+    )
+    train = cells[cells.is_train == 1].sort_values(
+        ["prev", "n", "nxt"], ascending=[True, False, True]
+    )
+    pred = dict(zip(train.drop_duplicates("prev").prev, train.drop_duplicates("prev").nxt))
+    ev = cells[cells.is_train == 0]
+    rows = []
+    for prev, grp in ev.groupby("prev"):
+        if prev not in pred:
+            continue  # unseen in training: no prediction to score (SQL inner join)
+        n_eval = int(grp.n.sum())
+        n_hits = int(grp[grp.nxt == pred[prev]].n.sum())
+        rows.append((prev, pred[prev], n_eval, n_hits, (1_000_000 * n_hits) // n_eval))
+    rows.sort()
+    return pd.DataFrame(
+        {
+            "prev_type": [r[0] for r in rows],
+            "predicted": [r[1] for r in rows],
+            "n_eval": pd.array([r[2] for r in rows], "int64"),
+            "n_hits": pd.array([r[3] for r in rows], "int64"),
+            "acc_x1e6": pd.array([r[4] for r in rows], "int64"),
+        }
+    )
+
+
+_Q166_SQL = """
+WITH seq AS (
+  SELECT event_type AS prev,
+         lead(event_type) OVER w AS nxt,
+         lead(user_id) OVER w AS next_user,
+         user_id,
+         CAST(floor(epoch_us(ts - TIMESTAMP '2024-01-01') / 86400000000.0)
+              AS BIGINT) AS day,
+         lead(CAST(floor(epoch_us(ts - TIMESTAMP '2024-01-01') / 86400000000.0)
+              AS BIGINT)) OVER w AS next_day
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), pairs AS (
+  SELECT prev, nxt,
+         CASE WHEN day < 15 AND next_day < 15 THEN 1
+              WHEN day >= 15 AND next_day >= 15 THEN 0 END AS is_train
+  FROM seq WHERE nxt IS NOT NULL AND next_user = user_id
+), cells AS (
+  SELECT prev, nxt, is_train, COUNT(*)::BIGINT AS n
+  FROM pairs WHERE is_train IS NOT NULL GROUP BY 1, 2, 3
+), model AS (
+  SELECT prev, nxt AS predicted FROM (
+    SELECT prev, nxt,
+           row_number() OVER (PARTITION BY prev ORDER BY n DESC, nxt) AS rn
+    FROM cells WHERE is_train = 1) WHERE rn = 1
+), ev AS (
+  SELECT prev, SUM(n)::BIGINT AS n_eval,
+         SUM(CASE WHEN nxt = m.predicted THEN n ELSE 0 END)::BIGINT AS n_hits
+  FROM cells JOIN model m USING (prev)
+  WHERE is_train = 0 GROUP BY prev, m.predicted
+)
+SELECT ev.prev AS prev_type, m.predicted, ev.n_eval, ev.n_hits,
+       (1000000 * ev.n_hits // ev.n_eval)::BIGINT AS acc_x1e6
+FROM ev JOIN model m ON m.prev = ev.prev
+ORDER BY prev_type
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -11167,6 +11372,8 @@ QUERIES = {
     "q162_embedding_covariance": q162_embedding_covariance,
     "q163_label_propagation": q163_label_propagation,
     "q164_random_walks": q164_random_walks,
+    "q165_chi2_contingency": q165_chi2_contingency,
+    "q166_markov_backtest": q166_markov_backtest,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -11217,6 +11424,8 @@ DRIVER_PRIORITY = [
     "q162_embedding_covariance",
     "q163_label_propagation",
     "q164_random_walks",
+    "q165_chi2_contingency",
+    "q166_markov_backtest",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -11429,6 +11638,8 @@ ORACLE_SQL = {
     "q162_embedding_covariance": _Q162_SQL,
     "q163_label_propagation": _Q163_SQL,
     "q164_random_walks": _Q164_SQL,
+    "q165_chi2_contingency": _Q165_SQL,
+    "q166_markov_backtest": _Q166_SQL,
     # Remaining no-oracle entry (driver falls back to rows-only + pytest):
     # q58 (SpaceSaving approximate heavy hitters — its exact counterpart
     # q129 is SQL-oracled with the guarantee condition asserted).

@@ -114,6 +114,8 @@ GATED = [
     "q162_embedding_covariance",
     "q163_label_propagation",
     "q164_random_walks",
+    "q165_chi2_contingency",
+    "q166_markov_backtest",
 ]
 
 
