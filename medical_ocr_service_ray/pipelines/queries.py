@@ -11205,6 +11205,92 @@ ORDER BY prev_type
 """
 
 
+# -------------------------------------------------------------------- q167
+
+def q167_interval_overlap_join(sf_dir: str):
+    """Interval-OVERLAP join (range x range) — the join type q61 (point in
+    range) and q62 (band) don't cover: per user, every click interval
+    [ts, ts + value MINUTES) paired with every OVERLAPPING error interval
+    (a.s < b.e AND b.s < a.e, strict), reporting the overlap length —
+    "did a browsing session overlap an incident window". ONE user-keyed
+    exchange; in-bucket the two sides merge per user (pair work is
+    Σ|A_u|·|B_u| per user — bounded by per-user activity, the q113/q124
+    partitioning assumption; a pathological user would need q91-style
+    salting). Integer epoch-microseconds end to end. Returns
+    (user_id, click_id, error_id, overlap_us)."""
+    from medical_ocr_service_ray.stages.aggregate import (
+        compute_num_buckets,
+        dataset_input_bytes,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"])
+    nb = compute_num_buckets(dataset_input_bytes(ds), per_bucket_bytes=256 << 20)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df.event_type.isin(("click", "error"))]
+        s = d.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        dur = np.maximum(np.rint(d.value.to_numpy() * 60_000_000).astype("int64"), 1)
+        return pd.DataFrame(
+            {
+                "user_id": d.user_id.to_numpy(),
+                "event_id": d.event_id.to_numpy(),
+                "side": (d.event_type.to_numpy() == "error").astype("int8"),
+                "s": s,
+                "e": s + dur,
+            }
+        )
+
+    def overlap_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df.side == 0]
+        b = df[df.side == 1]
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "click_id": pd.Series(dtype="int64"),
+                "error_id": pd.Series(dtype="int64"),
+                "overlap_us": pd.Series(dtype="int64"),
+            }
+        )
+        if a.empty or b.empty:
+            return empty
+        m = a.merge(b, on="user_id", suffixes=("_a", "_b"))
+        if m.empty:
+            return empty
+        keep = (m.s_a < m.e_b) & (m.s_b < m.e_a)
+        m = m[keep]
+        return pd.DataFrame(
+            {
+                "user_id": m.user_id.to_numpy().astype("int64"),
+                "click_id": m.event_id_a.to_numpy().astype("int64"),
+                "error_id": m.event_id_b.to_numpy().astype("int64"),
+                "overlap_us": (
+                    np.minimum(m.e_a.to_numpy(), m.e_b.to_numpy())
+                    - np.maximum(m.s_a.to_numpy(), m.s_b.to_numpy())
+                ).astype("int64"),
+            }
+        )
+
+    return partial_then_combine(ds, emit, "user_id", overlap_bucket, num_buckets=nb)
+
+
+_Q167_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts)::BIGINT AS s,
+         epoch_us(ts)::BIGINT
+           + greatest(CAST(round(value * 60000000) AS BIGINT), 1) AS e
+  FROM events WHERE event_type IN ('click', 'error')
+)
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS error_id,
+       (least(a.e, b.e) - greatest(a.s, b.s))::BIGINT AS overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'error'
+ AND a.s < b.e AND b.s < a.e
+ORDER BY a.user_id, click_id, error_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -11374,6 +11460,7 @@ QUERIES = {
     "q164_random_walks": q164_random_walks,
     "q165_chi2_contingency": q165_chi2_contingency,
     "q166_markov_backtest": q166_markov_backtest,
+    "q167_interval_overlap_join": q167_interval_overlap_join,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -11426,6 +11513,7 @@ DRIVER_PRIORITY = [
     "q164_random_walks",
     "q165_chi2_contingency",
     "q166_markov_backtest",
+    "q167_interval_overlap_join",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -11640,6 +11728,7 @@ ORACLE_SQL = {
     "q164_random_walks": _Q164_SQL,
     "q165_chi2_contingency": _Q165_SQL,
     "q166_markov_backtest": _Q166_SQL,
+    "q167_interval_overlap_join": _Q167_SQL,
     # Remaining no-oracle entry (driver falls back to rows-only + pytest):
     # q58 (SpaceSaving approximate heavy hitters — its exact counterpart
     # q129 is SQL-oracled with the guarantee condition asserted).

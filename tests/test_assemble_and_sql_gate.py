@@ -116,6 +116,7 @@ GATED = [
     "q164_random_walks",
     "q165_chi2_contingency",
     "q166_markov_backtest",
+    "q167_interval_overlap_join",
 ]
 
 
