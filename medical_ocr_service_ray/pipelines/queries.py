@@ -11132,13 +11132,7 @@ def q166_markov_backtest(sf_dir: str):
         )
 
     cells = (
-        partial_then_combine(
-            ds,
-            lambda df: df,  # raw rows must co-locate per user before pairing
-            "user_id",
-            pair_bucket,
-            num_buckets=nb,
-        )
+        bucketed_combine(ds, "user_id", pair_bucket, num_buckets=nb)
         .to_pandas()
         .groupby(["prev", "nxt", "is_train"], as_index=False)["n"]
         .sum()
