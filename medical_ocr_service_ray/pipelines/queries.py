@@ -11285,6 +11285,181 @@ ORDER BY a.user_id, click_id, error_id
 """
 
 
+# -------------------------------------------------------------------- q168
+
+def q168_lsh_recall_eval(sf_dir: str, threshold_x1000: int = 500, df_cap: int = 128):
+    """Banding QUALITY eval for the MinHash LSH index (q143's recall-harness
+    idea applied to dedup): ground truth = EXACT word-3-gram Jaccard >=
+    threshold over all pairs (hot-shingle DF cap mirrored from q15's plan —
+    exact per bucket because a shingle's rows co-locate), candidates = the
+    band-collision pairs exactly as q13's index emits them (pre-verify).
+    Reports n_true / n_candidates / n_hits plus integer recall
+    (hits/true — banding misses) and hit-rate (hits/candidates — the
+    verify stage's workload efficiency). Three keyed exchanges total:
+    shingle-keyed pair partials, pair-keyed sums, and a doc_a-keyed
+    tag-union where truth and candidate pairs meet (both orient a<b, so
+    co-location is exact); the driver sees 3 counters. Jaccard counts
+    hashed shingles on the Ray side vs distinct strings in SQL — q13's
+    documented collisions-aside equivalence."""
+    from medical_ocr_service_ray.functions.hashing import shingles
+    from medical_ocr_service_ray.stages.aggregate import (
+        compute_num_buckets,
+        dataset_input_bytes,
+    )
+    from medical_ocr_service_ray.stages.dedup import (
+        MinHashSignatures,
+        _pairs_from_groups,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    nb = compute_num_buckets(dataset_input_bytes(docs))
+
+    # --- candidate pairs: q13's banding, pre-verify, deduped
+    from medical_ocr_service_ray.stages.aggregate import pool_width
+
+    banded = docs.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"num_perm": 64, "bands": 16, "shingle_k": 3},
+        batch_format="pyarrow",
+        concurrency=(1, pool_width()),
+    )
+    cand = bucketed_combine(
+        banded,
+        "band_key",
+        lambda df: _pairs_from_groups(df, ["band_id", "band_key"]),
+        num_buckets=nb,
+    )
+
+    # --- exact truth pairs
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        h_out, id_out, n_out = [], [], []
+        for d, txt in zip(ids, texts):
+            sh = shingles(txt or "", 3)
+            for h in sh:
+                h_out.append(h)
+                id_out.append(d)
+                n_out.append(len(sh))
+        return pa.table(
+            {
+                "h": pa.array(h_out, pa.int64()),
+                "doc_id": pa.array(id_out, pa.int64()),
+                "n_sh": pa.array(n_out, pa.int64()),
+            }
+        )
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.groupby("h")["doc_id"].transform("size") <= df_cap]
+        m = df.merge(df, on="h")
+        m = m[m.doc_id_x < m.doc_id_y]
+        g = m.groupby(
+            ["doc_id_x", "doc_id_y", "n_sh_x", "n_sh_y"], as_index=False
+        ).size()
+        return g.rename(
+            columns={
+                "doc_id_x": "doc_a",
+                "doc_id_y": "doc_b",
+                "n_sh_x": "na",
+                "n_sh_y": "nb",
+                "size": "i",
+            }
+        )
+
+    def pair_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b", "na", "nb"], as_index=False)["i"].sum()
+        j = (1000 * g.i) // (g.na + g.nb - g.i)
+        return g[j >= threshold_x1000][["doc_a", "doc_b"]]
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow")
+    truth = bucketed_combine(
+        bucketed_combine(exploded, "h", pair_partials, num_buckets=nb),
+        "doc_a",
+        pair_final,
+        num_buckets=16,
+    )
+
+    # --- meet: per-bucket set counters
+    def tag(df: pd.DataFrame, which: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_a": df.doc_a.astype("int64"),
+                "doc_b": df.doc_b.astype("int64"),
+                "which": np.int8(which),
+            }
+        )
+
+    unified = truth.map_batches(lambda df: tag(df, 1), batch_format="pandas").union(
+        cand.map_batches(lambda df: tag(df, 0), batch_format="pandas")
+    )
+
+    def counters(df: pd.DataFrame) -> pd.DataFrame:
+        t = set(zip(df[df.which == 1].doc_a, df[df.which == 1].doc_b))
+        c = set(zip(df[df.which == 0].doc_a, df[df.which == 0].doc_b))
+        return pd.DataFrame(
+            {
+                "n_true": pd.array([len(t)], "int64"),
+                "n_candidates": pd.array([len(c)], "int64"),
+                "n_hits": pd.array([len(t & c)], "int64"),
+            }
+        )
+
+    cells = bucketed_combine(unified, "doc_a", counters, num_buckets=16).to_pandas()
+    n_true = int(cells.n_true.sum())
+    n_cand = int(cells.n_candidates.sum())
+    n_hits = int(cells.n_hits.sum())
+    return pd.DataFrame(
+        {
+            "n_true": pd.array([n_true], "int64"),
+            "n_candidates": pd.array([n_cand], "int64"),
+            "n_hits": pd.array([n_hits], "int64"),
+            "recall_x1e6": pd.array(
+                [(1_000_000 * n_hits) // n_true if n_true else 1_000_000], "int64"
+            ),
+            "hit_rate_x1e6": pd.array(
+                [(1_000_000 * n_hits) // n_cand if n_cand else 1_000_000], "int64"
+            ),
+        }
+    )
+
+
+def _q168_sql(threshold_x1000: int = 500, df_cap: int = 128) -> str:
+    """q13's base chain (signatures + band candidates, `cand` in scope) plus
+    an exact capped all-pairs truth over the SAME shingle relation."""
+    return _q13_base_sql() + f"""
+, shd AS (SELECT DISTINCT doc_id, s FROM shstr),
+nsh AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+shc AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM shd
+  ) WHERE df <= {df_cap}
+), ti AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT doc_a, doc_b FROM ti
+  JOIN nsh na ON na.doc_id = ti.doc_a
+  JOIN nsh nb ON nb.doc_id = ti.doc_b
+  WHERE (1000 * i) // (na.n + nb.n - i) >= {threshold_x1000}
+), hits AS (SELECT COUNT(*)::BIGINT AS c FROM truth JOIN cand USING (doc_a, doc_b)),
+m AS (
+  SELECT (SELECT COUNT(*) FROM truth)::BIGINT AS n_true,
+         (SELECT COUNT(*) FROM cand)::BIGINT AS n_candidates,
+         (SELECT c FROM hits) AS n_hits
+)
+SELECT n_true, n_candidates, n_hits,
+       (CASE WHEN n_true = 0 THEN 1000000
+             ELSE 1000000 * n_hits // n_true END)::BIGINT AS recall_x1e6,
+       (CASE WHEN n_candidates = 0 THEN 1000000
+             ELSE 1000000 * n_hits // n_candidates END)::BIGINT AS hit_rate_x1e6
+FROM m
+"""
+
+
+_Q168_SQL = _q168_sql()
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -11455,6 +11630,7 @@ QUERIES = {
     "q165_chi2_contingency": q165_chi2_contingency,
     "q166_markov_backtest": q166_markov_backtest,
     "q167_interval_overlap_join": q167_interval_overlap_join,
+    "q168_lsh_recall_eval": q168_lsh_recall_eval,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -11508,6 +11684,7 @@ DRIVER_PRIORITY = [
     "q165_chi2_contingency",
     "q166_markov_backtest",
     "q167_interval_overlap_join",
+    "q168_lsh_recall_eval",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -11723,6 +11900,7 @@ ORACLE_SQL = {
     "q165_chi2_contingency": _Q165_SQL,
     "q166_markov_backtest": _Q166_SQL,
     "q167_interval_overlap_join": _Q167_SQL,
+    "q168_lsh_recall_eval": _Q168_SQL,
     # Remaining no-oracle entry (driver falls back to rows-only + pytest):
     # q58 (SpaceSaving approximate heavy hitters — its exact counterpart
     # q129 is SQL-oracled with the guarantee condition asserted).

@@ -62,6 +62,21 @@ def compute_num_buckets(input_bytes: int, per_bucket_bytes: int = 1 << 30) -> in
     return max(auto_num_buckets(input_bytes, per_bucket_bytes), min_parallel)
 
 
+def pool_width(frac: float = 0.75, lo: int = 8) -> int:
+    """Upper bound for an actor-pool's ``concurrency=(1, N)``: a fixed N
+    caps the pool regardless of cluster size (the MinHash banding stage
+    measured 7.8 s -> 3.9 s at sf0.1/32 going 8 -> 24 actors). ``frac`` of
+    the cluster's CPUs, floored at ``lo``, leaves headroom for the
+    downstream exchange stages running concurrently."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", lo))
+    except Exception:
+        cpus = lo
+    return max(lo, int(cpus * frac))
+
+
 def dataset_input_bytes(ds: "rd.Dataset") -> int:
     """Best-effort input size WITHOUT executing the dataset: sum of the
     source files' on-disk sizes (0 when unavailable, e.g. from_arrow)."""

@@ -117,6 +117,7 @@ GATED = [
     "q165_chi2_contingency",
     "q166_markov_backtest",
     "q167_interval_overlap_join",
+    "q168_lsh_recall_eval",
 ]
 
 
