@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "q166_markov_backtest",
     "q167_interval_overlap_join",
     "q168_lsh_recall_eval",
+    "q169_frequent_triples",
 ]
 
 

@@ -11460,6 +11460,126 @@ FROM m
 _Q168_SQL = _q168_sql()
 
 
+# -------------------------------------------------------------------- q169
+
+def q169_frequent_triples(sf_dir: str, min_support: int = 2):
+    """A-priori frequent 3-itemsets over distinct-item baskets — the
+    iterative candidate-PRUNING pattern q71/q112's pair mining stops short
+    of: level 2 mines frequent pairs (two exchanges), level 3 expands a
+    triple candidate ONLY when all three sub-pairs are globally frequent
+    (downward closure), so the cubic blowup never materializes. The
+    frequent-pair set is the broadcast small side (its size is CONTROLLED
+    by min_support — raise it at scale; a semi-join replaces the broadcast
+    past the q100-style size cap, disclosed), shipped as one sorted int64
+    key array probed with searchsorted. Per-order triple expansion runs
+    in the order-keyed bucket (two pre-pruned self-merges); counts reduce
+    in one triple-keyed exchange. Returns (part_a, part_b, part_c,
+    support) for support >= min_support."""
+    import ray as _ray
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def items_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        df = _drop_mega_baskets(df, "q169")
+        return df[["l_orderkey", "l_partkey"]].drop_duplicates()
+
+    # distinct (order, item) — in-bucket dedup is complete (order-keyed)
+    items = bucketed_combine(ds, "l_orderkey", items_distinct, num_buckets=32)
+
+    def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="l_orderkey")
+        m = m[m.l_partkey_x < m.l_partkey_y]
+        return m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
+
+    pair_counts = (
+        bucketed_combine(items, "l_orderkey", pairs_bucket, num_buckets=32)
+        .to_pandas()
+        .groupby(["l_partkey_x", "l_partkey_y"], as_index=False)["size"]
+        .sum()
+    )
+    fp = pair_counts[pair_counts["size"] >= min_support]
+    fp_keys = np.sort(
+        (fp.l_partkey_x.to_numpy().astype("int64") << 32)
+        | fp.l_partkey_y.to_numpy().astype("int64")
+    )
+    fp_ref = _ray.put(fp_keys)
+
+    TRI_EMPTY = {
+        "part_a": pd.Series(dtype="int64"),
+        "part_b": pd.Series(dtype="int64"),
+        "part_c": pd.Series(dtype="int64"),
+        "n": pd.Series(dtype="int64"),
+    }
+
+    def triples_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(TRI_EMPTY)
+        keys = _ray.get(fp_ref)
+        m = df.merge(df, on="l_orderkey")
+        m = m[m.l_partkey_x < m.l_partkey_y]
+        k = (m.l_partkey_x.to_numpy().astype("int64") << 32) | m.l_partkey_y.to_numpy()
+        pos = np.searchsorted(keys, k)
+        pos[pos >= len(keys)] = max(len(keys) - 1, 0)
+        m = m[keys[pos] == k] if len(keys) else m.iloc[:0]
+        t = m.merge(m, on=["l_orderkey", "l_partkey_x"], suffixes=("", "_2"))
+        t = t[t.l_partkey_y < t.l_partkey_y_2]
+        kbc = (t.l_partkey_y.to_numpy().astype("int64") << 32) | t.l_partkey_y_2.to_numpy()
+        pos = np.searchsorted(keys, kbc)
+        pos[pos >= len(keys)] = max(len(keys) - 1, 0)
+        t = t[keys[pos] == kbc] if len(keys) else t.iloc[:0]
+        g = t.groupby(
+            ["l_partkey_x", "l_partkey_y", "l_partkey_y_2"], as_index=False
+        ).size()
+        return g.rename(
+            columns={
+                "l_partkey_x": "part_a",
+                "l_partkey_y": "part_b",
+                "l_partkey_y_2": "part_c",
+                "size": "n",
+            }
+        )
+
+    tri_partials = bucketed_combine(items, "l_orderkey", triples_bucket, num_buckets=32)
+
+    def tri_final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(TRI_EMPTY)
+        g = df.groupby(["part_a", "part_b", "part_c"], as_index=False)["n"].sum()
+        return g[g.n >= min_support]
+
+    out = bucketed_combine(tri_partials, "part_a", tri_final, num_buckets=16).to_pandas()
+    if list(out.columns) != ["part_a", "part_b", "part_c", "n"]:
+        # every partition empty -> zero-column blocks: stable typed schema
+        out = pd.DataFrame(TRI_EMPTY)
+    out = out.sort_values(["part_a", "part_b", "part_c"]).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.rename(columns={"n": "support"})
+
+
+_Q169_SQL = """
+WITH ok AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING COUNT(*) <= 1000
+), it AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IN (SELECT l_orderkey FROM ok)
+), p AS (
+  SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+  FROM it a JOIN it b USING (l_orderkey) WHERE a.l_partkey < b.l_partkey
+), pc AS (SELECT pa, pb, COUNT(*) AS cnt FROM p GROUP BY 1, 2),
+fp AS (SELECT pa, pb FROM pc WHERE cnt >= 2),
+pf AS (SELECT p.* FROM p JOIN fp USING (pa, pb)),
+tri AS (
+  SELECT x.pa, x.pb, y.pb AS pc3, COUNT(*) AS n
+  FROM pf x JOIN pf y ON x.l_orderkey = y.l_orderkey AND x.pa = y.pa AND x.pb < y.pb
+  JOIN fp f ON f.pa = x.pb AND f.pb = y.pb
+  GROUP BY 1, 2, 3
+)
+SELECT pa AS part_a, pb AS part_b, pc3 AS part_c, n::BIGINT AS support
+FROM tri WHERE n >= 2 ORDER BY 1, 2, 3
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -11631,6 +11751,7 @@ QUERIES = {
     "q166_markov_backtest": q166_markov_backtest,
     "q167_interval_overlap_join": q167_interval_overlap_join,
     "q168_lsh_recall_eval": q168_lsh_recall_eval,
+    "q169_frequent_triples": q169_frequent_triples,
 }
 
 # The driver's correctness harness checks only the FIRST 50 entries of
@@ -11685,6 +11806,7 @@ DRIVER_PRIORITY = [
     "q166_markov_backtest",
     "q167_interval_overlap_join",
     "q168_lsh_recall_eval",
+    "q169_frequent_triples",
     # r4 scale fixes
     "q103_zorder_cluster",
     "q112_association_rules",
@@ -11901,6 +12023,7 @@ ORACLE_SQL = {
     "q166_markov_backtest": _Q166_SQL,
     "q167_interval_overlap_join": _Q167_SQL,
     "q168_lsh_recall_eval": _Q168_SQL,
+    "q169_frequent_triples": _Q169_SQL,
     # Remaining no-oracle entry (driver falls back to rows-only + pytest):
     # q58 (SpaceSaving approximate heavy hitters — its exact counterpart
     # q129 is SQL-oracled with the guarantee condition asserted).

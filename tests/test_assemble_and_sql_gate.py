@@ -118,6 +118,7 @@ GATED = [
     "q166_markov_backtest",
     "q167_interval_overlap_join",
     "q168_lsh_recall_eval",
+    "q169_frequent_triples",
 ]
 
 
