@@ -11483,16 +11483,16 @@ def q169_frequent_triples(sf_dir: str, min_support: int = 2):
         df = _drop_mega_baskets(df, "q169")
         return df[["l_orderkey", "l_partkey"]].drop_duplicates()
 
-    # distinct (order, item) — in-bucket dedup is complete (order-keyed)
-    items = bucketed_combine(ds, "l_orderkey", items_distinct, num_buckets=32)
-
     def pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # dedup fused into the pair bucket (order-keyed => complete): a
+        # separate distinct-items exchange measured as pure floor cost
+        df = items_distinct(df)
         m = df.merge(df, on="l_orderkey")
         m = m[m.l_partkey_x < m.l_partkey_y]
         return m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
 
     pair_counts = (
-        bucketed_combine(items, "l_orderkey", pairs_bucket, num_buckets=32)
+        bucketed_combine(ds, "l_orderkey", pairs_bucket, num_buckets=32)
         .to_pandas()
         .groupby(["l_partkey_x", "l_partkey_y"], as_index=False)["size"]
         .sum()
@@ -11515,6 +11515,7 @@ def q169_frequent_triples(sf_dir: str, min_support: int = 2):
         if df.empty:
             return pd.DataFrame(TRI_EMPTY)
         keys = _ray.get(fp_ref)
+        df = items_distinct(df)
         m = df.merge(df, on="l_orderkey")
         m = m[m.l_partkey_x < m.l_partkey_y]
         k = (m.l_partkey_x.to_numpy().astype("int64") << 32) | m.l_partkey_y.to_numpy()
@@ -11539,7 +11540,7 @@ def q169_frequent_triples(sf_dir: str, min_support: int = 2):
             }
         )
 
-    tri_partials = bucketed_combine(items, "l_orderkey", triples_bucket, num_buckets=32)
+    tri_partials = bucketed_combine(ds, "l_orderkey", triples_bucket, num_buckets=32)
 
     def tri_final(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
