@@ -4628,6 +4628,29 @@ GROUP BY 1, 2
 
 # --------------------------------------------------------------------- q81
 
+def _copurchase_edge_partials(sf_dir: str, tag: str) -> "rd.Dataset":
+    """Shared co-purchase edge builder for the task-mesh graph queries
+    (q81 BFS / q163 LPA / q164 walks): q71's same-order part pairs, BOTH
+    directions, mega-basket capped (_drop_mega_baskets — mirrored by the
+    SQL oracles' HAVING <= 1000 `ok` CTE), distinct per order bucket.
+    Cross-bucket duplicate pairs survive deliberately: csr_partition's
+    in-bucket dedup is complete because every copy of (src, dst) hashes to
+    src's bucket. The cap/direction/dedup semantics are load-bearing
+    oracle invariants — change them HERE and in the `ok`/`e` CTEs
+    together."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def edges_per_order(df: pd.DataFrame) -> pd.DataFrame:
+        df = _drop_mega_baskets(df, tag)
+        m = df.merge(df, on="l_orderkey")
+        m = m[m.l_partkey_x != m.l_partkey_y]
+        return m[["l_partkey_x", "l_partkey_y"]].drop_duplicates().rename(
+            columns={"l_partkey_x": "src", "l_partkey_y": "dst"}
+        )
+
+    return bucketed_combine(ds, "l_orderkey", edges_per_order, num_buckets=32)
+
+
 def q81_bfs_hops(sf_dir: str):
     """Bounded-depth BFS (hop distance ≤ 4) from the minimum partkey over
     the co-purchase graph (q71's edge definition, both directions), on the
@@ -4639,17 +4662,7 @@ def q81_bfs_hops(sf_dir: str):
     the oracle's level-unrolled MIN chain (BFS = first-discovery depth)."""
     from medical_ocr_service_ray.stages.pagerank import bfs_hops_mesh
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def edges_per_order(df: pd.DataFrame) -> pd.DataFrame:
-        df = _drop_mega_baskets(df, "q81")
-        m = df.merge(df, on="l_orderkey")
-        m = m[m.l_partkey_x != m.l_partkey_y]
-        return m[["l_partkey_x", "l_partkey_y"]].drop_duplicates().rename(
-            columns={"l_partkey_x": "src", "l_partkey_y": "dst"}
-        )
-
-    edge_partials = bucketed_combine(ds, "l_orderkey", edges_per_order, num_buckets=32)
+    edge_partials = _copurchase_edge_partials(sf_dir, "q81")
 
     seed = int(
         _read(sf_dir, "lineitem", ["l_partkey"])
@@ -10880,17 +10893,7 @@ def q163_label_propagation(sf_dir: str):
     as a Dataset."""
     from medical_ocr_service_ray.stages.pagerank import label_propagation_mesh
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def edges_per_order(df: pd.DataFrame) -> pd.DataFrame:
-        df = _drop_mega_baskets(df, "q163")
-        m = df.merge(df, on="l_orderkey")
-        m = m[m.l_partkey_x != m.l_partkey_y]
-        return m[["l_partkey_x", "l_partkey_y"]].drop_duplicates().rename(
-            columns={"l_partkey_x": "src", "l_partkey_y": "dst"}
-        )
-
-    edge_partials = bucketed_combine(ds, "l_orderkey", edges_per_order, num_buckets=32)
+    edge_partials = _copurchase_edge_partials(sf_dir, "q163")
     com = label_propagation_mesh(edge_partials, rounds=3, num_buckets=16)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -10951,17 +10954,7 @@ def q164_random_walks(sf_dir: str):
     (start_node, end_node)."""
     from medical_ocr_service_ray.stages.pagerank import random_walks_mesh
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def edges_per_order(df: pd.DataFrame) -> pd.DataFrame:
-        df = _drop_mega_baskets(df, "q164")
-        m = df.merge(df, on="l_orderkey")
-        m = m[m.l_partkey_x != m.l_partkey_y]
-        return m[["l_partkey_x", "l_partkey_y"]].drop_duplicates().rename(
-            columns={"l_partkey_x": "src", "l_partkey_y": "dst"}
-        )
-
-    edge_partials = bucketed_combine(ds, "l_orderkey", edges_per_order, num_buckets=32)
+    edge_partials = _copurchase_edge_partials(sf_dir, "q164")
     return random_walks_mesh(edge_partials, length=3, num_buckets=16)
 
 
@@ -11140,7 +11133,8 @@ def q166_markov_backtest(sf_dir: str):
     train = cells[cells.is_train == 1].sort_values(
         ["prev", "n", "nxt"], ascending=[True, False, True]
     )
-    pred = dict(zip(train.drop_duplicates("prev").prev, train.drop_duplicates("prev").nxt))
+    w = train.drop_duplicates("prev")
+    pred = dict(zip(w.prev, w.nxt))
     ev = cells[cells.is_train == 0]
     rows = []
     for prev, grp in ev.groupby("prev"):
@@ -11305,6 +11299,7 @@ def q168_lsh_recall_eval(sf_dir: str, threshold_x1000: int = 500, df_cap: int = 
     from medical_ocr_service_ray.stages.aggregate import (
         compute_num_buckets,
         dataset_input_bytes,
+        pool_width,
     )
     from medical_ocr_service_ray.stages.dedup import (
         MinHashSignatures,
@@ -11315,8 +11310,6 @@ def q168_lsh_recall_eval(sf_dir: str, threshold_x1000: int = 500, df_cap: int = 
     nb = compute_num_buckets(dataset_input_bytes(docs))
 
     # --- candidate pairs: q13's banding, pre-verify, deduped
-    from medical_ocr_service_ray.stages.aggregate import pool_width
-
     banded = docs.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"num_perm": 64, "bands": 16, "shingle_k": 3},
@@ -11381,6 +11374,15 @@ def q168_lsh_recall_eval(sf_dir: str, threshold_x1000: int = 500, df_cap: int = 
 
     # --- meet: per-bucket set counters
     def tag(df: pd.DataFrame, which: int) -> pd.DataFrame:
+        if df.empty or "doc_a" not in df.columns:
+            # map_groups empty partitions emit zero-column blocks (29a68f9)
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "which": pd.Series(dtype="int8"),
+                }
+            )
         return pd.DataFrame(
             {
                 "doc_a": df.doc_a.astype("int64"),
@@ -11473,8 +11475,10 @@ def q169_frequent_triples(sf_dir: str, min_support: int = 2):
     past the q100-style size cap, disclosed), shipped as one sorted int64
     key array probed with searchsorted. Per-order triple expansion runs
     in the order-keyed bucket (two pre-pruned self-merges); counts reduce
-    in one triple-keyed exchange. Returns (part_a, part_b, part_c,
-    support) for support >= min_support."""
+    in one triple-keyed exchange. Pair keys pack as (a<<32)|b — exact while
+    partkey < 2^32 (~4e9 parts; widen to a two-column key beyond, the q162
+    promote-note convention). Returns (part_a, part_b, part_c, support)
+    for support >= min_support."""
     import ray as _ray
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])

@@ -474,9 +474,8 @@ def minhash_lsh_pairs(
     dedupe pairs -> verify true Jaccard via keyed text joins (no driver
     materialization, no broadcast of the corpus). Returns
     (doc_a, doc_b, jaccard_x1000)."""
-    from medical_ocr_service_ray.stages.aggregate import bucketed_combine
+    from medical_ocr_service_ray.stages.aggregate import bucketed_combine, pool_width
 
-    from medical_ocr_service_ray.stages.aggregate import pool_width
 
     banded = docs.map_batches(
         MinHashSignatures,

@@ -535,6 +535,12 @@ def _walk_round(adj: dict, step: int, nb: int, last: bool, *slices: dict):
     cur = np.concatenate([s["c"] for s in slices]) if slices else np.empty(0, "int64")
     nodes, indptr, neigh = adj["nodes"], adj["indptr"], adj["neigh"]
     pos = np.searchsorted(nodes, cur)
+    # membership guard (the _lpa_round pattern): a walker whose node this
+    # bucket does not own — possible only on a DIRECTED edge set, where a
+    # node can appear as dst but never src — terminates here, mirroring the
+    # SQL chain's inner join on adj (no out-neighbors => dropped walker)
+    ok = (pos < len(nodes)) & (nodes[np.minimum(pos, max(len(nodes) - 1, 0))] == cur)
+    start, cur, pos = start[ok], cur[ok], pos[ok]
     deg = indptr[pos + 1] - indptr[pos]
     h = (cur % _WALK_M) * 48271 + step * 12345
     idx = (h % _WALK_M) % deg
@@ -556,7 +562,9 @@ def random_walks_mesh(
 ) -> "rd.Dataset":
     """Deterministic fixed-length random walks from EVERY node (the
     corpus-prep step of node2vec/DeepWalk-style graph embeddings, made
-    hash-deterministic so a SQL oracle can replay each step): adjacency
+    hash-deterministic so a SQL oracle can replay each step; a walker
+    reaching a node with no OUT-neighbors — possible only on directed edge
+    sets — terminates, mirroring the SQL chain's inner join): adjacency
     CSR-partitioned once with per-node neighbor lists SORTED (one extra
     per-bucket task), then ``length`` mesh rounds where each walker picks
     sorted_neigh[(cur*48271 + step*12345) % (2^31-1) % deg] and re-routes
