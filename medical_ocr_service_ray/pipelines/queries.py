@@ -7392,16 +7392,19 @@ SELECT 'o_orderkey' AS "column", COUNT(*)::BIGINT AS n,
        SUM(o_orderkey)::BIGINT AS vsum
 FROM d
 UNION ALL
-SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
-       COUNT(DISTINCT o_custkey), MIN(o_custkey), MAX(o_custkey), SUM(o_custkey)
+SELECT 'o_custkey', COUNT(*)::BIGINT, (COUNT(*) - COUNT(o_custkey))::BIGINT,
+       COUNT(DISTINCT o_custkey)::BIGINT, MIN(o_custkey)::BIGINT,
+       MAX(o_custkey)::BIGINT, SUM(o_custkey)::BIGINT
 FROM d
 UNION ALL
-SELECT 'cents', COUNT(*), COUNT(*) - COUNT(cents),
-       COUNT(DISTINCT cents), MIN(cents), MAX(cents), SUM(cents)
+SELECT 'cents', COUNT(*)::BIGINT, (COUNT(*) - COUNT(cents))::BIGINT,
+       COUNT(DISTINCT cents)::BIGINT, MIN(cents)::BIGINT,
+       MAX(cents)::BIGINT, SUM(cents)::BIGINT
 FROM d
 UNION ALL
-SELECT 'date_day', COUNT(*), COUNT(*) - COUNT(date_day),
-       COUNT(DISTINCT date_day), MIN(date_day), MAX(date_day), SUM(date_day)
+SELECT 'date_day', COUNT(*)::BIGINT, (COUNT(*) - COUNT(date_day))::BIGINT,
+       COUNT(DISTINCT date_day)::BIGINT, MIN(date_day)::BIGINT,
+       MAX(date_day)::BIGINT, SUM(date_day)::BIGINT
 FROM d
 """
 
@@ -11217,7 +11220,13 @@ def q167_interval_overlap_join(sf_dir: str):
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         d = df[df.event_type.isin(("click", "error"))]
         s = d.ts.to_numpy().astype("datetime64[us]").astype("int64")
-        dur = np.maximum(np.rint(d.value.to_numpy() * 60_000_000).astype("int64"), 1)
+        # floor(x+0.5) == DuckDB round() (half-away-from-zero) for the
+        # nonnegative durations here; np.rint (half-to-even) would diverge
+        # at exact .5 — the x6e7 scale carries no never-near-.5 guarantee
+        # (unlike the _cents scale-100 argument), so match round() exactly
+        dur = np.maximum(
+            np.floor(d.value.to_numpy() * 60_000_000 + 0.5).astype("int64"), 1
+        )
         return pd.DataFrame(
             {
                 "user_id": d.user_id.to_numpy(),

@@ -199,6 +199,33 @@ def gc_orphans(
 
 # --------------------------------------------------------------- snapshots
 
+def _id_high_water(snap_dir: Path) -> int:
+    """Highest snapshot id ever EXPIRED from this log (0 if none) — the
+    floor below which ids must never be re-allocated. Maintained by
+    ``expire_snapshots`` (the only path that removes manifests) as
+    creation-only marker files under ``_expired/`` — concurrent expirers
+    each create their own marker and the mark is the max over them, so it
+    can never go backwards (no read-modify-write race). A commit after a
+    full expiry therefore continues the id sequence instead of restarting
+    at 1 and violating the immutable-manifest contract."""
+    hw_dir = snap_dir / "_expired"
+    if not hw_dir.is_dir():
+        return 0
+    ids = [int(p.name) for p in hw_dir.iterdir() if p.name.isdigit()]
+    return max(ids, default=0)
+
+
+def _raise_id_high_water(snap_dir: Path, sid: int) -> None:
+    """Record that ids up to ``sid`` have been expired (idempotent)."""
+    hw_dir = snap_dir / "_expired"
+    hw_dir.mkdir(exist_ok=True)
+    (hw_dir / str(sid)).touch()
+    # prune superseded markers — removing ids < sid can't lower the max
+    for p in hw_dir.iterdir():
+        if p.name.isdigit() and int(p.name) < sid:
+            p.unlink(missing_ok=True)
+
+
 def commit_snapshot(
     table_dir: str | Path,
     files: list[str],
@@ -227,7 +254,11 @@ def commit_snapshot(
     snap_dir.mkdir(parents=True, exist_ok=True)
     while True:
         log = sorted(int(p.stem) for p in snap_dir.glob("*.json"))
-        sid = (log[-1] + 1) if log else 1
+        # Ids are NEVER reused, even after expire_snapshots deletes every
+        # manifest: allocation consults the persisted high-water mark that
+        # expiration maintains, so a reader holding an old id can never
+        # silently resolve to a different table version.
+        sid = max(log[-1] if log else 0, _id_high_water(snap_dir)) + 1
         if op == "append":
             try:
                 prev = (
@@ -291,7 +322,13 @@ def read_at_snapshot(
     sid = ids[-1] if snapshot_id is None else snapshot_id
     if sid not in ids:
         raise KeyError(f"snapshot {sid} not in log (have {ids[0]}..{ids[-1]})")
-    d = json.loads((snap_dir / f"{sid}.json").read_text())
+    try:
+        d = json.loads((snap_dir / f"{sid}.json").read_text())
+    except FileNotFoundError:
+        # expired between the ids glob and the manifest read — same KeyError
+        # contract as the not-in-log path (the guarded pattern the sibling
+        # readers use for this race)
+        raise KeyError(f"snapshot {sid} expired") from None
     paths = [str(Path(table_dir) / f) for f in d["files"]]
     return rd.read_parquet(paths, columns=columns)
 
@@ -304,6 +341,10 @@ def expire_snapshots(table_dir: str | Path, keep_last: int) -> list[int]:
     snap_dir = Path(table_dir) / "_snapshots"
     ids = sorted(int(p.stem) for p in snap_dir.glob("*.json"))
     expired = ids[:-keep_last] if keep_last > 0 else ids
+    if expired:
+        # raise the never-reuse floor BEFORE unlinking: if we crash mid-way
+        # the worst case is a gap in the id sequence, never a reused id
+        _raise_id_high_water(snap_dir, expired[-1])
     for sid in expired:
         (snap_dir / f"{sid}.json").unlink(missing_ok=True)
     return expired

@@ -235,6 +235,24 @@ def union_datasets(*datasets: "rd.Dataset") -> "rd.Dataset":
     return first.union(*rest) if rest else first
 
 
+def _cheapest_column(sch: "pa.Schema") -> str:
+    """The cheapest single column to read when only the ROW COUNT matters:
+    the narrowest fixed-width (bit-width-bearing) field in the footer
+    schema; falls back to the first field only when every column is
+    variable-width/nested."""
+    import pyarrow as pa  # noqa: F811 (local for stand-alone use)
+
+    best, best_bits = None, None
+    for fld in sch:
+        try:  # bit_width raises on variable-width/nested types
+            bits = int(fld.type.bit_width)
+        except (AttributeError, TypeError, ValueError):
+            bits = None
+        if bits is not None and (best_bits is None or bits < best_bits):
+            best, best_bits = fld.name, bits
+    return best if best is not None else sch.names[0]
+
+
 def read_parquet_evolving(
     sources: list[str],
     columns: list[str] | None = None,
@@ -297,7 +315,9 @@ def read_parquet_evolving(
     for sch, files in groups.values():
         have = [c for c in (columns or [f.name for f in target]) if c in sch.names]
         # a group holding NONE of the requested columns still contributes
-        # its row count (all-null rows): read its cheapest single column
-        ds = rd.read_parquet(files, columns=have or [sch.names[0]])
+        # its row count (all-null rows): read its cheapest single column —
+        # the narrowest fixed-width field from the footer, never names[0]
+        # blindly (that could be the widest text/embedding column)
+        ds = rd.read_parquet(files, columns=have or [_cheapest_column(sch)])
         parts.append(ds.map_batches(_align, batch_format="pyarrow", zero_copy_batch=True))
     return union_datasets(*parts)

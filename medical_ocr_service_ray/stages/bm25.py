@@ -139,4 +139,7 @@ def bm25_topk(
     )
     top = parts.groupby("query_id", sort=False).head(k).reset_index(drop=True)
     top["rank"] = (top.groupby("query_id", sort=False).cumcount() + 1).astype("int64")
+    # object dtype to match DuckDB's VARCHAR→pandas mapping exactly (the
+    # driver's schema compare is dtype-strict; StringDtype would mismatch).
+    top["query_id"] = top["query_id"].astype(object)
     return top[["query_id", "rank", "doc_id", "score_q"]]

@@ -168,6 +168,32 @@ class TestSnapshotsTimeTravel:
         assert got["a.parquet"] == "deleted" and got["b.parquet"] == "deleted"
         assert read_at_snapshot(tmp_path).count() == 30  # head still reads
 
+    def test_full_expiry_never_reuses_ids(self, tmp_path):
+        """expire_snapshots(keep_last=0) empties the manifest log; the next
+        commit must CONTINUE the id sequence (high-water mark), never
+        restart at 1 — a reader holding an old id must get KeyError, not a
+        silently different table version."""
+        import pytest
+
+        from medical_ocr_service_ray.sources.maintenance import (
+            commit_snapshot,
+            expire_snapshots,
+            read_at_snapshot,
+        )
+
+        self._write(tmp_path, "a.parquet", 0, 5)
+        self._write(tmp_path, "b.parquet", 5, 12)
+        assert commit_snapshot(tmp_path, ["a.parquet"]) == 1
+        assert commit_snapshot(tmp_path, ["b.parquet"]) == 2
+        assert expire_snapshots(tmp_path, keep_last=0) == [1, 2]
+        # id sequence continues past the expired high-water mark
+        assert commit_snapshot(tmp_path, ["a.parquet"]) == 3
+        with pytest.raises(KeyError):
+            read_at_snapshot(tmp_path, 1)
+        # a second full expiry keeps raising the floor
+        assert expire_snapshots(tmp_path, keep_last=0) == [3]
+        assert commit_snapshot(tmp_path, ["b.parquet"]) == 4
+
     def test_commit_race_never_reuses_an_id(self, tmp_path):
         """Two concurrent committers: O_EXCL must hand out distinct ids and
         both file lists must survive in the final union."""
