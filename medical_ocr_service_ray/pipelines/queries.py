@@ -3309,17 +3309,122 @@ FROM events GROUP BY user_id
 """
 
 
-def q58_heavy_hitter_tokens(sf_dir: str):
-    """Approximate heavy hitters over document tokens: SpaceSaving sketch
-    per batch (fixed 256 counters however large the corpus), KB-sized
-    driver merge — the approximate counterpart of q41's exact df stats, for
-    when the vocabulary itself is too big to exchange. No SQL oracle
-    (approximate); the sketch's true<=est<=true+err guarantee and
-    guaranteed-presence property are pytest-gated (test_sketch)."""
-    from medical_ocr_service_ray.stages.sketch import approx_heavy_hitters
+_Q58_CAP = 256
 
+
+def q58_heavy_hitter_tokens(sf_dir: str):
+    """Approximate heavy hitters over document tokens (SpaceSaving sketch,
+    Metwally et al. 2005: fixed 256 counters however large the corpus,
+    KB-sized driver merge) — returned as the sketch's GUARANTEE AUDIT so
+    the order-sensitive sketch gets a deterministic DuckDB oracle. The
+    sketch contents depend on batch order, but its GUARANTEES don't:
+    (a) every token with true count*capacity > N is present, and
+    (b) every sketch item satisfies 0 <= est - true <= max_overestimate.
+    The query emits one row per guaranteed-heavy token
+    (item, true_count, ok) where ok = present AND within bounds, plus a
+    '__SKETCH__' summary row with true_count = min(n_distinct, capacity)
+    (the provable sketch size) and ok = every sketch item within bounds —
+    all deterministic IF the guarantees hold, which is exactly what the
+    SQL oracle (same rows with ok = TRUE literals) certifies. Exact
+    counts reduce in ONE token-keyed exchange (materialized once, read by
+    two bounded consumers); driver pulls are <= 2*capacity rows + one
+    totals row per block."""
+    from medical_ocr_service_ray.stages.sketch import SpaceSavingSketch
+
+    cap = _Q58_CAP
     ds = _read(sf_dir, "documents", ["text"])
-    return approx_heavy_hitters(ds, "text", capacity=256, top=20, split=r"\s+")
+
+    def tokens_of(s: pd.Series) -> pd.Series:
+        vals = s.fillna("").astype(str).str.split(r"\s+").explode()
+        return vals[vals.str.len() > 0]
+
+    # pass 1 — sketch per batch (no exchange; partials are capacity-bounded)
+    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+        vc = tokens_of(df.text).value_counts()
+        sk = SpaceSavingSketch(cap)
+        sk.add_counts(vc.index.to_numpy(dtype=object), vc.to_numpy())
+        return pd.DataFrame({"sketch": [sk.serialize()]})
+
+    merged = SpaceSavingSketch(cap)
+    for row in ds.map_batches(sketch_batch, batch_format="pandas").take_all():
+        merged = merged.merge(SpaceSavingSketch.deserialize(row["sketch"]))
+    sk_items = dict(merged.counts)  # item -> (est, err); <= cap entries
+
+    # pass 2 — exact per-token counts, one token-keyed exchange
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = tokens_of(df.text).value_counts()
+        return pd.DataFrame(
+            {"item": vc.index.to_numpy(dtype=object),
+             "true_count": vc.to_numpy().astype("int64")}
+        )
+
+    def count_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("item", as_index=False)["true_count"].sum()
+
+    counts = partial_then_combine(
+        ds, count_partial, "item", count_combine
+    ).materialize()  # vocab-sized; object-store resident (spills), 2 readers
+
+    tot_parts = counts.map_batches(
+        lambda df: pd.DataFrame(
+            {"tot": [int(df.true_count.sum())], "nd": [len(df)]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()  # one tiny row per block
+    tot, nd = int(tot_parts.tot.sum()), int(tot_parts.nd.sum())
+
+    sketch_set = set(sk_items)  # <= cap strings, closure-captured broadcast
+
+    def relevant(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df.true_count.to_numpy() * cap > tot) | df.item.isin(sketch_set)
+        return df[m]
+
+    pulled = counts.map_batches(relevant, batch_format="pandas").to_pandas()
+    exact = dict(zip(pulled.item, pulled.true_count))  # <= 2*cap entries
+
+    def in_bounds(item) -> bool:
+        est, err = sk_items[item]
+        return 0 <= est - int(exact[item]) <= err
+
+    heavy = sorted(
+        pulled.item[pulled.true_count.to_numpy() * cap > tot].tolist()
+    )
+    rows = [
+        (g, int(exact[g]), (g in sk_items) and in_bounds(g)) for g in heavy
+    ]
+    rows.append(
+        (
+            "__SKETCH__",
+            min(nd, cap),
+            len(sk_items) == min(nd, cap) and all(in_bounds(i) for i in sk_items),
+        )
+    )
+    return pd.DataFrame(rows, columns=["item", "true_count", "ok"]).astype(
+        {"true_count": "int64", "ok": "bool"}
+    )
+
+
+def _q58_sql() -> str:
+    # The oracle certifies the audit: the guaranteed-heavy set and its exact
+    # counts are deterministic SQL; ok is the literal TRUE the guarantees
+    # promise. A sketch bug (missing heavy hitter, bound violation, wrong
+    # merged size) flips a Ray-side ok/row and fails the hash compare.
+    return rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(COALESCE(text, ''), '\s+')) AS item
+  FROM documents
+), t AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM toks WHERE length(item) > 0 GROUP BY item
+), n AS (
+  SELECT CAST(COALESCE(SUM(true_count), 0) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS nd
+  FROM t
+)
+SELECT item, true_count, TRUE AS ok FROM t, n WHERE true_count * {_Q58_CAP} > total
+UNION ALL
+SELECT '__SKETCH__', LEAST(nd, {_Q58_CAP}), TRUE FROM n
+"""
 
 
 # --------------------------------------------------------------- q59 / q60
@@ -11924,6 +12029,7 @@ ORACLE_SQL = {
     "q55_bloom_semi_join": _Q55_SQL,
     "q56_bloom_anti_join": _Q56_SQL,
     "q57_user_journeys": _Q57_SQL,
+    "q58_heavy_hitter_tokens": _q58_sql(),
     "q59_chunk_documents": _Q59_SQL,
     "q60_redact_pii": _q60_sql(),
     "q61_range_join_shipments": _Q61_SQL,
@@ -12038,9 +12144,10 @@ ORACLE_SQL = {
     "q167_interval_overlap_join": _Q167_SQL,
     "q168_lsh_recall_eval": _Q168_SQL,
     "q169_frequent_triples": _Q169_SQL,
-    # Remaining no-oracle entry (driver falls back to rows-only + pytest):
-    # q58 (SpaceSaving approximate heavy hitters — its exact counterpart
-    # q129 is SQL-oracled with the guarantee condition asserted).
+    # No rows-only entries remain: q58 (the last one) gained a guarantee-
+    # audit oracle in round 5 — the order-sensitive sketch is compared via
+    # its deterministic guarantees (presence of every provably-heavy token,
+    # est-true within [0, max_overestimate], provable merged size).
     # q16/q24/q26 gained real oracles in round 4 (serial golden fixtures at
     # /tmp/mosr_golden/current); q13/q14/q17/q20/q22/q23/q25/q27/q30/q38/q39
     # gained exact DuckDB oracles in round 3 (arithmetic hashes, extraction

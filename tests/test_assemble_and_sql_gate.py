@@ -41,6 +41,7 @@ GATED = [
     "q55_bloom_semi_join",
     "q56_bloom_anti_join",
     "q57_user_journeys",
+    "q58_heavy_hitter_tokens",
     "q59_chunk_documents",
     "q60_redact_pii",
     "q61_range_join_shipments",
