@@ -11880,89 +11880,100 @@ QUERIES = {
 # else (the long-stable q1..q62 family) follows in registry order and is
 # covered by scripts/check_oracle.py sweeps + pytest.
 DRIVER_PRIORITY = [
-    # flagship family (q16/q24 newly driver-oracled in r4)
+    # ROUND-5 ROTATION: the driver checks only the FIRST 50 entries, so
+    # each round this list rotates never-driver-checked queries into the
+    # window. Slots 1-10: flagship family + queries CHANGED this round
+    # (q58's new guarantee-audit oracle; q117/q43/q167's dtype/rounding
+    # fixes). Slots 11-50: forty q51-q131 veterans that were green in the
+    # builder's independent sf0.01 sweeps every round but have never had
+    # an official CORRECTNESS row (VERDICT r4 "What's missing" #1),
+    # risk-ranked: graph/join/attribution machinery first.
     "q16_extract_transcripts",
-    "q17_conv_stats",
     "q24_enriched_extraction",
-    "q25_apply_corrections",
     "q26_media_features",
+    "q17_conv_stats",
     "q27_assemble_conversations",
-    # r4 additions
-    "q132_retention_cohorts",
-    "q133_time_weighted_avg",
-    "q134_quantity_mad",
-    "q135_dense_event_grid",
-    "q136_equidepth_price_bins",
-    "q137_boilerplate_grams",
-    "q138_negative_sampling",
-    "q139_dedup_survivors",
-    "q140_drift_bins",
-    "q141_pit_features",
-    "q142_bpe_merges",
-    "q143_ann_recall_eval",
-    "q144_user_day_paths",
-    "q145_embedding_dim_stats",
-    "q146_collocation_lift",
-    "q147_activity_streaks",
-    "q148_contamination_matrix",
-    "q149_entity_clusters",
-    "q150_trending_tokens",
-    "q151_curriculum_shards",
-    "q152_vocab_spectrum",
-    "q153_bpe_encode",
-    "q154_daily_anomaly",
-    "q155_ttr_by_source",
-    "q156_clustering_coefficient",
-    "q157_global_revenue_rank",
-    "q158_semantic_dedup",
-    "q159_semantic_dedup_multiprobe",
-    "q160_daily_token_drift",
-    "q161_emd_value_drift",
-    "q162_embedding_covariance",
-    "q163_label_propagation",
-    "q164_random_walks",
-    "q165_chi2_contingency",
-    "q166_markov_backtest",
-    "q167_interval_overlap_join",
-    "q168_lsh_recall_eval",
-    "q169_frequent_triples",
-    # r4 scale fixes
-    "q103_zorder_cluster",
-    "q112_association_rules",
-    "q71_copurchase_pairs",
-    # r3 additions previously outside the driver window
-    "q113_last_touch_attribution",
-    "q114_multi_touch_counts",
-    "q115_audience_overlap_exact",
-    "q116_weighted_median",
+    "q58_heavy_hitter_tokens",
     "q117_column_profile",
+    "q43_bm25_search",
+    "q167_interval_overlap_join",
+    "q25_apply_corrections",
+    # never-driver-checked veterans (40)
+    "q76_copurchase_pagerank",
+    "q81_bfs_hops",
+    "q86_fk_integrity",
+    "q91_salted_join_revenue",
+    "q100_triangle_count",
+    "q66_decontaminate",
+    "q124_conversion_latency",
+    "q131_first_touch_attribution",
+    "q129_exact_heavy_hitters",
+    "q130_bucket_checksum_diff",
     "q118_event_trigrams",
     "q119_daily_bounce_rate",
     "q120_order_count_distribution",
     "q121_winsorized_stats",
     "q122_revenue_share",
     "q123_contract_violations",
-    "q124_conversion_latency",
     "q125_share_of_region",
     "q126_cumulative_daily_revenue",
     "q127_grouped_variance",
     "q128_unpivot_orders",
-    "q129_exact_heavy_hitters",
-    "q130_bucket_checksum_diff",
-    "q131_first_touch_attribution",
-    # heaviest machinery / exact-rebuild oracles
-    "q13_minhash_pairs",
-    "q30_dedup_clusters",
-    "q45_incremental_dedup",
-    "q66_decontaminate",
-    "q76_copurchase_pagerank",
-    "q86_fk_integrity",
-    "q91_salted_join_revenue",
-    "q100_triangle_count",
-    "q104_cube_rollup",
-    "q105_debounce_events",
-    "q110_forward_fill",
+    "q116_weighted_median",
     "q111_grouped_correlation",
+    "q110_forward_fill",
+    "q105_debounce_events",
+    "q104_cube_rollup",
+    "q102_tfidf_by_source",
+    "q97_cdc_merge_patch",
+    "q98_scd2_intervals",
+    "q90_incremental_agg_merge",
+    "q92_rolling_wau",
+    "q93_user_spend_trend",
+    "q87_user_gaps_churn",
+    "q85_length_deciles",
+    "q84_auc_per_type",
+    "q83_decayed_engagement",
+    "q80_cohort_retention",
+    "q77_name_editdist_pairs",
+    "q78_ivf_ann",
+    "q74_part_skyline",
+    "q75_quantity_percent_rank",
+    # ---- driver window cap (50) — remaining never-checked veterans next,
+    # so the round-6 rotation starts here
+    "q51_fuzzy_vocab_match",
+    "q52_regex_fields",
+    "q53_funnel",
+    "q54_tool_transitions",
+    "q55_bloom_semi_join",
+    "q56_bloom_anti_join",
+    "q57_user_journeys",
+    "q59_chunk_documents",
+    "q60_redact_pii",
+    "q61_range_join_shipments",
+    "q62_band_join_activity",
+    "q63_weighted_sample",
+    "q64_source_lang_entropy",
+    "q65_minmax_normalize",
+    "q67_json_field_rollup",
+    "q68_hll_set_algebra",
+    "q69_char_lm_quality",
+    "q70_grouped_hll",
+    "q72_duplicated_span_mass",
+    "q73_customer_spend_leftjoin",
+    "q79_interval_coverage",
+    "q82_mode_event_type",
+    "q88_mad_outliers",
+    "q89_dense_week_grid",
+    "q94_late_events",
+    "q95_sorted_export",
+    "q96_table_checksums",
+    "q99_uniform_sample",
+    "q101_partitioned_write_prune",
+    "q106_mixture_sample",
+    "q107_repetition_gate",
+    "q108_point_lookup",
+    "q109_phrase_search",
 ]
 
 
