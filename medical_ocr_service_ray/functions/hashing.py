@@ -67,6 +67,31 @@ def shingles(text: str, k: int = 3) -> set[int]:
     return set(horner62_batch(grams).tolist())
 
 
+def shingle_hashes_batch(texts: list, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """``shingles()`` lifted to a BATCH: one vectorized Horner pass hashes
+    every k-token gram of every text (per-doc numpy calls on tiny arrays
+    were overhead-bound — q168's truth scan measured hot on exactly that).
+    Returns ``(hashes, offsets)`` where ``hashes[offsets[i]:offsets[i+1]]``
+    are text i's gram hashes WITH duplicates preserved — MinHash minima are
+    duplicate-invariant so signature callers use the slice as-is, while
+    set-semantics callers (Jaccard truth counts) np.unique their slice.
+    Element-for-element identical to ``shingles()`` modulo that dedup."""
+    grams: list[str] = []
+    counts = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = tokens(t or "")
+        if not toks:
+            n = 0
+        elif len(toks) < k:
+            grams.append(" ".join(toks))
+            n = 1
+        else:
+            grams.extend(" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1))
+            n = len(toks) - k + 1
+        counts[i + 1] = n
+    return horner62_batch(grams), np.cumsum(counts)
+
+
 def hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
@@ -91,6 +116,18 @@ def minhash_signature(shingle_set: set[int], a: np.ndarray, b: np.ndarray) -> np
         return np.full(a.shape[0], _MAX_HASH, dtype=np.uint64)
     x = np.fromiter(shingle_set, dtype=np.uint64, count=len(shingle_set))
     # (a*x + b) mod p, folded to 32 bits; object->uint64 overflow is fine (mod 2^64 universe)
+    vals = (x[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+    return (vals & np.uint64(_MAX_HASH)).min(axis=1)
+
+
+def minhash_signature_arr(h: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """``minhash_signature`` over an ndarray of shingle hashes (duplicates
+    allowed — minima are duplicate-invariant, so callers can feed raw
+    ``shingle_hashes_batch`` slices without a set round-trip). Identical
+    output to the set variant for equal value sets."""
+    if h.size == 0:
+        return np.full(a.shape[0], _MAX_HASH, dtype=np.uint64)
+    x = h.astype(np.uint64)
     vals = (x[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
     return (vals & np.uint64(_MAX_HASH)).min(axis=1)
 

@@ -11395,6 +11395,74 @@ ORDER BY a.user_id, click_id, error_id
 
 # -------------------------------------------------------------------- q168
 
+class _BandsAndShingleRows:
+    """q168's fused corpus scan (ONE pass where round 4 ran two): per batch,
+    shingle-hash every doc with a single vectorized Horner pass, then emit
+    BOTH the q13 band-collision rows (band_id >= 0, k = band_key) AND the
+    exact-truth shingle rows (band_id = -1, k = shingle hash, n_sh = the
+    doc's DISTINCT shingle count) into one union-schema table, so the two
+    eval sides ride one exchange keyed on k. Signatures are bit-identical
+    to MinHashSignatures (same params, duplicate-invariant minima)."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 7):
+        from medical_ocr_service_ray.functions.hashing import minhash_params
+
+        assert num_perm % bands == 0
+        self.a, self.b = minhash_params(num_perm, seed)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from medical_ocr_service_ray.functions.hashing import (
+            hash64_bytes,
+            minhash_signature_arr,
+            shingle_hashes_batch,
+        )
+
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        hs, offs = shingle_hashes_batch(texts, self.shingle_k)
+        k_parts, band_parts, id_parts, nsh_parts = [], [], [], []
+        for i in range(len(ids)):
+            h = hs[offs[i] : offs[i + 1]]
+            sig = minhash_signature_arr(h, self.a, self.b)
+            bkeys = np.fromiter(
+                (
+                    hash64_bytes(
+                        sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                        .astype("<u8")
+                        .tobytes()
+                    )
+                    & 0x7FFFFFFFFFFFFFFF
+                    for b in range(self.bands)
+                ),
+                dtype=np.int64,
+                count=self.bands,
+            )
+            hu = np.unique(h)  # truth side is set-semantics
+            k_parts.append(bkeys)
+            k_parts.append(hu)
+            band_parts.append(np.arange(self.bands, dtype=np.int32))
+            band_parts.append(np.full(hu.size, -1, np.int32))
+            id_parts.append(np.full(self.bands + hu.size, ids[i], np.int64))
+            nsh_parts.append(np.zeros(self.bands, np.int64))
+            nsh_parts.append(np.full(hu.size, hu.size, np.int64))
+        if not k_parts:
+            k_parts = [np.empty(0, np.int64)]
+            band_parts = [np.empty(0, np.int32)]
+            id_parts = [np.empty(0, np.int64)]
+            nsh_parts = [np.empty(0, np.int64)]
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate(k_parts), pa.int64()),
+                "band_id": pa.array(np.concatenate(band_parts), pa.int32()),
+                "doc_id": pa.array(np.concatenate(id_parts), pa.int64()),
+                "n_sh": pa.array(np.concatenate(nsh_parts), pa.int64()),
+            }
+        )
+
+
 def q168_lsh_recall_eval(sf_dir: str, threshold_x1000: int = 500, df_cap: int = 128):
     """Banding QUALITY eval for the MinHash LSH index (q143's recall-harness
     idea applied to dedup): ground truth = EXACT word-3-gram Jaccard >=
@@ -11403,115 +11471,93 @@ def q168_lsh_recall_eval(sf_dir: str, threshold_x1000: int = 500, df_cap: int = 
     band-collision pairs exactly as q13's index emits them (pre-verify).
     Reports n_true / n_candidates / n_hits plus integer recall
     (hits/true — banding misses) and hit-rate (hits/candidates — the
-    verify stage's workload efficiency). Three keyed exchanges total:
-    shingle-keyed pair partials, pair-keyed sums, and a doc_a-keyed
-    tag-union where truth and candidate pairs meet (both orient a<b, so
-    co-location is exact); the driver sees 3 counters. Jaccard counts
-    hashed shingles on the Ray side vs distinct strings in SQL — q13's
+    verify stage's workload efficiency). Round-5 plan: ONE fused corpus
+    scan emits band rows and truth-shingle rows together
+    (_BandsAndShingleRows — the corpus is shingled once, vectorized, where
+    r4 shingled it twice with a per-doc Python loop), then TWO keyed
+    exchanges total (down from four): k-keyed (band keys and shingle
+    hashes share the column; candidate pair groups stay exactly
+    (band_id, band_key) in-bucket, shingle df_cap stays exact because a
+    shingle's rows co-locate) emitting tagged pair partials, then a
+    doc_a-keyed meet that sums truth intersections, thresholds, and
+    counts; the driver sees per-bucket counters. Jaccard counts hashed
+    shingles on the Ray side vs distinct strings in SQL — q13's
     documented collisions-aside equivalence."""
-    from medical_ocr_service_ray.functions.hashing import shingles
     from medical_ocr_service_ray.stages.aggregate import (
         compute_num_buckets,
         dataset_input_bytes,
         pool_width,
     )
-    from medical_ocr_service_ray.stages.dedup import (
-        MinHashSignatures,
-        _pairs_from_groups,
-    )
+    from medical_ocr_service_ray.stages.dedup import _pairs_from_groups
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     nb = compute_num_buckets(dataset_input_bytes(docs))
 
-    # --- candidate pairs: q13's banding, pre-verify, deduped
-    banded = docs.map_batches(
-        MinHashSignatures,
+    rows = docs.map_batches(
+        _BandsAndShingleRows,
         fn_constructor_kwargs={"num_perm": 64, "bands": 16, "shingle_k": 3},
         batch_format="pyarrow",
         concurrency=(1, pool_width()),
     )
-    cand = bucketed_combine(
-        banded,
-        "band_key",
-        lambda df: _pairs_from_groups(df, ["band_id", "band_key"]),
-        num_buckets=nb,
-    )
 
-    # --- exact truth pairs
-    def explode(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        texts = t["text"].to_pylist()
-        h_out, id_out, n_out = [], [], []
-        for d, txt in zip(ids, texts):
-            sh = shingles(txt or "", 3)
-            for h in sh:
-                h_out.append(h)
-                id_out.append(d)
-                n_out.append(len(sh))
-        return pa.table(
-            {
-                "h": pa.array(h_out, pa.int64()),
-                "doc_id": pa.array(id_out, pa.int64()),
-                "n_sh": pa.array(n_out, pa.int64()),
-            }
-        )
+    _PAIR_SCHEMA = {
+        "doc_a": "int64",
+        "doc_b": "int64",
+        "na": "int64",
+        "nb": "int64",
+        "i": "int64",
+        "which": "int8",
+    }
 
-    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df.groupby("h")["doc_id"].transform("size") <= df_cap]
-        m = df.merge(df, on="h")
-        m = m[m.doc_id_x < m.doc_id_y]
-        g = m.groupby(
-            ["doc_id_x", "doc_id_y", "n_sh_x", "n_sh_y"], as_index=False
-        ).size()
-        return g.rename(
-            columns={
-                "doc_id_x": "doc_a",
-                "doc_id_y": "doc_b",
-                "n_sh_x": "na",
-                "n_sh_y": "nb",
-                "size": "i",
-            }
-        )
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _PAIR_SCHEMA.items()})
 
-    def pair_final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["doc_a", "doc_b", "na", "nb"], as_index=False)["i"].sum()
-        j = (1000 * g.i) // (g.na + g.nb - g.i)
-        return g[j >= threshold_x1000][["doc_a", "doc_b"]]
+    def pairs_stage(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        cand = df[df.band_id >= 0]
+        if len(cand):
+            cp = _pairs_from_groups(cand, ["band_id", "k"])
+            if len(cp):
+                cp = cp.assign(
+                    na=np.int64(0), nb=np.int64(0), i=np.int64(0), which=np.int8(0)
+                )
+                out.append(cp)
+        tr = df[df.band_id < 0]
+        if len(tr):
+            tr = tr[tr.groupby("k")["doc_id"].transform("size") <= df_cap]
+            m = tr.merge(tr, on="k")
+            m = m[m.doc_id_x < m.doc_id_y]
+            if len(m):
+                g = m.groupby(
+                    ["doc_id_x", "doc_id_y", "n_sh_x", "n_sh_y"], as_index=False
+                ).size()
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": g.doc_id_x.astype("int64"),
+                            "doc_b": g.doc_id_y.astype("int64"),
+                            "na": g.n_sh_x.astype("int64"),
+                            "nb": g.n_sh_y.astype("int64"),
+                            "i": g["size"].astype("int64"),
+                            "which": np.int8(1),
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else _empty_pairs()
 
-    exploded = docs.map_batches(explode, batch_format="pyarrow")
-    truth = bucketed_combine(
-        bucketed_combine(exploded, "h", pair_partials, num_buckets=nb),
-        "doc_a",
-        pair_final,
-        num_buckets=16,
-    )
+    tagged = bucketed_combine(rows, "k", pairs_stage, num_buckets=nb)
 
-    # --- meet: per-bucket set counters
-    def tag(df: pd.DataFrame, which: int) -> pd.DataFrame:
-        if df.empty or "doc_a" not in df.columns:
-            # map_groups empty partitions emit zero-column blocks (29a68f9)
-            return pd.DataFrame(
-                {
-                    "doc_a": pd.Series(dtype="int64"),
-                    "doc_b": pd.Series(dtype="int64"),
-                    "which": pd.Series(dtype="int8"),
-                }
-            )
-        return pd.DataFrame(
-            {
-                "doc_a": df.doc_a.astype("int64"),
-                "doc_b": df.doc_b.astype("int64"),
-                "which": np.int8(which),
-            }
-        )
-
-    unified = truth.map_batches(lambda df: tag(df, 1), batch_format="pandas").union(
-        cand.map_batches(lambda df: tag(df, 0), batch_format="pandas")
-    )
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        # map_groups empty partitions emit zero-column blocks (29a68f9)
+        return df if "doc_a" in df.columns else _empty_pairs()
 
     def counters(df: pd.DataFrame) -> pd.DataFrame:
-        t = set(zip(df[df.which == 1].doc_a, df[df.which == 1].doc_b))
-        c = set(zip(df[df.which == 0].doc_a, df[df.which == 0].doc_b))
+        tr = df[df.which == 1]
+        g = tr.groupby(["doc_a", "doc_b", "na", "nb"], as_index=False)["i"].sum()
+        j = (1000 * g.i) // (g.na + g.nb - g.i) if len(g) else g.i
+        t = set(zip(g.doc_a[j >= threshold_x1000], g.doc_b[j >= threshold_x1000]))
+        cd = df[df.which == 0]
+        c = set(zip(cd.doc_a, cd.doc_b))
         return pd.DataFrame(
             {
                 "n_true": pd.array([len(t)], "int64"),
@@ -11520,7 +11566,12 @@ def q168_lsh_recall_eval(sf_dir: str, threshold_x1000: int = 500, df_cap: int = 
             }
         )
 
-    cells = bucketed_combine(unified, "doc_a", counters, num_buckets=16).to_pandas()
+    cells = bucketed_combine(
+        tagged.map_batches(normalize, batch_format="pandas"),
+        "doc_a",
+        counters,
+        num_buckets=16,
+    ).to_pandas()
     n_true = int(cells.n_true.sum())
     n_cand = int(cells.n_candidates.sum())
     n_hits = int(cells.n_hits.sum())

@@ -17,8 +17,9 @@ import ray.data as rd
 from medical_ocr_service_ray.functions.hashing import (
     hash64_bytes,
     minhash_params,
-    minhash_signature,
+    minhash_signature_arr,
     sha256_hex,
+    shingle_hashes_batch,
     shingles,
     simhash64,
 )
@@ -75,12 +76,17 @@ class MinHashSignatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Explode each doc into one row per LSH band: (band_id, band_key, doc_id).
-        Docs sharing any (band_id, band_key) are candidate near-dups."""
+        Docs sharing any (band_id, band_key) are candidate near-dups.
+        Shingle hashing is ONE vectorized Horner pass over the whole batch
+        (shingle_hashes_batch; per-doc numpy calls were overhead-bound) —
+        signatures are bit-identical to the per-doc set path because
+        MinHash minima are duplicate-invariant."""
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
+        hs, offs = shingle_hashes_batch(texts, self.shingle_k)
         out_band, out_key, out_id = [], [], []
-        for doc_id, text in zip(ids, texts):
-            sig = minhash_signature(shingles(text or "", self.shingle_k), self.a, self.b)
+        for i, doc_id in enumerate(ids):
+            sig = minhash_signature_arr(hs[offs[i] : offs[i + 1]], self.a, self.b)
             for band in range(self.bands):
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
                 out_band.append(band)
