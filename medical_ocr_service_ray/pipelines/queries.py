@@ -5048,67 +5048,132 @@ def q86_fk_integrity(sf_dir: str):
     the surviving-fraction exchange, nothing else. Reference analogue: the
     NOT-EXISTS reconciliation audit (database/migration_ingestion_jobs.sql)
     generalized to every FK edge."""
-    from medical_ocr_service_ray.stages.bloom import bloom_semi_join
+    from concurrent.futures import ThreadPoolExecutor
+
+    import ray
+
+    from medical_ocr_service_ray.stages.aggregate import (
+        compute_num_buckets,
+        dataset_input_bytes,
+    )
+    from medical_ocr_service_ray.stages.bloom import (
+        _stamp_batch,
+        bloom_params,
+        build_bloom,
+    )
 
     edges = [
         ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
         ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
         ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
     ]
-    from concurrent.futures import ThreadPoolExecutor
 
-    # dataset construction stays on the main thread (read_parquet's lazy
-    # fsspec imports aren't thread-safe); only the driver-blocking Bloom
-    # builds (a dim scan each) overlap in threads
-    sides = []
-    for name, fact, fk, dim, pk in edges:
-
-        def rename(df: pd.DataFrame, fk=fk) -> pd.DataFrame:
-            # counting needs only (key, multiplicity): per-batch distinct
-            # shrinks the exchange (lineitem ships ~4x fewer rows)
-            g = df[fk].astype("int64").value_counts()
-            return pd.DataFrame({"k": g.index.to_numpy(), "c": g.to_numpy().astype("int64")})
-
-        probe = _read(sf_dir, fact, [fk]).map_batches(
-            rename, batch_format="pandas", batch_size=1 << 18
-        )
+    # ONE Bloom filter per dim, built concurrently (driver-blocking dim
+    # scans overlap in threads; dataset CONSTRUCTION stays on the main
+    # thread — read_parquet's lazy fsspec imports aren't thread-safe)
+    builds = []
+    for ei, (name, fact, fk, dim, pk) in enumerate(edges):
         build = _read(sf_dir, dim, [pk]).map_batches(
             lambda df, pk=pk: pd.DataFrame({"k": df[pk].astype("int64").unique()}),
             batch_format="pandas",
         )
-        sides.append((name, probe, build, _parquet_num_rows(sf_dir, dim)))
-
-    def make_edge(side) -> "rd.Dataset":
-        name, probe, build, n_dim = side
-        orphans = bloom_semi_join(
-            probe,
-            build,
-            "k",
-            n_build_keys=n_dim,
-            anti=True,
-            probe_schema=pa.schema([("k", pa.int64()), ("c", pa.int64())]),
-        )
-        return orphans.map_batches(
-            lambda df, name=name: pd.DataFrame({"edge": [name], "c": [int(df.c.sum())]}),
-            batch_format="pandas",
-        )
-
-    # threads overlap only the driver-blocking Bloom BUILDS; the three edge
-    # pipelines then execute as ONE union consumption (measured: three
-    # concurrent independent executions contend for the same CPUs and run
-    # 2-4x slower than the single fused topology)
+        builds.append((build, bloom_params(_parquet_num_rows(sf_dir, dim), 0.01)))
     with ThreadPoolExecutor(len(edges)) as pool:
-        tagged = list(pool.map(make_edge, sides))
-    first, *rest = tagged
-    cdf = first.union(*rest).to_pandas()
+        bloom_refs = list(
+            pool.map(lambda s: ray.put(build_bloom(s[0], "k", *s[1])), builds)
+        )
+
+    # ROUND-5 FUSION: all three edges ride ONE bucketed exchange instead of
+    # three (each exchange carries ~1.5 s fixed latency at bench scale —
+    # PERF_NOTES §23), and each fact column is scanned ONCE instead of
+    # twice: the scan value-counts the fk, stamps the edge's Bloom, counts
+    # definite negatives per batch WITHOUT any exchange (tag=2 counter
+    # rows), and forwards only possible-positives into the exchange with
+    # the edge id packed into the key (kk = k*4 + edge — exact while keys
+    # < 2^61; counter rows use kk = -(edge+1), which cannot collide with
+    # packed nonnegative keys). Build keys join the union tagged 1.
+    def scan_fact(df: pd.DataFrame, fk: str, ei: int, bloom_ref, m_bits: int, k: int):
+        g = df[fk].astype("int64").value_counts()
+        kc = pd.DataFrame({"k": g.index.to_numpy(), "c": g.to_numpy().astype("int64")})
+        pos = _stamp_batch(kc, keep=True, bloom_ref=bloom_ref, key_col="k", m_bits=m_bits, k=k)
+        neg_c = int(kc.c.sum()) - int(pos.c.sum())
+        out = pd.DataFrame(
+            {
+                "kk": pos.k.to_numpy() * 4 + ei,
+                "c": pos.c.to_numpy(),
+                "__tag": np.int8(0),
+            }
+        )
+        if neg_c:
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {"kk": [-(ei + 1)], "c": [neg_c], "__tag": np.int8(2)}
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return out
+
+    parts = []
+    probe_bytes = 0
+    for ei, (name, fact, fk, dim, pk) in enumerate(edges):
+        probe = _read(sf_dir, fact, [fk])
+        probe_bytes += dataset_input_bytes(probe)
+        m_bits, kh = builds[ei][1]
+        parts.append(
+            probe.map_batches(
+                scan_fact,
+                fn_kwargs=dict(fk=fk, ei=ei, bloom_ref=bloom_refs[ei], m_bits=m_bits, k=kh),
+                batch_format="pandas",
+                batch_size=1 << 18,
+            )
+        )
+        parts.append(
+            builds[ei][0].map_batches(
+                lambda df, ei=ei: pd.DataFrame(
+                    {
+                        "kk": df.k.to_numpy() * 4 + ei,
+                        "c": np.int64(0),
+                        "__tag": np.int8(1),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+
+    nb = compute_num_buckets(probe_bytes)
+
+    def membership(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df.__tag == 1, "kk"].unique()
+        probe = df[df.__tag == 0]
+        orph = probe[~probe.kk.isin(keys)]
+        cnt = pd.DataFrame(
+            {"edge_id": (orph.kk % 4).astype("int64"), "c": orph.c.astype("int64")}
+        )
+        neg = df[df.__tag == 2]
+        if len(neg):
+            cnt = pd.concat(
+                [cnt, pd.DataFrame({"edge_id": (-neg.kk - 1).astype("int64"), "c": neg.c})],
+                ignore_index=True,
+            )
+        return cnt.groupby("edge_id", as_index=False)["c"].sum()
+
+    first, *rest = parts
+    cdf = bucketed_combine(
+        first.union(*rest), "kk", membership, num_buckets=nb, map_batch_size=1 << 18
+    ).to_pandas()
     # a fully-clean table yields only empty zero-column blocks
     counts = (
-        cdf.groupby("edge")["c"].sum() if "edge" in cdf.columns else pd.Series(dtype="int64")
+        cdf.groupby("edge_id")["c"].sum()
+        if "edge_id" in cdf.columns
+        else pd.Series(dtype="int64")
     )
     out = pd.DataFrame(
         {
             "edge": [e[0] for e in edges],
-            "n_orphans": [int(counts.get(e[0], 0)) for e in edges],
+            "n_orphans": [int(counts.get(i, 0)) for i in range(len(edges))],
             "n_rows": [_parquet_num_rows(sf_dir, e[1]) for e in edges],
         }
     )
