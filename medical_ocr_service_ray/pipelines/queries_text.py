@@ -1,0 +1,1509 @@
+"""sampling, text stats, BM25/TF-IDF, k-means, pivots (q35-q60) — split from pipelines/queries.py (r5), no behavior change."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pathlib import Path
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from medical_ocr_service_ray.config import set_engine_shuffle_profile
+from medical_ocr_service_ray.functions.textstats import (
+    LANGS,
+    STOPWORDS,
+    sql_lang_score,
+    sql_occurrences,
+)
+from medical_ocr_service_ray.stages import text as text_stages
+from medical_ocr_service_ray.stages.aggregate import (
+    bucketed_combine,
+    driver_combine,
+    partial_then_combine,
+)
+from medical_ocr_service_ray.stages.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
+from medical_ocr_service_ray.stages.join import BroadcastMapper, SemiAntiFilter
+from medical_ocr_service_ray.pipelines._qcommon import (
+    Path,
+    STOPWORDS,
+    _cents,
+    _read,
+    bucketed_combine,
+    driver_combine,
+    np,
+    pa,
+    partial_then_combine,
+    pc,
+    pd,
+    pq,
+    rd,
+    sql_occurrences,
+    text_stages,
+)
+from medical_ocr_service_ray.pipelines.queries_core import _session_key
+
+
+
+
+# ------------------------------------------------------- q35-q38 (sampling)
+
+def q35_train_test_split(sf_dir: str):
+    """Deterministic train/test hash split (training-data op): split is a
+    pure arithmetic function of doc_id (Knuth multiplicative hash mod 100),
+    so it is reproducible at any scale, immune to repartitioning, and
+    SQL-exact. No shuffle — a stateless per-batch map."""
+    from medical_ocr_service_ray.stages.sampling import hash_split
+
+    ds = hash_split(_read(sf_dir, "documents", ["doc_id"]), "doc_id", train_pct=80)
+    return ds.select_columns(["doc_id", "split"])
+
+
+_Q35_SQL = """
+SELECT doc_id,
+       CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q36_sliding_windows(sf_dir: str):
+    """Sliding event-time windows (60 min length, 30 min slide): each event
+    belongs to exactly two windows, exploded per batch, then the engine-wide
+    partial+bucketed-combine aggregation. window_start is epoch seconds
+    (integer) so Ray and SQL agree bit-for-bit."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sec = df.ts.astype("datetime64[us]").astype("int64") // 1_000_000
+        w1 = (sec // 1800) * 1800
+        v4 = _cents(df.value, 10000)
+        both = pd.DataFrame(
+            {
+                "window_start": pd.concat([pd.Series(w1), pd.Series(w1 - 1800)], ignore_index=True),
+                "v4": pd.concat([pd.Series(v4), pd.Series(v4)], ignore_index=True),
+            }
+        )
+        return both.groupby("window_start", as_index=False).agg(
+            p_n=("v4", "size"), p_v4=("v4", "sum")
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("window_start", as_index=False).agg(
+            n_events=("p_n", "sum"), v4=("p_v4", "sum")
+        )
+        g["window_start"] = g.window_start.astype("int64")
+        g["n_events"] = g.n_events.astype("int64")
+        g["sum_value"] = g.v4.astype("int64") / 10000.0
+        return g[["window_start", "n_events", "sum_value"]]
+
+    return partial_then_combine(ds, partial, "window_start", combine, num_buckets=16)
+
+
+_Q36_SQL = """
+WITH w AS (
+  SELECT unnest([ (CAST(floor(epoch(ts) / 1800) AS BIGINT)) * 1800,
+                  (CAST(floor(epoch(ts) / 1800) AS BIGINT)) * 1800 - 1800 ]) AS window_start,
+         value
+  FROM events
+)
+SELECT window_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*10000, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_value
+FROM w GROUP BY window_start
+"""
+
+
+def q37_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: the 50 events with the smallest
+    (knuth_hash(event_id), event_id) per event_type — per-batch partial
+    top-k bounds the shuffle to O(groups x k) per batch (training-data op;
+    SQL-exact via the same arithmetic hash)."""
+    from medical_ocr_service_ray.stages.sampling import stratified_sample
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+    return stratified_sample(ds, "event_type", "event_id", k_per_group=50)
+
+
+_Q37_SQL = """
+SELECT event_id, event_type, user_id FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY event_type
+  ORDER BY (event_id * 2654435761) % 4294967296, event_id
+) <= 50
+"""
+
+
+def q38_pack_sequences(sf_dir: str):
+    """Context-length sequence packing (training-data op): every document
+    assigned to exactly one pack with total whitespace tokens <= 512
+    (oversize docs get singleton packs); greedy first-fit in ascending
+    doc_id order inside each hash bucket, so the result is a pure function
+    of the ids (invariant to input partitioning). SQL-oracled: the greedy
+    simulation is reproduced exactly by a recursive CTE that advances one
+    document per bucket per step, carrying the open-pack state as parallel
+    (remaining, seq) lists (_Q38_SQL); pytest asserts the invariants."""
+    from medical_ocr_service_ray.stages.sampling import pack_sequences
+
+    return pack_sequences(_read(sf_dir, "documents", ["doc_id", "text"]), max_tokens=512)
+
+
+# Recursive first-fit simulation: `sim` steps through each bucket's docs in
+# doc_id order; `j` is the first open pack with room (list_position = 0/NULL
+# when none -> open a new pack). Recursion depth = max docs per bucket.
+_Q38_SQL = r"""
+WITH RECURSIVE counted AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         doc_id % 16 AS bucket
+  FROM documents
+), ranked AS (
+  SELECT doc_id, n_tokens, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM counted
+), sim(bucket, i, rems, seqs, next_seq, doc_id, n_tokens, seq) AS (
+  SELECT bucket, 0, CAST([] AS BIGINT[]), CAST([] AS BIGINT[]), 0,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM (SELECT DISTINCT bucket FROM ranked)
+  UNION ALL
+  SELECT s.bucket, s.i + 1,
+         CASE WHEN COALESCE(t.j, 0) = 0
+              THEN list_append(s.rems, greatest(0, 512 - d.n_tokens))
+              ELSE list_transform(range(1, len(s.rems) + 1),
+                                  x -> CASE WHEN x = t.j THEN s.rems[x] - d.n_tokens
+                                            ELSE s.rems[x] END)
+         END,
+         CASE WHEN COALESCE(t.j, 0) = 0 THEN list_append(s.seqs, s.next_seq) ELSE s.seqs END,
+         CASE WHEN COALESCE(t.j, 0) = 0 THEN s.next_seq + 1 ELSE s.next_seq END,
+         d.doc_id, d.n_tokens,
+         CASE WHEN COALESCE(t.j, 0) = 0 THEN s.next_seq ELSE s.seqs[t.j] END
+  FROM sim s
+  JOIN ranked d ON d.bucket = s.bucket AND d.rn = s.i + 1
+  CROSS JOIN LATERAL (
+    SELECT list_position(list_transform(s.rems, r -> r >= d.n_tokens), true) AS j
+  ) t
+), assigned AS (
+  SELECT doc_id, n_tokens, bucket * 4294967296 + seq AS pack_id
+  FROM sim WHERE i > 0
+)
+SELECT doc_id, n_tokens, pack_id,
+       CAST(SUM(n_tokens) OVER (PARTITION BY pack_id) AS BIGINT) AS pack_tokens
+FROM assigned
+"""
+
+
+def q40_approx_quantiles(sf_dir: str):
+    """Approximate value quantiles over events via a mergeable log-histogram
+    sketch (DDSketch-family, <= ~1% relative error at gamma=1.02): one
+    KB-sized sketch per batch, merged on the driver — the quantile companion
+    to the HLL distinct sketch (q31). The estimator is DETERMINISTIC (counts
+    in log buckets; ln/pow verified bit-identical numpy vs DuckDB on this
+    box), so unlike q31 it carries an exact SQL oracle that rebuilds the
+    same histogram; error bounds vs exact stay pytest-checked
+    (tests/test_sketch.py). num_partials (a Ray blocking detail) is
+    deliberately NOT in the output — it isn't a property of the data."""
+    from medical_ocr_service_ray.stages.sketch import approx_quantiles
+
+    res = approx_quantiles(
+        _read(sf_dir, "events", ["value"]), "value", quantiles=(0.5, 0.9, 0.99)
+    )
+    return pd.DataFrame(
+        {
+            "n": [int(res["n"])],
+            "p50": [res["p50"]],
+            "p90": [res["p90"]],
+            "p99": [res["p99"]],
+        }
+    )
+
+
+def _q40_sql(gamma: float = 1.02) -> str:
+    """The sketch's histogram, rebuilt in SQL: bucket = CEIL(LN(v)/LN(g))
+    (bit-identical to numpy on this box — verified over the full data and
+    bucket range), rank = q*(n-1), answer = pow(g, b-0.5) of the first
+    bucket whose zero-inclusive cumulative count exceeds the rank."""
+
+    def pick(q: float) -> str:
+        return f"""
+  CASE WHEN {q} * (t.n - 1) < t.z THEN 0.0
+       ELSE (SELECT pow({gamma}, CAST(MIN(b) AS DOUBLE) - 0.5)
+             FROM cum WHERE t.z + cumc > {q} * (t.n - 1)) END"""
+
+    return f"""
+WITH vals AS (SELECT value FROM events WHERE value IS NOT NULL),
+t AS (SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE value <= 0) AS z FROM vals),
+hist AS (
+  SELECT CAST(CEIL(LN(value) / LN({gamma})) AS BIGINT) AS b, COUNT(*) AS c
+  FROM vals WHERE value > 0 GROUP BY 1
+),
+cum AS (SELECT b, SUM(c) OVER (ORDER BY b) AS cumc FROM hist)
+SELECT CAST(t.n AS BIGINT) AS n,
+       {pick(0.5)} AS p50,
+       {pick(0.9)} AS p90,
+       {pick(0.99)} AS p99
+FROM t
+"""
+
+
+def q39_corpus_prep(sf_dir: str):
+    """FLAGSHIP COMPOSITION (training-data pipeline): the classic pretraining
+    corpus-prep chain as one streaming composition of the engine's stages —
+
+        documents
+          -> exact dedup keyed on sha256 (keep min doc_id, full row carried
+             through the bucketed combine: no winner-set broadcast)
+          -> quality filter (integer quality score >= 150)
+          -> deterministic hash split, keep the train side
+          -> context-length sequence packing (<= 512 tokens per pack)
+
+    Returns (doc_id, n_tokens, pack_id, pack_tokens) for the packed train
+    corpus. SQL-oracled END-TO-END (_q39_sql): DuckDB sha256 window dedup ->
+    the q11 quality formula -> the q35 Knuth split -> the q38 recursive
+    first-fit simulation, composed over the same survivor set; the
+    composition invariants are additionally gated in
+    tests/test_sampling.py::TestCorpusPrep."""
+    from medical_ocr_service_ray.stages.dedup import add_sha_batch
+    from medical_ocr_service_ray.stages.sampling import hash_split, pack_sequences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = docs.map_batches(
+        lambda t: add_sha_batch(t, "text"), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # keyed dedupe carrying the full row: all rows of a sha share a bucket,
+    # min(doc_id) per sha is globally exact
+    def keep_min_per_sha(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["text_sha256", "doc_id"], kind="mergesort")
+        return df.groupby("text_sha256", as_index=False).head(1)[["doc_id", "text"]]
+
+    unique_docs = bucketed_combine(hashed, "text_sha256", keep_min_per_sha, num_buckets=16)
+
+    def quality_filter(t: pa.Table) -> pa.Table:
+        scored = text_stages.quality_batch(
+            pa.table({"doc_id": t["doc_id"], "text": t["text"]})
+        )
+        mask = pc.greater_equal(scored["quality"], pa.scalar(150, pa.int64()))
+        return t.filter(mask)
+
+    good = unique_docs.map_batches(quality_filter, batch_format="pyarrow")
+
+    def keep_train(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["split"], pa.scalar("train")))
+
+    train = hash_split(good, "doc_id", train_pct=80).map_batches(
+        keep_train, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pack_sequences(train, max_tokens=512)
+
+
+def _q39_sql() -> str:
+    """The q39 chain composed in DuckDB: each CTE mirrors one engine stage
+    (dedup=q7 semantics, quality=q11 formula, split=q35 Knuth arithmetic,
+    packing=q38 recursive first-fit over the surviving train docs)."""
+    stop = " + ".join(sql_occurrences("p", s) for s in STOPWORDS)
+    punct = " + ".join(sql_occurrences("text", c) for c in (".", ",", "!"))
+    return rf"""
+WITH RECURSIVE uniq AS (
+  SELECT doc_id, text
+  FROM (SELECT doc_id, text,
+               row_number() OVER (PARTITION BY sha256(COALESCE(text, ''))
+                                  ORDER BY doc_id) AS rn
+        FROM documents)
+  WHERE rn = 1
+), qbase AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+         END AS n_tokens
+  FROM uniq
+), qscored AS (
+  SELECT doc_id, n_tokens, {stop} AS stop_hits, {punct} AS punct_count FROM qbase
+), ranked AS (
+  SELECT doc_id, n_tokens, doc_id % 16 AS bucket,
+         row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+  FROM qscored
+  WHERE least(n_tokens, 200) * 2 + least(stop_hits * 10, 100) * 3
+        + least(punct_count * 5, 100) >= 150
+    AND ((doc_id * 2654435761) % 4294967296) % 100 < 80
+), sim(bucket, i, rems, seqs, next_seq, doc_id, n_tokens, seq) AS (
+  SELECT bucket, 0, CAST([] AS BIGINT[]), CAST([] AS BIGINT[]), 0,
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM (SELECT DISTINCT bucket FROM ranked)
+  UNION ALL
+  SELECT s.bucket, s.i + 1,
+         CASE WHEN COALESCE(t.j, 0) = 0
+              THEN list_append(s.rems, greatest(0, 512 - d.n_tokens))
+              ELSE list_transform(range(1, len(s.rems) + 1),
+                                  x -> CASE WHEN x = t.j THEN s.rems[x] - d.n_tokens
+                                            ELSE s.rems[x] END)
+         END,
+         CASE WHEN COALESCE(t.j, 0) = 0 THEN list_append(s.seqs, s.next_seq) ELSE s.seqs END,
+         CASE WHEN COALESCE(t.j, 0) = 0 THEN s.next_seq + 1 ELSE s.next_seq END,
+         d.doc_id, d.n_tokens,
+         CASE WHEN COALESCE(t.j, 0) = 0 THEN s.next_seq ELSE s.seqs[t.j] END
+  FROM sim s
+  JOIN ranked d ON d.bucket = s.bucket AND d.rn = s.i + 1
+  CROSS JOIN LATERAL (
+    SELECT list_position(list_transform(s.rems, r -> r >= d.n_tokens), true) AS j
+  ) t
+), assigned AS (
+  SELECT doc_id, n_tokens, bucket * 4294967296 + seq AS pack_id
+  FROM sim WHERE i > 0
+)
+SELECT doc_id, n_tokens, pack_id,
+       CAST(SUM(n_tokens) OVER (PARTITION BY pack_id) AS BIGINT) AS pack_tokens
+FROM assigned
+"""
+
+
+# --------------------------------------------------------------------- q41
+
+def q41_inverted_index(sf_dir: str):
+    """Inverted-index build over the documents table: token -> document
+    frequency, corpus frequency, and the top-5 posting rows by term
+    frequency (tf desc, doc_id asc). Exploded scalar rows -> hash-exact SQL
+    oracle. The retrieval-index analogue of the engine's aggregation
+    pattern: per-batch (token, doc, tf) partials, one token-keyed bucketed
+    combine (stages/text.py:inverted_index)."""
+    return text_stages.inverted_index(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=5
+    )
+
+
+_Q41_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}_]+')) AS token
+  FROM documents
+), tf AS (
+  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY token, doc_id
+), agg AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY token
+), ranked AS (
+  SELECT token, doc_id, tf,
+         row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rank
+  FROM tf
+)
+SELECT r.token, CAST(r.rank AS BIGINT) AS rank, r.doc_id, r.tf, a.df, a.cf
+FROM ranked r JOIN agg a USING (token)
+WHERE r.rank <= 5
+"""
+
+
+# --------------------------------------------------------------------- q42
+
+def q42_user_running_features(sf_dir: str):
+    """Per-user running history features over events: row number, running
+    fixed-point sum of value, whole-second gap since the previous event —
+    the canonical feature-engineering window shape. One hash-keyed exchange
+    (output rows == input rows), vectorized per-bucket kernels, int64
+    arithmetic end-to-end (stages/window.py:running_aggregates)."""
+    from medical_ocr_service_ray.stages.window import running_aggregates
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = running_aggregates(
+        ds,
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        cum_sum_col="value",
+        cum_scale=10000,
+        gap_from="ts",
+        num_buckets=16,
+    )
+    return out.map_batches(
+        lambda df: df[["user_id", "event_id", "rn", "cum_value_x10000", "gap_s"]],
+        batch_format="pandas",
+    )
+
+
+_Q42_SQL = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) OVER w AS BIGINT)
+         AS cum_value_x10000,
+       CAST(COALESCE((epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000, -1)
+         AS BIGINT) AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --------------------------------------------------------------------- q43
+
+# Fixed retrieval workload (literals shared verbatim with the SQL oracle;
+# 'warehouse' is deliberately out-of-vocabulary to exercise the zero-df path).
+_BM25_QUERIES = {
+    "r1": "fast hash join",
+    "r2": "sort merge join big table",
+    "r3": "stream window agg",
+    "r4": "slow warehouse scan filter query",
+    "r5": "vector data row dup",
+}
+
+
+def q43_bm25_search(sf_dir: str):
+    """Quantized-BM25 top-10 retrieval over documents for a fixed query
+    workload (stages/bm25.py). Integer-exact scores: int64 tf-normalization
+    + per-token 1e6-quantized ln idf, so the DuckDB oracle hash-matches.
+    Two streaming passes: corpus stats (driver-combinable by construction),
+    then broadcast-idf scoring with per-batch partial top-k."""
+    from medical_ocr_service_ray.stages.bm25 import bm25_topk
+
+    return bm25_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]), _BM25_QUERIES, k=10
+    )
+
+
+def _q43_sql() -> str:
+    qvals = ",\n         ".join(
+        f"('{qid}', '{qtext}')" for qid, qtext in _BM25_QUERIES.items()
+    )
+    return rf"""
+WITH qdefs(query_id, qtext) AS (
+  VALUES {qvals}
+), qterms AS (
+  SELECT DISTINCT query_id, unnest(regexp_extract_all(lower(qtext), '[\p{{L}}\p{{N}}_]+')) AS token
+  FROM qdefs
+), toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\p{{L}}\p{{N}}_]+')) AS token
+  FROM documents
+), docstats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), corpus AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n,
+         (SELECT CAST(COALESCE(SUM(dl), 0) AS BIGINT) FROM docstats) AS l
+), tf AS (
+  SELECT q.query_id, t.doc_id, t.token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks t JOIN (SELECT DISTINCT token, query_id FROM qterms) q USING (token)
+  GROUP BY q.query_id, t.doc_id, t.token
+), df AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks WHERE token IN (SELECT token FROM qterms) GROUP BY token
+), idf AS (
+  SELECT token,
+         CAST(floor(1000000 * ln((2.0 * (g.n + 1)) / (2 * d.df + 1))) AS BIGINT) AS idf_q
+  FROM df d, corpus g WHERE d.df > 0
+), scored AS (
+  SELECT tf.query_id, tf.doc_id,
+         CAST(SUM(i.idf_q * ((22000000 * tf.tf * g.l)
+              // (10 * tf.tf * g.l + 3 * g.l + 9 * ds.dl * g.n))) AS BIGINT) AS score_q
+  FROM tf
+  JOIN idf i USING (token)
+  JOIN docstats ds ON tf.doc_id = ds.doc_id
+  CROSS JOIN corpus g
+  GROUP BY tf.query_id, tf.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, score_q,
+         row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
+  FROM scored WHERE score_q > 0
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_q
+FROM ranked WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------- q44
+
+def q44_exact_group_quantiles(sf_dir: str):
+    """Exact per-group percentiles of a discrete-valued column via mergeable
+    value-count histograms (stages/quantiles.py) — the exact complement of
+    q40's log-histogram sketch. Exchange volume is O(groups x distinct
+    values), independent of row count."""
+    from medical_ocr_service_ray.stages.quantiles import exact_group_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return exact_group_quantiles(
+        ds,
+        key="l_returnflag",
+        value_col="l_quantity",
+        quantiles=[("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10)],
+        num_buckets=4,
+    )
+
+
+_Q44_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, v, cnt,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum_n,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM counts
+)
+SELECT l_returnflag,
+       CAST(any_value(n) AS BIGINT) AS n,
+       MIN(v) FILTER (WHERE cum_n >= (n * 1 + 3) // 4) AS p25,
+       MIN(v) FILTER (WHERE cum_n >= (n * 1 + 1) // 2) AS p50,
+       MIN(v) FILTER (WHERE cum_n >= (n * 9 + 9) // 10) AS p90
+FROM cum GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------- q45
+
+def q45_incremental_dedup(sf_dir: str):
+    """Incremental exact dedup against a persisted bucketed hash index
+    (stages/incremental.py): ingest the docs with doc_id % 5 < 3 first
+    (building the index), then present the FULL table as a re-delivery
+    batch; the result is only the genuinely new rows. A fresh tmp index per
+    call keeps the query side-effect-free for the driver. The SQL oracle
+    replays the same two-step membership semantics with DuckDB's sha256."""
+    import shutil
+    import tempfile
+
+    from medical_ocr_service_ray.stages.incremental import incremental_exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="mosr_incdedup_")
+    try:
+        batch1 = docs.map_batches(
+            lambda t: t.filter(pa.array(t["doc_id"].to_numpy() % 5 < 3)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        # consume: the index write is the effect we need
+        incremental_exact_dedup(batch1, idx, num_buckets=8).materialize()
+        fresh = incremental_exact_dedup(docs, idx, num_buckets=8)
+        out = fresh.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return out
+
+
+_Q45_SQL = """
+WITH h AS (
+  SELECT doc_id, sha256(COALESCE(text, '')) AS text_sha256 FROM documents
+), ingested AS (
+  SELECT DISTINCT text_sha256 FROM h WHERE doc_id % 5 < 3
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text_sha256
+FROM h
+WHERE text_sha256 NOT IN (SELECT text_sha256 FROM ingested)
+GROUP BY text_sha256
+"""
+
+
+# --------------------------------------------------------------------- q46
+
+def q46_kmeans_clusters(sf_dir: str):
+    """Quantized Lloyd's k-means over the embeddings table (k=8, 4
+    iterations): fit via per-iteration broadcast + one streaming partial-sum
+    pass, then one labeling pass. Integer arithmetic end-to-end makes the
+    result bit-deterministic and partitioning-invariant (pytest equality vs
+    a same-arithmetic numpy reference) — and, since every step is exact
+    int64 (floor-quantize, int argmin with lowest-index ties, floor-divided
+    centroid updates), the WHOLE iteration unrolls into an exact DuckDB
+    oracle (``_q46_sql``): iterative != non-SQL-expressible when the
+    arithmetic is integer and the iteration count is fixed."""
+    from medical_ocr_service_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    centroids = kmeans_fit(ds, k=8, iters=4)
+    return kmeans_assign(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), centroids)
+
+
+def _kmeans_cte_chain(k: int, iters: int, dim: int, scale: int) -> str:
+    """Unrolled Lloyd's iterations as CTE layers ending in ``c{iters}``
+    (cluster, c) plus the quantized input relation ``q`` (vec_id, v).
+    Shared by the q46 and q78 oracles. Exactness argument:
+    quantized coords |q| <= ~scale, so dots <= dim*scale^2 ~ 6.7e7 — integer-
+    valued doubles well under 2^53; assignment scores CAST back to BIGINT are
+    exact. Ties -> lowest cluster via the window ORDER BY. Centroid update
+    subtracts the positive floor-mod before dividing, so truncating division
+    equals numpy's floor division on negative sums. Empty clusters keep the
+    previous centroid (COALESCE), mirroring kmeans_fit."""
+    parts = [
+        f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x * {scale} + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+  FROM q ORDER BY vec_id LIMIT {k}
+)"""
+    ]
+    for it in range(1, iters + 1):
+        prev, cur = f"c{it - 1}", f"c{it}"
+        parts.append(
+            f""", a{it} AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT q.vec_id, q.v, c.cluster,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CAST(list_inner_product(c.c, c.c) AS BIGINT)
+                      - 2 * CAST(list_inner_product(q.v, c.c) AS BIGINT),
+                      c.cluster) AS rn
+    FROM q, {prev} c) WHERE rn = 1
+), upd{it} AS (
+  SELECT cluster, list(cj ORDER BY i) AS c FROM (
+    SELECT cluster, i,
+           CAST((s - (((s % n) + n) % n)) / n AS BIGINT) AS cj
+    FROM (
+      SELECT a.cluster, t.i, SUM(a.v[t.i]) AS s, COUNT(*) AS n
+      FROM a{it} a, UNNEST(generate_series(1, {dim})) AS t(i)
+      GROUP BY a.cluster, t.i))
+  GROUP BY cluster
+), {cur} AS (
+  SELECT p.cluster, COALESCE(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN upd{it} u USING (cluster)
+)"""
+        )
+    return "".join(parts)
+
+
+def _q46_sql(k: int = 8, iters: int = 4, dim: int = 64, scale: int = 1024) -> str:
+    """Final labeling pass over the unrolled-Lloyd's chain (_kmeans_cte_chain)."""
+    return (
+        _kmeans_cte_chain(k, iters, dim, scale)
+        + f"""
+SELECT vec_id, cluster FROM (
+  SELECT q.vec_id, c.cluster,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY CAST(list_inner_product(c.c, c.c) AS BIGINT)
+                    - 2 * CAST(list_inner_product(q.v, c.c) AS BIGINT),
+                    c.cluster) AS rn
+  FROM q, c{iters} c) WHERE rn = 1
+"""
+    )
+
+
+# --------------------------------------------------------------------- q47
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q47_event_type_pivot(sf_dir: str):
+    """Pivot / conditional aggregation: one row per user with event-type
+    counts spread into columns plus purchase value (SUM(CASE WHEN ...) — the
+    reference's per-status dashboard roll-up shape, A2/A5 analogue). user_id
+    cardinality is unbounded at scale, so partial per batch then ONE bucketed
+    combine; the pivot itself is free (it happens inside the partial, before
+    any exchange)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"user_id": df.user_id.astype("int64")})
+        for et in _EVENT_TYPES:
+            out[f"n_{et}"] = (df.event_type == et).astype("int64")
+        v10000 = np.rint(df.value.astype("float64") * 10000).astype("int64")
+        out["purchase_value_x10000"] = np.where(df.event_type == "purchase", v10000, 0)
+        return out.groupby("user_id", as_index=False).sum()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).sum()
+
+    return partial_then_combine(ds, partial, "user_id", combine, num_buckets=16)
+
+
+_Q47_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type='click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type='error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type='view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type='purchase'
+                     THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS purchase_value_x10000
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------- q48
+
+def q48_rollup_revenue(sf_dir: str):
+    """ROLLUP / grouping-sets aggregate: order revenue at three grain levels
+    (region+nation, region, grand total) in ONE pass. Facts carry only a
+    broadcast-mapped dim key; the rollup levels are derived from the
+    (≤ nations) combined result — no second scan, no extra shuffle. At
+    100 TB the custkey map becomes a keyed join (q33's documented caveat);
+    nation/region stay broadcast."""
+    import ray
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    r_name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nk_to_names = {
+        nk: (r_name[rk], nn)
+        for nk, nn, rk in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist(),
+            nation["n_regionkey"].to_pylist(),
+        )
+    }
+    cust_r = {}
+    cust_n = {}
+    for c, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()):
+        rn, nn = nk_to_names[nk]
+        cust_r[c] = rn
+        cust_n[c] = nn
+    ref_r, ref_n = ray.put(cust_r), ray.put(cust_n)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        return (
+            pd.DataFrame(
+                {
+                    "r_name": df.o_custkey.map(_ray.get(ref_r)),
+                    "n_name": df.o_custkey.map(_ray.get(ref_n)),
+                    "cents": _cents(df.o_totalprice),
+                }
+            )
+            .groupby(["r_name", "n_name"], as_index=False)
+            .agg(p_cents=("cents", "sum"), p_n=("cents", "size"))
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        base = df.groupby(["r_name", "n_name"], as_index=False).agg(
+            revenue_cents=("p_cents", "sum"), n_orders=("p_n", "sum")
+        )
+        lvl0 = base.assign(lvl=0)
+        lvl1 = (
+            base.groupby("r_name", as_index=False)
+            .agg(revenue_cents=("revenue_cents", "sum"), n_orders=("n_orders", "sum"))
+            .assign(n_name="ALL", lvl=1)
+        )
+        lvl2 = pd.DataFrame(
+            {
+                "r_name": ["ALL"],
+                "n_name": ["ALL"],
+                "revenue_cents": [base.revenue_cents.sum()],
+                "n_orders": [base.n_orders.sum()],
+                "lvl": [2],
+            }
+        )
+        out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)
+        out["lvl"] = out.lvl.astype("int64")
+        out["revenue_cents"] = out.revenue_cents.astype("int64")
+        out["n_orders"] = out.n_orders.astype("int64")
+        return out[["r_name", "n_name", "lvl", "revenue_cents", "n_orders"]]
+
+    # ≤ |nations| distinct keys per batch partial => driver combine is exact
+    return driver_combine(orders, partial, combine)
+
+
+_Q48_SQL = """
+WITH rev AS (
+  SELECT r_name, n_name, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+)
+SELECT COALESCE(r_name, 'ALL') AS r_name,
+       COALESCE(n_name, 'ALL') AS n_name,
+       CAST(GROUPING(r_name) + GROUPING(n_name) AS BIGINT) AS lvl,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM rev GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+# --------------------------------------------------------------------- q49
+
+def q49_top_events_per_user(sf_dir: str):
+    """Top-3 events per user by value (row_number() per group over unbounded
+    group cardinality — T1/T3 generalized to per-key). Per-batch partial
+    top-k bounds the exchange to O(users × 3) rows; the bucketed combine
+    re-ranks exactly. Deterministic tiebreak (value desc, event_id asc)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+    K = 3
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "v10000", "event_id"], ascending=[True, False, True]
+        )
+        return df.groupby("user_id", as_index=False).head(K)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(v10000=np.rint(df.value.astype("float64") * 10000).astype("int64"))
+        return topk(df)[["user_id", "event_id", "v10000"]]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = topk(df).copy()
+        out["rank"] = out.groupby("user_id").cumcount().astype("int64") + 1
+        return out[["user_id", "rank", "event_id", "v10000"]]
+
+    return partial_then_combine(ds, partial, "user_id", combine, num_buckets=16)
+
+
+_Q49_SQL = """
+WITH s AS (
+  SELECT user_id, event_id, CAST(round(value * 10000) AS BIGINT) AS v10000 FROM events
+), r AS (
+  SELECT user_id, event_id, v10000,
+         row_number() OVER (PARTITION BY user_id ORDER BY v10000 DESC, event_id) AS rn
+  FROM s
+)
+SELECT user_id, CAST(rn AS BIGINT) AS rank, event_id, v10000 FROM r WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------- q50
+
+_Q50_T1 = "2024-01-15 00:00:00"
+_Q50_T2 = "2024-01-23 00:00:00"
+
+
+def q50_snapshot_delta(sf_dir: str):
+    """Snapshot-delta / CDC operator: diff of the keyed latest-state view
+    ("latest event per user", q8's shape) between two as-of cutoffs, emitting
+    added/changed keys only. Both snapshots are computed in ONE scan + ONE
+    keyed exchange: the partial keeps a per-(user, snapshot) argmax candidate
+    per batch, the bucketed combine finishes the argmax and diffs. The
+    upsert-feed analogue of the reference's last-writer-wins sink (D4)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    t1_us = int(pd.Timestamp(_Q50_T1).value // 1000)
+    t2_us = int(pd.Timestamp(_Q50_T2).value // 1000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df.ts.astype("datetime64[us]").astype("int64")
+        base = pd.DataFrame(
+            {"user_id": df.user_id.astype("int64"), "event_id": df.event_id.astype("int64"), "us": us}
+        )
+        out = []
+        for snap, cutoff in ((1, t1_us), (2, t2_us)):
+            m = base[base.us < cutoff]
+            if len(m):
+                g = (
+                    m.sort_values(["user_id", "us", "event_id"])
+                    .groupby("user_id", as_index=False)
+                    .last()
+                )
+                g["snap"] = snap
+                out.append(g)
+        if not out:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "event_id": pd.Series(dtype="int64"),
+                    "us": pd.Series(dtype="int64"),
+                    "snap": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.sort_values(["user_id", "snap", "us", "event_id"])
+            .groupby(["user_id", "snap"], as_index=False)
+            .last()
+        )
+        p1 = g[g.snap == 1][["user_id", "event_id"]].rename(columns={"event_id": "old_event_id"})
+        p2 = g[g.snap == 2][["user_id", "event_id"]].rename(columns={"event_id": "new_event_id"})
+        m = p2.merge(p1, on="user_id", how="left")
+        m["change_type"] = np.where(m.old_event_id.isna(), "added", "changed")
+        m["old_event_id"] = m.old_event_id.fillna(-1).astype("int64")
+        m = m[m.old_event_id != m.new_event_id]
+        return m[["user_id", "change_type", "old_event_id", "new_event_id"]]
+
+    return partial_then_combine(ds, partial, "user_id", combine, num_buckets=16)
+
+
+_Q50_SQL = f"""
+WITH r1 AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts < TIMESTAMP '{_Q50_T1}'
+), l1 AS (SELECT user_id, event_id AS old_event_id FROM r1 WHERE rn = 1),
+r2 AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts < TIMESTAMP '{_Q50_T2}'
+), l2 AS (SELECT user_id, event_id AS new_event_id FROM r2 WHERE rn = 1)
+SELECT l2.user_id,
+       CASE WHEN l1.user_id IS NULL THEN 'added' ELSE 'changed' END AS change_type,
+       CAST(COALESCE(l1.old_event_id, -1) AS BIGINT) AS old_event_id,
+       l2.new_event_id
+FROM l2 LEFT JOIN l1 USING (user_id)
+WHERE l1.user_id IS NULL OR l1.old_event_id <> l2.new_event_id
+"""
+
+
+# --------------------------------------------------------------------- q51
+
+# probe vocabulary: deliberate typos of corpus tokens (shared verbatim with
+# the SQL oracle); exercises dist 1..n including the out-of-vocab path
+_Q51_VOCAB = ["jion", "scann", "sorrt", "aggg", "windw", "vektor"]
+
+
+def q51_fuzzy_vocab_match(sf_dir: str):
+    """Fuzzy vocabulary matcher (J2/J6 fuzzy fallback analogue): resolve each
+    document's leading token to its nearest probe term by Levenshtein
+    distance, dictionary-encoded per batch (one DP per DISTINCT token —
+    row-count independent for low-cardinality text columns;
+    functions/editdist.py). Stateless Arrow-in/pandas-kernel map_batches —
+    embarrassingly parallel, no exchange."""
+    from medical_ocr_service_ray.functions.editdist import best_match
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = list(_Q51_VOCAB)
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        first_tok = (
+            df.text.astype(str).str.lower().str.extract(r"([a-z]+)", expand=False).fillna("")
+        )
+        bm = best_match(first_tok, vocab)
+        return pd.DataFrame(
+            {
+                "doc_id": df.doc_id.astype("int64"),
+                "first_tok": first_tok,
+                "best_term": bm.best_term,
+                "best_dist": bm.best_dist,
+            }
+        )
+
+    return ds.map_batches(match, batch_format="pandas")
+
+
+def _q51_sql() -> str:
+    vals = ", ".join(f"('{t}')" for t in _Q51_VOCAB)
+    return f"""
+WITH probes(term) AS (VALUES {vals}),
+d AS (
+  SELECT doc_id, COALESCE(regexp_extract(lower(text), '[a-z]+'), '') AS first_tok
+  FROM documents
+), x AS (
+  SELECT doc_id, first_tok, term,
+         CAST(levenshtein(first_tok, term) AS BIGINT) AS dist,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY levenshtein(first_tok, term), term) AS rn
+  FROM d CROSS JOIN probes
+)
+SELECT doc_id, first_tok, term AS best_term, dist AS best_dist FROM x WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------- q52
+
+_Q52_OPS_RE = "join|scan|sort|merge"
+
+
+def q52_regex_fields(sf_dir: str):
+    """Regex field extraction (M10/M16 narrative-regex analogue as a generic
+    operator): pull structured columns out of free text with compiled,
+    vectorized patterns — first token + occurrence counts. Pattern semantics
+    are the intersection of Python re and RE2 (plain alternation of distinct
+    literals) so the DuckDB oracle matches exactly."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        text = df.text.astype(str)
+        return pd.DataFrame(
+            {
+                "doc_id": df.doc_id.astype("int64"),
+                "first_tok": text.str.lower().str.extract(r"([a-z]+)", expand=False).fillna(""),
+                "n_ops": text.str.count(_Q52_OPS_RE).astype("int64"),
+                "n_spark": text.str.count("spark").astype("int64"),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas")
+
+
+_Q52_SQL = f"""
+SELECT doc_id,
+       COALESCE(regexp_extract(lower(text), '[a-z]+'), '') AS first_tok,
+       CAST(len(regexp_extract_all(text, '{_Q52_OPS_RE}')) AS BIGINT) AS n_ops,
+       CAST(len(regexp_extract_all(text, 'spark')) AS BIGINT) AS n_spark
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------- q53
+
+def q53_funnel(sf_dir: str):
+    """Ordered-sequence funnel over the event stream: users reaching
+    view -> click(after) -> purchase(after), strict timestamp ordering.
+    The per-user stage times need all of a user's rows co-located once:
+    project to (user, type, us) at the read (3 int/short cols), ONE keyed
+    exchange, vectorized per-bucket stage computation, then a bounded
+    (3-row) driver sum. The sessionize/q28 family's analysis complement."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df.event_type.isin(["view", "click", "purchase"])]
+        return pd.DataFrame(
+            {
+                "user_id": m.user_id.astype("int64"),
+                "event_type": m.event_type,
+                "us": m.ts.astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    def stages(df: pd.DataFrame) -> pd.DataFrame:
+        t1 = (
+            df[df.event_type == "view"].groupby("user_id").us.min().rename("t1").reset_index()
+        )
+        b = df[df.event_type == "click"].merge(t1, on="user_id")
+        t2 = b[b.us > b.t1].groupby("user_id").us.min().rename("t2").reset_index()
+        c = df[df.event_type == "purchase"].merge(t2, on="user_id")
+        t3 = c[c.us > c.t2].groupby("user_id").us.min().rename("t3").reset_index()
+        return pd.DataFrame({"n1": [len(t1)], "n2": [len(t2)], "n3": [len(t3)]})
+
+    counts = bucketed_combine(
+        ds.map_batches(project, batch_format="pandas"), "user_id", stages, num_buckets=16
+    ).to_pandas()  # bounded: one row per bucket
+    return pd.DataFrame(
+        {
+            "stage": pd.array([1, 2, 3], dtype="int64"),
+            "n_users": pd.array(
+                [int(counts.n1.sum()), int(counts.n2.sum()), int(counts.n3.sum())],
+                dtype="int64",
+            ),
+        }
+    )
+
+
+_Q53_SQL = """
+WITH a AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), b AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN a USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > a.t1 GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN b USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > b.t2 GROUP BY 1
+)
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), (SELECT CAST(COUNT(*) AS BIGINT) FROM a)),
+  (CAST(2 AS BIGINT), (SELECT CAST(COUNT(*) AS BIGINT) FROM b)),
+  (CAST(3 AS BIGINT), (SELECT CAST(COUNT(*) AS BIGINT) FROM c))) AS f(stage, n_users)
+"""
+
+
+# --------------------------------------------------------------------- q54
+
+_TOOL_VIEW_KEY: list = [None]  # last (sf_dir, session) written to .../current
+
+
+def _tool_view_dir(sf_dir: str) -> str:
+    """Project the transcript corpus's tool-call rows (conv_id, turn_idx,
+    tool) to the FIXED path /tmp/mosr_tool_view/current so the static SQL
+    oracle reads the same rows the distributed query aggregates (same
+    mechanism as _extraction_view_dir / q17)."""
+    import shutil as _shutil
+
+    from medical_ocr_service_ray.synth import ensure_transcripts_for_sf
+
+    out = "/tmp/mosr_tool_view/current"
+    key = _session_key(sf_dir)
+    if _TOOL_VIEW_KEY[0] == key:
+        return out
+    corpus = ensure_transcripts_for_sf(sf_dir)
+    files = sorted(str(p) for p in Path(corpus).glob("*.parquet"))
+    sch = pq.read_schema(files[0]).remove_metadata()
+    sch = pa.schema([sch.field(c) for c in ["conv_id", "turn_idx", "role", "tool"]])
+    ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "role", "tool"], schema=sch)
+
+    def project(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t["role"], "tool"))
+        return m.select(["conv_id", "turn_idx", "tool"])
+
+    _shutil.rmtree(out, ignore_errors=True)
+    ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True).write_parquet(out)
+    _TOOL_VIEW_KEY[0] = key
+    return out
+
+
+def q54_tool_transitions(sf_dir: str):
+    """Agent-transcript analytics: tool-call transition bigram counts
+    (prev_tool -> next_tool within a conversation, turn order). The adjacency
+    needs each conversation co-located once: ONE keyed exchange on conv_id,
+    vectorized shift inside each bucket, then a bounded
+    (tools² × buckets) driver sum. North-rule-native: this is the kind of
+    corpus statistic a transcript pipeline publishes next to extraction."""
+    view = _tool_view_dir(sf_dir)
+    sch = pa.schema(
+        [pa.field("conv_id", pa.string()), pa.field("turn_idx", pa.int32()), pa.field("tool", pa.string())]
+    )
+    files = sorted(str(p) for p in Path(view).glob("*.parquet"))
+    ds = rd.read_parquet(files, schema=sch)
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"])
+        prev_tool = df.tool.shift(1)
+        same_conv = df.conv_id.eq(df.conv_id.shift(1))
+        m = pd.DataFrame(
+            {"prev_tool": prev_tool[same_conv], "next_tool": df.tool[same_conv]}
+        )
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "prev_tool": pd.Series(dtype="object"),
+                    "next_tool": pd.Series(dtype="object"),
+                    "p_n": pd.Series(dtype="int64"),
+                }
+            )
+        return m.groupby(["prev_tool", "next_tool"], as_index=False).agg(
+            p_n=("next_tool", "size")
+        )
+
+    counts = bucketed_combine(ds, "conv_id", transitions, num_buckets=16).to_pandas()
+    out = counts.groupby(["prev_tool", "next_tool"], as_index=False).agg(n=("p_n", "sum"))
+    out["n"] = out.n.astype("int64")
+    return out
+
+
+_Q54_SQL = """
+WITH t AS (
+  SELECT conv_id, turn_idx, tool
+  FROM read_parquet('/tmp/mosr_tool_view/current/*.parquet')
+), s AS (
+  SELECT conv_id, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+  FROM t
+)
+SELECT prev_tool, tool AS next_tool, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE prev_tool IS NOT NULL
+GROUP BY prev_tool, tool
+"""
+
+
+# --------------------------------------------------------------- q55 / q56
+
+def _q55_sides(sf_dir: str):
+    """Probe = orders projected to (o_orderkey, cents); build = the DISTINCT
+    orderkeys of high-quantity lineitems. Neither side is assumed to fit in
+    one object — this is the large-large semi/anti path (stages/bloom.py)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def hot_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_orderkey": df.l_orderkey[df.l_quantity >= 48].astype("int64").unique()}
+        )
+
+    build = li.map_batches(hot_keys, batch_format="pandas")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_orderkey": df.o_orderkey.astype("int64"), "cents": _cents(df.o_totalprice)}
+        )
+
+    probe = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        project, batch_format="pandas"
+    )
+    # filter sizing is an ESTIMATE (only moves the FPR, never correctness):
+    # high-quantity lines are a thin slice of lineitem
+    n_est = max(1024, pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows // 8)
+    return probe, build, n_est
+
+
+def q55_bloom_semi_join(sf_dir: str):
+    """Large-large EXACT semi join with a Bloom pre-filter: orders having at
+    least one lineitem with l_quantity >= 48. Definite Bloom negatives
+    (~80% of orders here) never enter the exchange; false positives die in
+    the exact per-bucket membership pass, so the result hash-matches the
+    EXISTS oracle (J5 at fact×fact scale; stages/bloom.py)."""
+    from medical_ocr_service_ray.stages.bloom import bloom_semi_join
+
+    probe, build, n_est = _q55_sides(sf_dir)
+    return bloom_semi_join(probe, build, "o_orderkey", n_build_keys=n_est)
+
+
+def q56_bloom_anti_join(sf_dir: str):
+    """Anti variant (J7 at fact×fact scale): orders with NO high-quantity
+    lineitem. Bloom negatives are emitted DIRECTLY (no-false-negative
+    guarantee) — only the possible-positive fraction pays the exchange."""
+    from medical_ocr_service_ray.stages.bloom import bloom_semi_join
+
+    probe, build, n_est = _q55_sides(sf_dir)
+    return bloom_semi_join(probe, build, "o_orderkey", n_build_keys=n_est, anti=True)
+
+
+_Q55_SQL = """
+SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+"""
+
+_Q56_SQL = """
+SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+"""
+
+
+# --------------------------------------------------------------- q57 / q58
+
+def q57_user_journeys(sf_dir: str):
+    """Ordered string aggregation (string_agg ... ORDER BY): each user's
+    event-type journey in strict (ts, event_id) order. A co-location op like
+    q42 — the concatenation is order-sensitive so it cannot pre-reduce
+    across batches; ONE keyed exchange on user_id (3 narrow columns + the
+    short type string), vectorized sort + join inside each bucket."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df.user_id.astype("int64"),
+                "event_type": df.event_type,
+                "us": df.ts.astype("datetime64[us]").astype("int64"),
+                "event_id": df.event_id.astype("int64"),
+            }
+        )
+
+    def journeys(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"])
+        out = df.groupby("user_id", as_index=False).agg(
+            journey=("event_type", ">".join), n_events=("event_type", "size")
+        )
+        out["n_events"] = out.n_events.astype("int64")
+        return out
+
+    return bucketed_combine(
+        ds.map_batches(project, batch_format="pandas"), "user_id", journeys, num_buckets=16
+    )
+
+
+_Q57_SQL = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS journey,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+_Q58_CAP = 256
+
+
+def q58_heavy_hitter_tokens(sf_dir: str):
+    """Approximate heavy hitters over document tokens (SpaceSaving sketch,
+    Metwally et al. 2005: fixed 256 counters however large the corpus,
+    KB-sized driver merge) — returned as the sketch's GUARANTEE AUDIT so
+    the order-sensitive sketch gets a deterministic DuckDB oracle. The
+    sketch contents depend on batch order, but its GUARANTEES don't:
+    (a) every token with true count*capacity > N is present, and
+    (b) every sketch item satisfies 0 <= est - true <= max_overestimate.
+    The query emits one row per guaranteed-heavy token
+    (item, true_count, ok) where ok = present AND within bounds, plus a
+    '__SKETCH__' summary row with true_count = min(n_distinct, capacity)
+    (the provable sketch size) and ok = every sketch item within bounds —
+    all deterministic IF the guarantees hold, which is exactly what the
+    SQL oracle (same rows with ok = TRUE literals) certifies. Exact
+    counts reduce in ONE token-keyed exchange (materialized once, read by
+    two bounded consumers); driver pulls are <= 2*capacity rows + one
+    totals row per block."""
+    from medical_ocr_service_ray.stages.sketch import SpaceSavingSketch
+
+    cap = _Q58_CAP
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def tokens_of(s: pd.Series) -> pd.Series:
+        vals = s.fillna("").astype(str).str.split(r"\s+").explode()
+        return vals[vals.str.len() > 0]
+
+    # pass 1 — sketch per batch (no exchange; partials are capacity-bounded)
+    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+        vc = tokens_of(df.text).value_counts()
+        sk = SpaceSavingSketch(cap)
+        sk.add_counts(vc.index.to_numpy(dtype=object), vc.to_numpy())
+        return pd.DataFrame({"sketch": [sk.serialize()]})
+
+    merged = SpaceSavingSketch(cap)
+    for row in ds.map_batches(sketch_batch, batch_format="pandas").take_all():
+        merged = merged.merge(SpaceSavingSketch.deserialize(row["sketch"]))
+    sk_items = dict(merged.counts)  # item -> (est, err); <= cap entries
+
+    # pass 2 — exact per-token counts, one token-keyed exchange
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = tokens_of(df.text).value_counts()
+        return pd.DataFrame(
+            {"item": vc.index.to_numpy(dtype=object),
+             "true_count": vc.to_numpy().astype("int64")}
+        )
+
+    def count_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("item", as_index=False)["true_count"].sum()
+
+    counts = partial_then_combine(
+        ds, count_partial, "item", count_combine
+    ).materialize()  # vocab-sized; object-store resident (spills), 2 readers
+
+    tot_parts = counts.map_batches(
+        lambda df: pd.DataFrame(
+            {"tot": [int(df.true_count.sum())], "nd": [len(df)]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()  # one tiny row per block
+    tot, nd = int(tot_parts.tot.sum()), int(tot_parts.nd.sum())
+
+    sketch_set = set(sk_items)  # <= cap strings, closure-captured broadcast
+
+    def relevant(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df.true_count.to_numpy() * cap > tot) | df.item.isin(sketch_set)
+        return df[m]
+
+    pulled = counts.map_batches(relevant, batch_format="pandas").to_pandas()
+    exact = dict(zip(pulled.item, pulled.true_count))  # <= 2*cap entries
+
+    def in_bounds(item) -> bool:
+        est, err = sk_items[item]
+        return 0 <= est - int(exact[item]) <= err
+
+    heavy = sorted(
+        pulled.item[pulled.true_count.to_numpy() * cap > tot].tolist()
+    )
+    rows = [
+        (g, int(exact[g]), (g in sk_items) and in_bounds(g)) for g in heavy
+    ]
+    rows.append(
+        (
+            "__SKETCH__",
+            min(nd, cap),
+            len(sk_items) == min(nd, cap) and all(in_bounds(i) for i in sk_items),
+        )
+    )
+    return pd.DataFrame(rows, columns=["item", "true_count", "ok"]).astype(
+        {"true_count": "int64", "ok": "bool"}
+    )
+
+
+def _q58_sql() -> str:
+    # The oracle certifies the audit: the guaranteed-heavy set and its exact
+    # counts are deterministic SQL; ok is the literal TRUE the guarantees
+    # promise. A sketch bug (missing heavy hitter, bound violation, wrong
+    # merged size) flips a Ray-side ok/row and fails the hash compare.
+    return rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(COALESCE(text, ''), '\s+')) AS item
+  FROM documents
+), t AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM toks WHERE length(item) > 0 GROUP BY item
+), n AS (
+  SELECT CAST(COALESCE(SUM(true_count), 0) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS nd
+  FROM t
+)
+SELECT item, true_count, TRUE AS ok FROM t, n WHERE true_count * {_Q58_CAP} > total
+UNION ALL
+SELECT '__SKETCH__', LEAST(nd, {_Q58_CAP}), TRUE FROM n
+"""
+
+
+# --------------------------------------------------------------- q59 / q60
+
+_Q59_SIZE, _Q59_STEP = 200, 150  # 50-char overlap
+
+
+def q59_chunk_documents(sf_dir: str):
+    """RAG-prep document chunking: overlapping fixed-size character windows
+    (size 200, stride 150). Embarrassingly parallel flat-map; vectorized by
+    CHUNK INDEX, not by row — one ``str.slice`` with scalar bounds per
+    chunk ordinal covers every doc long enough, so per-batch cost is
+    O(max_chunks) pandas kernels. Unicode-safe: codepoint slicing on both
+    engines (pandas str.slice == SQL substr on VARCHAR)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        text = df.text.astype(str)
+        lens = text.str.len()
+        out = []
+        max_chunks = int(np.ceil(lens.max() / _Q59_STEP)) if len(df) and lens.max() > 0 else 0
+        for i in range(max_chunks):
+            start = i * _Q59_STEP
+            m = lens > start
+            if not m.any():
+                break
+            piece = text[m].str.slice(start, start + _Q59_SIZE)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": df.doc_id[m].astype("int64"),
+                        "chunk_idx": np.int64(i),
+                        "chunk": piece,
+                        "chunk_chars": piece.str.len().astype("int64"),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "chunk_idx": pd.Series(dtype="int64"),
+                    "chunk": pd.Series(dtype="object"),
+                    "chunk_chars": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return ds.map_batches(chunk, batch_format="pandas")
+
+
+_Q59_SQL = f"""
+SELECT doc_id, CAST(s / {_Q59_STEP} AS BIGINT) AS chunk_idx,
+       substr(text, CAST(s + 1 AS BIGINT), {_Q59_SIZE}) AS chunk,
+       CAST(length(substr(text, CAST(s + 1 AS BIGINT), {_Q59_SIZE})) AS BIGINT) AS chunk_chars
+FROM (SELECT doc_id, text,
+             unnest(range(0, greatest(length(text), 0), {_Q59_STEP})) AS s
+      FROM documents)
+"""
+
+
+# patterns whose semantics are identical in Python re and RE2 (no
+# backrefs/lookaround): applied IN ORDER, global replace
+_REDACT_PATTERNS = [
+    ("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]"),
+    ("\\+?[0-9][0-9 -]{7,}[0-9]", "[PHONE]"),
+    ("[0-9]{6,}", "[ID]"),
+]
+
+
+def redact_text(series: pd.Series, patterns=None) -> tuple[pd.Series, pd.Series]:
+    """Generic multi-pattern PII scrub: sequential global regex replace
+    (compiled once, vectorized str.replace / str.count per pattern).
+    Returns (redacted, total_hits). The M10/M16 regex machinery pointed at
+    the privacy problem every training-data pipeline has."""
+    pats = patterns if patterns is not None else _REDACT_PATTERNS
+    out = series.astype(str)
+    hits = pd.Series(np.zeros(len(series), dtype=np.int64), index=series.index)
+    for pat, repl in pats:
+        hits = hits + out.str.count(pat).astype("int64")
+        out = out.str.replace(pat, repl, regex=True)
+    return out, hits
+
+
+def q60_redact_pii(sf_dir: str):
+    """PII redaction over customer names (the only column in the corpus
+    with real ID digit-runs; emails/phones are exercised by the planted
+    pytest). Stateless vectorized map_batches — no exchange."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        red, hits = redact_text(df.c_name)
+        return pd.DataFrame(
+            {"c_custkey": df.c_custkey.astype("int64"), "redacted": red, "n_hits": hits}
+        )
+
+    return ds.map_batches(scrub, batch_format="pandas")
+
+
+def _q60_sql() -> str:
+    expr = "c_name"
+    hit_terms = []
+    for pat, repl in _REDACT_PATTERNS:
+        hit_terms.append(f"len(regexp_extract_all({expr}, '{pat}'))")
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    hits = " + ".join(hit_terms)
+    return f"""
+SELECT c_custkey, {expr} AS redacted, CAST({hits} AS BIGINT) AS n_hits
+FROM customer
+"""
