@@ -1,16 +1,20 @@
-"""Pure-stdlib baseline JPEG codec (SOF0, huffman, 4:4:4 and 4:2:0).
+"""Pure-stdlib JPEG codec: baseline (SOF0) AND progressive (SOF2) decode.
 
 The last of the reference's raster formats to be un-stubbed
 (src/services/image.service.js:186-240 — sharp decodes JPEG before resize/
 feature work; this container has no pillow, so the codec is implemented
-from the JPEG spec: ITU-T T.81 baseline sequential DCT).
+from the JPEG spec: ITU-T T.81 baseline sequential DCT + Annex G
+progressive DCT).
 
-Decoder: SOI -> DQT/DHT/SOF0/DRI markers -> SOS entropy-coded segment
-(byte-stuffing removed), per-MCU huffman decode of DC deltas + AC
-run-lengths in zig-zag order, dequantize, 8x8 IDCT as two matrix products
-with the orthonormal DCT-II basis, upsample chroma, YCbCr -> RGB.
-Restart markers honored. Progressive (SOF2) raises JpegError — honest
-partial coverage, declared.
+Decoder: SOI -> DQT/DHT/SOF0|SOF2/DRI markers -> SOS entropy-coded
+segment(s) (byte-stuffing removed), per-MCU huffman decode of DC deltas +
+AC run-lengths in zig-zag order, dequantize, 8x8 IDCT as two matrix
+products with the orthonormal DCT-II basis, upsample chroma, YCbCr -> RGB.
+Restart markers honored. Progressive streams accumulate coefficients
+across scans (spectral selection + successive approximation, including
+the G.1.2.3 AC-refinement correction-bit algorithm and EOB runs), then
+reconstruct once at EOI. Arithmetic coding and hierarchical (SOF3+)
+remain declared unsupported.
 
 Encoder (fixture path): quality-scaled Annex-K quantization tables,
 standard Annex-K huffman tables, 4:4:4 (no subsampling), level-shifted
@@ -217,9 +221,9 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline JPEG to an (h, w, 3) uint8 RGB array. Grayscale
-    expands to 3 channels. Raises JpegError on progressive/arithmetic/
-    malformed streams."""
+    """Decode baseline (SOF0/1) or progressive (SOF2) JPEG to an (h, w, 3)
+    uint8 RGB array. Grayscale expands to 3 channels. Raises JpegError on
+    arithmetic/hierarchical/malformed streams."""
     data = bytes(payload)
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG payload")
@@ -228,11 +232,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[str, int], dict] = {}
     frame = None
     restart_interval = 0
+    coefs: list[np.ndarray] | None = None  # progressive coefficient store
+    got_scan = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError("marker expected")
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xD9:  # EOI (reached only on the progressive path)
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         seglen = struct.unpack_from(">H", data, pos)[0]
@@ -260,7 +268,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 values = list(seg[o + 17 : o + 17 + nv])
                 huff[("dc" if tc == 0 else "ac", th)] = _build_decode_table(bits, values)
                 o += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], struct.unpack_from(">H", seg, 1)[0], struct.unpack_from(">H", seg, 3)[0], seg[5]
             if prec != 8:
                 raise JpegError("only 8-bit precision")
@@ -268,9 +276,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError("only baseline sequential JPEG supported")
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                coefs = _alloc_prog_coefs(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError("only baseline/progressive huffman JPEG supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
@@ -278,12 +288,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise JpegError("SOS before SOF")
             ns = seg[0]
             scan = {}
+            scan_ids = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan[cs] = (tdta >> 4, tdta & 0x0F)
-            ecs = data[pos + seglen :]
-            return _decode_scan(frame, scan, qt, huff, ecs, restart_interval)
+                scan_ids.append(cs)
+            if not frame["progressive"]:
+                ecs = data[pos + seglen :]
+                return _decode_scan(frame, scan, qt, huff, ecs, restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ecs_start = pos + seglen
+            end = _ecs_end(data, ecs_start)
+            _decode_prog_scan(
+                frame, coefs, scan, scan_ids, ss, se, ahal >> 4, ahal & 0x0F,
+                huff, data[ecs_start:end], restart_interval,
+            )
+            got_scan = True
+            pos = end
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive") and got_scan:
+        return _reconstruct_progressive(frame, coefs, qt)
     raise JpegError("no SOS segment")
 
 
@@ -343,7 +369,11 @@ def _decode_scan(frame, scan, qt, huff, ecs, restart_interval):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu_count += 1
-    # upsample to full size
+    return _finish_planes(planes, comps, h, w, hmax, vmax)
+
+
+def _finish_planes(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Shared decode tail: chroma upsample, crop, YCbCr -> RGB."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -361,6 +391,229 @@ def _decode_scan(frame, scan, qt, huff, ecs, restart_interval):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+
+def _frame_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return comps, hmax, vmax, mcux, mcuy
+
+
+def _alloc_prog_coefs(frame) -> list[np.ndarray]:
+    """Per-component coefficient store for progressive decode: MCU-padded
+    block grid x 64 coefficients in ZIGZAG-scan order (int32 — successive
+    approximation touches single bits, never overflows 2^15)."""
+    comps, hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    if frame["h"] == 0 or frame["w"] == 0 or frame["h"] * frame["w"] > 64_000_000:
+        raise JpegError("bad dimensions")
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32) for c in comps
+    ]
+
+
+def _comp_block_dims(frame, c) -> tuple[int, int]:
+    """Non-interleaved scan block grid (T.81 A.1.1: ceil of the scaled
+    component dimensions, NOT the MCU-padded grid)."""
+    comps, hmax, vmax, _mx, _my = _frame_geometry(frame)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _ecs_end(data: bytes, start: int) -> int:
+    """Index just past a scan's entropy-coded bytes: the position of the
+    next marker that is neither byte-stuffing (FF00) nor a restart."""
+    i = start
+    n = len(data)
+    while i + 1 < n:
+        if data[i] == 0xFF and data[i + 1] != 0x00 and not (0xD0 <= data[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return n
+
+
+def _decode_prog_scan(
+    frame, coefs, scan, scan_ids, ss, se, ah, al, huff, ecs, restart_interval
+):
+    """One progressive SOS (T.81 Annex G): DC scans may be interleaved,
+    AC scans carry exactly one component; first passes (Ah=0) decode new
+    magnitudes at bit position Al, refinements (Ah=Al+1) append one
+    correction bit per touched coefficient (G.1.2.3)."""
+    comps, hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    br = _BitReader(ecs)
+    id2ci = {c["id"]: i for i, c in enumerate(comps)}
+
+    def expect_restart(state):
+        m = br.align_to_marker()
+        if m is None or not (0xD0 <= m <= 0xD7):
+            raise JpegError("missing restart marker")
+        state["pred"] = [0] * len(comps)
+        state["eobrun"] = 0
+
+    state = {"pred": [0] * len(comps), "eobrun": 0}
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise JpegError("DC scan must have Se=0")
+        units = 0
+        if len(scan_ids) > 1:  # interleaved MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and units and units % restart_interval == 0:
+                        expect_restart(state)
+                    for cs in scan_ids:
+                        ci = id2ci[cs]
+                        c = comps[ci]
+                        td = scan[cs][0]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                _dc_unit(
+                                    br, coefs[ci], my * c["v"] + by,
+                                    mx * c["h"] + bx, ah, al,
+                                    huff.get(("dc", td)), state["pred"], ci,
+                                )
+                    units += 1
+        else:
+            ci = id2ci[scan_ids[0]]
+            c = comps[ci]
+            td = scan[scan_ids[0]][0]
+            bh, bw = _comp_block_dims(frame, c)
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and units and units % restart_interval == 0:
+                        expect_restart(state)
+                    _dc_unit(
+                        br, coefs[ci], by, bx, ah, al,
+                        huff.get(("dc", td)), state["pred"], ci,
+                    )
+                    units += 1
+        return
+
+    # AC scan: exactly one component (T.81 G.1.1.1.1)
+    if len(scan_ids) != 1:
+        raise JpegError("progressive AC scan must be non-interleaved")
+    ci = id2ci[scan_ids[0]]
+    c = comps[ci]
+    ta = scan[scan_ids[0]][1]
+    act = huff.get(("ac", ta))
+    if act is None:
+        raise JpegError("missing AC huffman table")
+    bh, bw = _comp_block_dims(frame, c)
+    grid = coefs[ci]
+    units = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and units and units % restart_interval == 0:
+                expect_restart(state)
+            if ah == 0:
+                _ac_first_unit(br, grid[by, bx], ss, se, al, act, state)
+            else:
+                _ac_refine_unit(br, grid[by, bx], ss, se, al, act, state)
+            units += 1
+
+
+def _dc_unit(br, grid, by, bx, ah, al, dct, pred, ci):
+    if ah == 0:  # first DC pass: new magnitude at bit Al
+        if dct is None:
+            raise JpegError("missing DC huffman table")
+        t = _huff_decode(br, dct)
+        pred[ci] += _extend(br.read_bits(t), t)
+        grid[by, bx, 0] = pred[ci] << al
+    else:  # refinement: one bit
+        if br.read_bit():
+            grid[by, bx, 0] |= 1 << al
+
+
+def _ac_first_unit(br, block, ss, se, al, act, state):
+    """G.1.2.2: first AC pass over band [Ss, Se] — run-lengths of zeros,
+    new coefficients at magnitude << Al, EOB runs spanning blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise JpegError("AC index overflow")
+        block[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_unit(br, block, ss, se, al, act, state):
+    """G.1.2.3 AC refinement: correction bits for history-nonzero
+    coefficients, ±1<<Al placements for newly-nonzero ones (libjpeg
+    decode_mcu_AC_refine control flow)."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(br, act)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.read_bits(r)
+                    break
+                # r == 15: run of 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise JpegError("bad refinement magnitude")
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                v = int(block[k])
+                if v != 0:
+                    if br.read_bit() and (v & p1) == 0:
+                        block[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        if newval:
+                            block[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            v = int(block[k])
+            if v != 0 and br.read_bit() and (v & p1) == 0:
+                block[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct_progressive(frame, coefs, qt) -> np.ndarray:
+    """Dequantize + IDCT every accumulated block at EOI — one vectorized
+    einsum per component, no per-block Python."""
+    comps, hmax, vmax, _mx, _my = _frame_geometry(frame)
+    planes = []
+    for ci, c in enumerate(comps):
+        grid = coefs[ci]  # (bh, bw, 64) in zigzag order
+        q = qt.get(c["tq"])
+        if q is None:
+            raise JpegError("missing quantization table")
+        bh, bw = grid.shape[:2]
+        nat = np.zeros((bh, bw, 64), dtype=np.int64)
+        nat[..., ZIGZAG] = grid
+        coeff = nat.reshape(bh, bw, 8, 8) * q
+        pix = np.einsum("ij,xyjk,kl->xyil", _C.T, coeff.astype(np.float64), _C) + 128.0
+        planes.append(pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _finish_planes(planes, comps, frame["h"], frame["w"], hmax, vmax)
 
 
 class _BitWriter:
@@ -480,4 +733,174 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
                     bw.write(code, ln)
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _emit_sym(bw: _BitWriter, tab, sym: int) -> None:
+    code, ln = tab[sym]
+    bw.write(code, ln)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
+    """Progressive (SOF2) 4:4:4 JPEG from an (h, w, 3) uint8 RGB array —
+    the SOF2 fixture generator for decoder tests (no external encoder in
+    this container). Six scans exercising every decoder path: interleaved
+    DC first at Al=1, DC refinement, per-component AC first at Al=1
+    (spectral band 1..63), per-component AC refinement (Ah=1, Al=0) with
+    EOB runs capped at 1 so the Annex-K huffman tables suffice (only the
+    0x00 EOB symbol among the s=0 codes is ever emitted). Point
+    transforms follow T.81/libjpeg: arithmetic shift for DC,
+    sign-magnitude shift for AC."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise JpegError("need (h, w, 3) uint8")
+    h, w = img.shape[:2]
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    ql = np.zeros(64, dtype=np.int64)
+    ql[ZIGZAG] = _quality_scale(_QL, quality)
+    qc = np.zeros(64, dtype=np.int64)
+    qc[ZIGZAG] = _quality_scale(_QC, quality)
+    qms = (ql.reshape(8, 8), qc.reshape(8, 8), qc.reshape(8, 8))
+
+    # quantized zigzag coefficients per component, block raster order
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    bh, bw_ = ph // 8, pw // 8
+    zz_all = []
+    for p, qm in zip((y, cb, cr), qms):
+        pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        blocks = pad.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3)
+        coeff = np.einsum("ij,xyjk,kl->xyil", _C, blocks, _C.T)
+        qz = np.round(coeff / qm).astype(np.int64).reshape(bh, bw_, 64)
+        zz_all.append(qz[..., ZIGZAG])  # natural -> zigzag-scan order
+
+    enc = {k: _build_encode_table(*v) for k, v in _HT.items()}
+
+    out = bytearray(b"\xff\xd8")
+    for tq, tbl in ((0, _quality_scale(_QL, quality)), (1, _quality_scale(_QC, quality))):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(tbl[i]) for i in range(64)
+        )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, tq])
+    for (kind, tid), (bits, values) in _HT.items():
+        tc = 0 if kind == "dc" else 1
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values))
+        out += bytes([(tc << 4) | tid]) + bytes(bits) + bytes(values)
+
+    def sos_header(comp_specs, ss, se, ah, al) -> bytes:
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_specs), len(comp_specs))
+        for cid, tdta in comp_specs:
+            hdr += bytes([cid, tdta])
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    def dc_scan(al_bit: int, refine: bool) -> bytes:
+        bw = _BitWriter()
+        pred = [0, 0, 0]
+        for by in range(bh):
+            for bx in range(bw_):
+                for ci in range(3):
+                    dc = int(zz_all[ci][by, bx, 0])
+                    if not refine:
+                        v = dc >> al_bit  # arithmetic shift (T.81 DC)
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        t = 0 if diff == 0 else int(abs(diff)).bit_length()
+                        _emit_sym(bw, enc[("dc", 0 if ci == 0 else 1)], t)
+                        if t:
+                            bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+                    else:
+                        bw.write((dc >> al_bit) & 1, 1)
+        return bw.flush()
+
+    def ac_first(ci: int, al_bit: int) -> bytes:
+        tab = enc[("ac", 0 if ci == 0 else 1)]
+        bw = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw_):
+                blk = zz_all[ci][by, bx]
+                run = 0
+                emitted_any = False
+                last = 63
+                # sign-magnitude point transform: last nonzero AFTER shift
+                mags = np.abs(blk[1:]) >> al_bit
+                nz = np.nonzero(mags)[0]
+                last = (nz[-1] + 1) if len(nz) else 0
+                for k in range(1, last + 1):
+                    v = int(blk[k])
+                    m = abs(v) >> al_bit
+                    if m == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        _emit_sym(bw, tab, 0xF0)
+                        run -= 16
+                    s = int(m).bit_length()
+                    _emit_sym(bw, tab, (run << 4) | s)
+                    sv = m if v > 0 else -m
+                    bw.write(sv if sv > 0 else sv + (1 << s) - 1, s)
+                    run = 0
+                    emitted_any = True
+                if last < 63 or not emitted_any:
+                    _emit_sym(bw, tab, 0x00)  # EOB (run capped at 1)
+        return bw.flush()
+
+    def ac_refine(ci: int, al_bit: int) -> bytes:
+        # libjpeg encode_mcu_AC_refine with EOBRUN forced to <=1 per block
+        tab = enc[("ac", 0 if ci == 0 else 1)]
+        bw = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw_):
+                blk = zz_all[ci][by, bx]
+                absv = np.abs(blk) >> al_bit
+                eob = 0
+                for k in range(1, 64):
+                    if absv[k] == 1:
+                        eob = k
+                run = 0
+                pending: list[int] = []
+                for k in range(1, 64):
+                    m = int(absv[k])
+                    if m == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eob:
+                        _emit_sym(bw, tab, 0xF0)
+                        run -= 16
+                        for bit in pending:
+                            bw.write(bit, 1)
+                        pending = []
+                    if m > 1:  # history coefficient: correction bit
+                        pending.append(m & 1)
+                        continue
+                    # newly-nonzero (m == 1)
+                    _emit_sym(bw, tab, (run << 4) | 1)
+                    bw.write(1 if blk[k] > 0 else 0, 1)
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending = []
+                    run = 0
+                if run > 0 or pending:
+                    _emit_sym(bw, tab, 0x00)  # EOBRUN = 1
+                    for bit in pending:
+                        bw.write(bit, 1)
+        return bw.flush()
+
+    # scan 1: DC first (interleaved, Al=1); scan 2: DC refine
+    out += sos_header([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1)
+    out += dc_scan(1, refine=False)
+    out += sos_header([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 1, 0)
+    out += dc_scan(0, refine=True)
+    # scans 3-5: AC first per component (Al=1); scans 6-8: AC refine
+    for ci, cid in ((0, 1), (1, 2), (2, 3)):
+        out += sos_header([(cid, 0x00 if ci == 0 else 0x01)], 1, 63, 0, 1)
+        out += ac_first(ci, 1)
+    for ci, cid in ((0, 1), (1, 2), (2, 3)):
+        out += sos_header([(cid, 0x00 if ci == 0 else 0x01)], 1, 63, 1, 0)
+        out += ac_refine(ci, 0)
+    out += b"\xff\xd9"
     return bytes(out)

@@ -95,8 +95,10 @@ class MediaDecoderStub:
     streams + BT/ET text operators); SCANNED PDFs decode their real RASTER
     (extract_pdf_images: DCTDecode via the baseline JPEG decoder,
     FlateDecode raw bitmaps — the in-container analogue of the reference's
-    pdftoppm rasterize, pdf.service.js:17-109). Remaining formats
-    (progressive JPEG, video, exotic PDF filters) are STUBBED
+    pdftoppm rasterize, pdf.service.js:17-109). Progressive JPEGs (SOF2)
+    decode for real since round 5 (jpeg.py Annex-G multi-scan path, incl.
+    successive approximation). Remaining formats (video, exotic PDF
+    filters) are STUBBED
     (no pillow/ffmpeg in this container); the deterministic fake keeps every
     distributed aspect real: per-actor setup, small-batch processing,
     fixed-size feature output layout. A malformed PNG/WAV is an undecodable
@@ -133,8 +135,9 @@ class MediaDecoderStub:
             return None
 
     def _decode_jpeg(self, payload: bytes):
-        """Real pixels for baseline JPEGs (functions/jpeg.py: huffman + IDCT,
-        4:4:4 and 4:2:0; progressive raises -> fake path)."""
+        """Real pixels for baseline AND progressive JPEGs (functions/jpeg.py:
+        huffman + IDCT, 4:4:4 and 4:2:0, SOF2 multi-scan; arithmetic-coded
+        raises -> fake path)."""
         from medical_ocr_service_ray.functions import jpeg as _jpeg
 
         if not payload or bytes(payload[:3]) != b"\xff\xd8\xff":

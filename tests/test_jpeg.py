@@ -247,3 +247,67 @@ class TestJpegCodec:
         a, b = np.asarray(feats[0]), np.asarray(feats[1])
         assert float(np.abs(a - b).mean()) < 0.05
         assert not np.allclose(a, b, atol=1e-9)  # and genuinely lossy
+
+
+class TestProgressiveJpeg:
+    """SOF2 decode (T.81 Annex G): multi-scan spectral selection +
+    successive approximation must reconstruct EXACTLY the coefficients a
+    baseline scan of the same quantized image carries — so progressive and
+    baseline decodes of the same source are bit-identical."""
+
+    def test_bit_identical_to_baseline(self):
+        rng = np.random.default_rng(7)
+        for h, w in ((8, 8), (16, 16), (17, 9), (61, 83), (64, 48)):
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            base = J.decode_jpeg(J.encode_jpeg(img, quality=85))
+            prog = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=85))
+            assert prog.shape == (h, w, 3)
+            assert (prog == base).all(), (h, w)
+
+    def test_structured_image_and_qualities(self):
+        img = _gradient(45, 37)
+        for q in (30, 60, 95):
+            base = J.decode_jpeg(J.encode_jpeg(img, quality=q))
+            prog = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=q))
+            assert (prog == base).all(), q
+
+    def test_stream_is_really_progressive(self):
+        payload = J.encode_jpeg_progressive(_gradient(16, 16), 85)
+        assert b"\xff\xc2" in payload  # SOF2 marker
+        assert payload.count(b"\xff\xda") == 8  # 2 DC + 3 AC first + 3 AC refine
+
+    def test_refinement_paths_exercised(self):
+        """White noise at high quality: dense ACs force ZRL runs, EOB runs,
+        correction bits and newly-nonzero placements in the refine scans."""
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg(img, quality=95))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=95))
+        assert (prog == base).all()
+
+    def test_media_stage_decodes_progressive_pixels(self, ray_session):
+        """The q26 media path: a planted SOF2 payload must produce REAL-pixel
+        features (identical to the baseline JPEG of the same image), not the
+        blake2b fake."""
+        import pandas as pd
+        import pyarrow as pa
+
+        from medical_ocr_service_ray.stages.multimodal import MediaDecoderStub
+
+        img = _gradient(20, 28)
+        dec = MediaDecoderStub(op="features")
+        batch = pd.DataFrame(
+            {
+                "item_id": [0, 1],
+                "payload": [
+                    J.encode_jpeg_progressive(img, quality=95),
+                    J.encode_jpeg(img, quality=95),
+                ],
+                "declared_mime": ["image/jpeg", "image/jpeg"],
+                "meta": [{"width": 20, "height": 28, "ms": 0}] * 2,
+            }
+        )
+        out = dec(pa.Table.from_pandas(batch))
+        feats = out["features"].to_pylist()
+        # same quantization tables -> same decoded pixels -> same features
+        assert np.allclose(feats[0], feats[1], atol=1e-9)
