@@ -1018,8 +1018,10 @@ def _golden_fixture_dir(sf_dir: str) -> str | None:
         )
         pq.write_table(_q24_serial_golden(golden), q24_p)
 
+    from medical_ocr_service_ray.stages.multimodal import MEDIA_FIXTURE_VERSION
+
     n_media = _q26_n_media(sf_dir)
-    q26_p = cache / f"q26_media_{n_media}.parquet"
+    q26_p = cache / f"q26_media_{n_media}_v{MEDIA_FIXTURE_VERSION}.parquet"
     if not q26_p.exists():
         cache.mkdir(parents=True, exist_ok=True)
         pq.write_table(_q26_serial_golden(n_media), q26_p)

@@ -53,7 +53,6 @@ _MAGIC = (
     (b"II*\x00", "image/tiff"),
     (b"MM\x00*", "image/tiff"),
     (b"%PDF", "application/pdf"),
-    (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mpeg"),
     (b"\x1a\x45\xdf\xa3", "video/webm"),
 )
@@ -61,10 +60,14 @@ _MAGIC = (
 
 def sniff_mime(payload: bytes | None) -> str:
     """Magic-number MIME detection — never trusts declared_mime (anti-spoof,
-    file-validator.middleware.js:28-136)."""
+    file-validator.middleware.js:28-136). RIFF is a container: the form tag
+    at bytes 8-12 splits WebP images from WAV audio (any other RIFF form is
+    treated as WAV, the container's historical default here)."""
     if not payload:
         return "application/octet-stream"
     head = bytes(payload[:12])
+    if head.startswith(b"RIFF"):
+        return "image/webp" if head[8:12] == b"WEBP" else "audio/wav"
     for magic, mime in _MAGIC:
         if head.startswith(magic):
             return mime
@@ -97,8 +100,10 @@ class MediaDecoderStub:
     FlateDecode raw bitmaps — the in-container analogue of the reference's
     pdftoppm rasterize, pdf.service.js:17-109). Progressive JPEGs (SOF2)
     decode for real since round 5 (jpeg.py Annex-G multi-scan path, incl.
-    successive approximation). Remaining formats (video, exotic PDF
-    filters) are STUBBED
+    successive approximation), as do lossless (VP8L) WebP payloads
+    (functions/webp.py: full-spec decoder — the reference's sharp accepts
+    .webp, gpt-vision.service.js:245-256). Remaining formats (video, lossy
+    VP8 WebP, exotic PDF filters) are STUBBED
     (no pillow/ffmpeg in this container); the deterministic fake keeps every
     distributed aspect real: per-actor setup, small-batch processing,
     fixed-size feature output layout. A malformed PNG/WAV is an undecodable
@@ -173,15 +178,33 @@ class MediaDecoderStub:
         # grayscale -> (h, w, 3) so downstream features see one layout
         return np.repeat(img[:, :, None], 3, axis=2) if img.ndim == 2 else img
 
+    def _decode_webp(self, payload: bytes):
+        """Real pixels for lossless (VP8L) WebP payloads (functions/webp.py:
+        full-spec decoder — prefix codes, meta prefix, color cache, LZ77,
+        all four transforms). Lossy VP8 raises WebpError -> fake path."""
+        from medical_ocr_service_ray.functions import webp as _webp
+
+        if (
+            not payload
+            or bytes(payload[:4]) != b"RIFF"
+            or bytes(payload[8:12]) != b"WEBP"
+        ):
+            return None
+        try:
+            return _webp.decode_webp(payload)
+        except _webp.WebpError:
+            return None
+
     def _decode_image(self, payload: bytes):
-        """Any real raster codec that applies (PNG, BMP, GIF, TIFF, JPEG),
-        else None."""
+        """Any real raster codec that applies (PNG, BMP, GIF, TIFF, JPEG,
+        WebP), else None."""
         for dec in (
             self._decode_png,
             self._decode_bmp,
             self._decode_gif,
             self._decode_tiff,
             self._decode_jpeg,
+            self._decode_webp,
         ):
             img = dec(payload)
             if img is not None:
@@ -327,8 +350,15 @@ def media_pipeline(ds, op: str = "features", concurrency=(1, 4)):
     )
 
 
+# Bump when synth_media_table's payload mix changes: the q26 serial-golden
+# parquet is disk-cached per (corpus, EXTRACTOR_VERSION, THIS) — without the
+# bump a machine with a warm cache would compare new fixtures against an old
+# golden (queries_core._golden_fixture_dir keys the filename on it).
+MEDIA_FIXTURE_VERSION = 2
+
+
 def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
-    """Deterministic media fixture: REAL decodable JPEG/PNG/BMP/GIF/WAV
+    """Deterministic media fixture: REAL decodable JPEG/PNG/BMP/GIF/WAV/WebP
     payloads plus REAL PDFs — digital (text layer), scanned-flate and
     scanned-dct (image XObjects) — encoded with the stdlib codecs, so q26's
     features come from actual pixel/sample/text data; a slice of malformed
@@ -339,7 +369,8 @@ def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
     payloads, mimes, metas = [], [], []
     from medical_ocr_service_ray.functions.audio import encode_wav
 
-    magics = [b"\xff\xd8\xff", None, b"%PDF", b"JUNK", None, None, None]
+    pdf_i = 0
+    magics = [b"\xff\xd8\xff", None, b"%PDF", b"JUNK", None, None, None, None]
     names = [
         "image/jpeg",
         "image/png",
@@ -348,9 +379,10 @@ def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
         "audio/wav",
         "image/bmp",
         "image/gif",
+        "image/webp",
     ]
     for i in range(n):
-        k = int(rng.integers(0, 7))
+        k = int(rng.integers(0, 8))
         if k == 0:  # real JPEG: smooth gradient image (codec-friendly)
             from medical_ocr_service_ray.functions.jpeg import encode_jpeg
 
@@ -376,6 +408,12 @@ def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
             h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payloads.append(encode_bmp(img))
+        elif k == 7:  # real lossless WebP (VP8L): random small RGB image
+            from medical_ocr_service_ray.functions.webp import encode_webp
+
+            h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_webp(img))
         elif k == 6:  # real GIF: palette image (some interlaced)
             from medical_ocr_service_ray.functions.gif import encode_gif
 
@@ -390,13 +428,17 @@ def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
             wave += 0.05 * rng.standard_normal(t.shape)
             payloads.append(encode_wav(wave, rate))
         elif k == 2:  # real PDFs: digital (text layer), scanned (flate/dct
-            # image XObject), or malformed %PDF junk (fallback exercise)
+            # image XObject), or malformed %PDF junk (fallback exercise) —
+            # sub-kind CYCLES so all four kinds appear at any fixture size
+            # with >= 4 PDF draws (a random sub-kind draw left the junk kind
+            # absent from some sizes)
             from medical_ocr_service_ray.functions.pdfbin import (
                 encode_pdf,
                 encode_scanned_pdf,
             )
 
-            r = rng.random()
+            r = (0.1, 0.4, 0.7, 0.9)[pdf_i % 4]
+            pdf_i += 1
             if r < 0.3:
                 n_lines = int(rng.integers(1, 6))
                 lines = [
@@ -423,7 +465,7 @@ def synth_media_table(n: int = 64, seed: int = 11) -> pa.Table:
             body = rng.integers(0, 256, size=int(rng.integers(500, 4000)), dtype=np.uint8).tobytes()
             payloads.append(magics[k] + body)
         # 10% declared mismatches to exercise the anti-spoof flag
-        mimes.append(names[(k + 1) % 7] if rng.random() < 0.1 else names[k])
+        mimes.append(names[(k + 1) % 8] if rng.random() < 0.1 else names[k])
         metas.append(
             {"width": int(rng.integers(100, 4000)), "height": int(rng.integers(100, 4000)),
              "ms": int(rng.integers(0, 10000))}

@@ -135,7 +135,7 @@ class TestMultimodal:
             .to_pandas()
         )
         assert set(out.sniffed_mime) <= {
-            "image/jpeg", "image/png", "image/bmp", "image/gif",
+            "image/jpeg", "image/png", "image/bmp", "image/gif", "image/webp",
             "application/pdf", "application/octet-stream", "audio/wav",
         }
         assert out.mime_mismatch.sum() > 0  # the fixture plants ~10% spoofs
