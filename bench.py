@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "q167_interval_overlap_join",
     "q168_lsh_recall_eval",
     "q169_frequent_triples",
+    "q170_hybrid_rrf",
 ]
 
 

@@ -458,12 +458,15 @@ def q43_bm25_search(sf_dir: str):
     )
 
 
-def _q43_sql() -> str:
+def _bm25_ranked_ctes() -> str:
+    """The q43 BM25 CTE chain up through ``ranked`` (query_id, doc_id,
+    score_q, rank) — shared verbatim by the q43 oracle (rank <= 10) and the
+    q170 hybrid-fusion oracle (lexical leg, rank <= 50), so the two mirrors
+    can never drift apart."""
     qvals = ",\n         ".join(
         f"('{qid}', '{qtext}')" for qid, qtext in _BM25_QUERIES.items()
     )
-    return rf"""
-WITH qdefs(query_id, qtext) AS (
+    return rf"""qdefs(query_id, qtext) AS (
   VALUES {qvals}
 ), qterms AS (
   SELECT DISTINCT query_id, unnest(regexp_extract_all(lower(qtext), '[\p{{L}}\p{{N}}_]+')) AS token
@@ -500,7 +503,12 @@ WITH qdefs(query_id, qtext) AS (
   SELECT query_id, doc_id, score_q,
          row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
   FROM scored WHERE score_q > 0
-)
+)"""
+
+
+def _q43_sql() -> str:
+    return f"""
+WITH {_bm25_ranked_ctes()}
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_q
 FROM ranked WHERE rank <= 10
 """
@@ -1506,4 +1514,180 @@ def _q60_sql() -> str:
     return f"""
 SELECT c_custkey, {expr} AS redacted, CAST({hits} AS BIGINT) AS n_hits
 FROM customer
+"""
+
+
+# --------------------------------------------------------------------- q170
+
+# Probe vectors for the semantic leg: the five fixed retrieval queries map
+# (in sorted query_id order) onto the five lowest vec_ids — deterministic,
+# self-contained, and shared verbatim with the SQL mirror.
+_Q170_PROBES = {qid: i for i, qid in enumerate(sorted(_BM25_QUERIES))}
+_Q170_LEG_K = 50  # per-leg candidate depth fed into the fusion
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def q170_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval with reciprocal-rank fusion: the lexical leg is
+    q43's quantized BM25 top-50 over documents, the semantic leg is q22's
+    integer-exact cosine top-50 over embeddings (probe vectors = the
+    embeddings of the five lowest vec_ids, one per query), and the fused
+    score is sum over legs of 1e6 // (60 + rank) — the standard RRF
+    formula, integer-quantized so the DuckDB oracle hash-matches. The
+    reference ranks matches by embedding cosine with an exact-string
+    short-circuit (embedding.service.js findBestMatches); RRF is the
+    general form of that lexical+semantic blend every retrieval stack uses.
+
+    Scale shape: each leg is one streaming corpus scan with per-batch
+    partial top-k and an O(queries x k) driver merge; the fusion itself
+    touches only the 2 x 5 x 50 candidate rows — corpus-size-independent.
+    doc_id and vec_id are the same key space (TESTDATA.md: the tables are
+    row-aligned), which is what makes the fusion well-posed."""
+    import pandas as pd
+    import ray
+
+    from medical_ocr_service_ray.pipelines.queries_core import (
+        _emb_dataset,
+        _emb_query_table,
+    )
+    from medical_ocr_service_ray.stages.ann import _stack_embeddings
+    from medical_ocr_service_ray.stages.bm25 import bm25_topk
+
+    # ---- lexical leg: BM25 top-50 per query (two streaming passes)
+    lex = bm25_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]), _BM25_QUERIES, k=_Q170_LEG_K
+    )[["query_id", "doc_id", "rank"]]
+
+    # ---- semantic leg: integer-exact cosine top-50 per probe (q22 kernel)
+    emb = _emb_query_table(sf_dir)
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    qids, qvecs = [], []
+    for qid, probe in sorted(_Q170_PROBES.items()):
+        row = int(order[probe])  # probe = rank among sorted vec_ids
+        qids.append(qid)
+        qvecs.append(np.asarray(emb["embedding"][row].as_py(), dtype=np.float64))
+    qq = np.floor(np.stack(qvecs) * 1000.0).astype(np.int64)
+    query_ref = ray.put((qids, qq))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        qids_, qq_ = ray.get(query_ref)
+        v = np.floor(_stack_embeddings(t).astype(np.float64) * 1000.0).astype(np.int64)
+        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        nb2 = (v * v).sum(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for k, qid in enumerate(qids_):
+            na2 = int((qq_[k] * qq_[k]).sum())
+            dots = v @ qq_[k]
+            scores = np.fromiter(
+                (
+                    0
+                    if na2 == 0 or b2 == 0
+                    else (-1 if d < 0 else 1)
+                    * ((10**12 * int(d) * int(d)) // (na2 * int(b2)))
+                    for d, b2 in zip(dots, nb2)
+                ),
+                dtype=np.int64,
+                count=len(vids),
+            )
+            top = np.lexsort((vids, -scores))[:_Q170_LEG_K]
+            out_q.extend([qid] * len(top))
+            out_v.extend(vids[top].tolist())
+            out_s.extend(scores[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.string()),
+                "doc_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    sem = (
+        _emb_dataset(sf_dir)
+        .map_batches(score_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sem = (
+        sem.sort_values(["query_id", "score", "doc_id"], ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(_Q170_LEG_K)
+    )
+    sem["rank"] = sem.groupby("query_id").cumcount() + 1
+
+    # ---- reciprocal-rank fusion over the two O(queries x k) legs
+    contrib = pd.concat(
+        [lex[["query_id", "doc_id", "rank"]], sem[["query_id", "doc_id", "rank"]]],
+        ignore_index=True,
+    )
+    contrib["c"] = 1_000_000 // (_RRF_K + contrib["rank"].astype("int64"))
+    fused = contrib.groupby(["query_id", "doc_id"], as_index=False)["c"].sum()
+    fused = fused.rename(columns={"c": "rrf_x1e6"})
+    fused["rrf_x1e6"] = fused.rrf_x1e6.astype("int64")
+    fused = fused.sort_values(
+        ["query_id", "rrf_x1e6", "doc_id"], ascending=[True, False, True]
+    )
+    fused["rank"] = fused.groupby("query_id").cumcount().astype("int64") + 1
+    out = fused[fused["rank"] <= 10].reset_index(drop=True)
+    out["query_id"] = out.query_id.astype(object)
+    out["doc_id"] = out.doc_id.astype("int64")
+    return out[["query_id", "rank", "doc_id", "rrf_x1e6"]]
+
+
+def _q170_sql() -> str:
+    probes = ",\n         ".join(
+        f"('{qid}', {vid})" for qid, vid in sorted(_Q170_PROBES.items())
+    )
+    sem_score = """CAST(CASE WHEN na2 * nb2 = 0 THEN 0
+                 ELSE (CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+                      * ((1000000000000 * dot * dot) // (na2 * nb2))
+            END AS HUGEINT)"""
+    return f"""
+WITH {_bm25_ranked_ctes()},
+lex AS (
+  SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank
+  FROM ranked WHERE rank <= {_Q170_LEG_K}
+), probes(query_id, probe_rank) AS (
+  VALUES {probes}
+), v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vv
+  FROM embeddings
+), probe_ids AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS pr
+  FROM embeddings QUALIFY pr <= {max(_Q170_PROBES.values())}
+), qv AS (
+  SELECT p.query_id, v.vv AS qv
+  FROM probes p JOIN probe_ids pi ON pi.pr = p.probe_rank
+  JOIN v ON v.vec_id = pi.vec_id
+), sem_scored AS (
+  SELECT q.query_id, v.vec_id AS doc_id,
+         CAST(list_inner_product(q.qv, v.vv) AS HUGEINT) AS dot,
+         CAST(list_inner_product(q.qv, q.qv) AS HUGEINT) AS na2,
+         CAST(list_inner_product(v.vv, v.vv) AS HUGEINT) AS nb2
+  FROM qv q CROSS JOIN v
+), sem_ranked AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY {sem_score} DESC, doc_id
+         ) AS BIGINT) AS rank
+  FROM sem_scored
+), sem AS (
+  SELECT query_id, doc_id, rank FROM sem_ranked WHERE rank <= {_Q170_LEG_K}
+), contrib AS (
+  SELECT query_id, doc_id, 1000000 // ({_RRF_K} + rank) AS c FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, 1000000 // ({_RRF_K} + rank) AS c FROM sem
+), fused AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_x1e6
+  FROM contrib GROUP BY query_id, doc_id
+), final_ranked AS (
+  SELECT query_id, doc_id, rrf_x1e6,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf_x1e6 DESC, doc_id
+         ) AS BIGINT) AS rank
+  FROM fused
+)
+SELECT query_id, rank, doc_id, rrf_x1e6
+FROM final_ranked WHERE rank <= 10
 """

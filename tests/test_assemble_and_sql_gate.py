@@ -120,6 +120,7 @@ GATED = [
     "q167_interval_overlap_join",
     "q168_lsh_recall_eval",
     "q169_frequent_triples",
+    "q170_hybrid_rrf",
 ]
 
 
