@@ -459,33 +459,21 @@ FROM cells GROUP BY source ORDER BY source
 def q156_clustering_coefficient(sf_dir: str):
     """Global clustering coefficient of the co-purchase graph — 3*triangles
     / wedges, the one-number density health check run next to q100. The
-    triangle count, node count, and exact edge count REUSE q100's fused
-    plan (_triangles_from_pairs) over the SAME materialized pair stream —
-    the expensive per-order pair expansion runs once, shared with the
-    degree pass. EXACT degrees —
-    q100's orientation degrees tolerate cross-bucket duplicate pairs, a
-    wedge COUNT does not — come from one (a)-keyed bucketed dedup: every
-    copy of an (a<b) pair hashes to a's bucket, so in-bucket dedup is
-    complete, and each bucket emits per-node degree partials summed over
-    the bounded part-dimension node domain. Wedges = sum d*(d-1)/2 in
-    Python ints (no overflow at any degree). gcc_x1e6 =
-    (3*tri*1e6)//wedges, 0 when the graph has no wedges."""
+    triangle count, node count, exact edge count AND exact wedge count all
+    come from ONE call to q100's fused plan (_triangles_from_pairs with
+    want_wedges=True) over the SAME materialized pair stream — the
+    expensive per-order pair expansion runs once, and on the broadcast
+    path the exact degrees (q100's orientation degrees tolerate
+    cross-bucket duplicate pairs, a wedge COUNT does not) are a driver-side
+    numpy unique over the globally-deduped edge-key array the plan already
+    holds, so the old standalone (a)-keyed degree-dedup exchange is gone
+    (r5: in-suite 8.9 -> ~triangle cost). Wedges = sum d*(d-1)/2 in Python
+    ints (no overflow at any degree). gcc_x1e6 = (3*tri*1e6)//wedges, 0
+    when the graph has no wedges."""
     p1, nb = _copurchase_pairs(sf_dir)
 
-    def deg_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates(["a", "b"])
-        n = pd.concat([d.a, d.b], ignore_index=True)
-        return n.value_counts().rename_axis("node").reset_index(name="d")
-
-    deg = (
-        bucketed_combine(p1, "a", deg_bucket, num_buckets=nb)
-        .to_pandas()
-        .groupby("node", as_index=False)["d"]
-        .sum()
-    )
-    wedges = sum(int(x) * (int(x) - 1) // 2 for x in deg.d)
-
-    base = _triangles_from_pairs(p1, nb)
+    base = _triangles_from_pairs(p1, nb, want_wedges=True)
+    wedges = int(base.n_wedges.iloc[0])
     tri = int(base.n_triangles.iloc[0])
     gcc = (3 * tri * 1_000_000) // wedges if wedges else 0
     return pd.DataFrame(

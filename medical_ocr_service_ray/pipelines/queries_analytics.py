@@ -1038,10 +1038,23 @@ def _copurchase_pairs(sf_dir: str):
     return p1, nb
 
 
-def _triangles_from_pairs(p1, nb: int, broadcast_max_bytes: int = 512 << 20):
+def _triangles_from_pairs(
+    p1,
+    nb: int,
+    broadcast_max_bytes: int = 512 << 20,
+    want_wedges: bool = False,
+):
     """q100's plan from the materialized pair stream on: orientation
     degrees, fused dedup+wedge+closure buckets, broadcast / no-broadcast
-    paths (see q100_triangle_count docstring)."""
+    paths (see q100_triangle_count docstring). With ``want_wedges`` the
+    result gains an exact ``n_wedges`` column (sum d*(d-1)/2 over EXACT
+    node degrees): on the broadcast path the globally-deduped edge-key
+    array ``ek`` already sits on the driver, so degrees are one numpy
+    unique-with-counts over its two endpoint columns — zero extra
+    exchanges (this is what lets q156 drop its standalone degree-dedup
+    exchange); the no-broadcast scale path falls back to one (a)-keyed
+    bucketed dedup (complete: every copy of an a<b pair hashes to a's
+    bucket) emitting bounded per-node degree partials."""
     import ray as _ray
 
     def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1107,6 +1120,11 @@ def _triangles_from_pairs(p1, nb: int, broadcast_max_bytes: int = 512 << 20):
             ).k.to_numpy()
         )
         n_edges = len(ek)
+        wedges = None
+        if want_wedges:
+            ends = np.concatenate([ek >> 31, ek & ((1 << 31) - 1)])
+            _, dcnt = np.unique(ends, return_counts=True)
+            wedges = sum(int(x) * (int(x) - 1) // 2 for x in dcnt)
         ek_ref = _ray.put(ek)
 
         def close_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -1163,14 +1181,30 @@ def _triangles_from_pairs(p1, nb: int, broadcast_max_bytes: int = 512 << 20):
         closed = bucketed_combine(tagged, "v", close_per_bucket, num_buckets=nb).to_pandas()
         tri = int(closed.tri.sum())
         n_edges = int(closed["ne"].sum())
+        wedges = None
+        if want_wedges:
 
-    return pd.DataFrame(
-        {
-            "n_nodes": [np.int64(n_nodes)],
-            "n_edges": [np.int64(n_edges)],
-            "n_triangles": [np.int64(tri)],
-        }
-    )
+            def deg_bucket(df: pd.DataFrame) -> pd.DataFrame:
+                d = df.drop_duplicates(["a", "b"])
+                n = pd.concat([d.a, d.b], ignore_index=True)
+                return n.value_counts().rename_axis("node").reset_index(name="d")
+
+            deg = (
+                bucketed_combine(p1, "a", deg_bucket, num_buckets=nb)
+                .to_pandas()
+                .groupby("node", as_index=False)["d"]
+                .sum()
+            )
+            wedges = sum(int(x) * (int(x) - 1) // 2 for x in deg.d)
+
+    out = {
+        "n_nodes": [np.int64(n_nodes)],
+        "n_edges": [np.int64(n_edges)],
+        "n_triangles": [np.int64(tri)],
+    }
+    if want_wedges:
+        out["n_wedges"] = [np.int64(wedges)]
+    return pd.DataFrame(out)
 
 
 _Q100_SQL = """
