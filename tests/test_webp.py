@@ -108,3 +108,41 @@ class TestWebpCodec:
         assert feats[0] == feats[1]  # same pixels -> same features
         want = image_features(img, MediaDecoderStub.FEATURE_DIM)
         assert feats[0] == pytest.approx(list(map(float, want)))
+
+
+class TestWebpFuzz:
+    def test_roundtrip_hypothesis(self):
+        """Property fuzz: ANY rgb image roundtrips exactly through every
+        encoder-option combination (shape, content entropy, subtract-green,
+        cache size all drawn by hypothesis; deterministic via fixed seeds)."""
+        from hypothesis import given, settings, strategies as st
+
+        from medical_ocr_service_ray.functions.webp import decode_webp, encode_webp
+
+        @settings(max_examples=25, deadline=None, derandomize=True)
+        @given(
+            h=st.integers(1, 40),
+            w=st.integers(1, 40),
+            seed=st.integers(0, 2**31 - 1),
+            entropy=st.sampled_from(["noise", "flat", "palette", "gradient"]),
+            sg=st.booleans(),
+            cb=st.sampled_from([0, 2, 6, 10]),
+        )
+        def check(h, w, seed, entropy, sg, cb):
+            rng = np.random.default_rng(seed)
+            if entropy == "noise":
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            elif entropy == "flat":
+                img = np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8)
+            elif entropy == "palette":
+                img = (rng.integers(0, 3, size=(h, w, 3)) * 100).astype(np.uint8)
+            else:  # gradient — exercises the predictor-free residual paths
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [(yy * 7) % 256, (xx * 11) % 256, (yy + xx) % 256], axis=2
+                ).astype(np.uint8)
+            out = decode_webp(encode_webp(img, subtract_green=sg, cache_bits=cb))
+            assert out.shape == (h, w, 3)
+            assert (out == img).all()
+
+        check()
