@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "q168_lsh_recall_eval",
     "q169_frequent_triples",
     "q170_hybrid_rrf",
+    "q171_hybrid_recall_eval",
 ]
 
 

@@ -1527,23 +1527,14 @@ _Q170_LEG_K = 50  # per-leg candidate depth fed into the fusion
 _RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 
 
-def q170_hybrid_rrf(sf_dir: str):
-    """Hybrid retrieval with reciprocal-rank fusion: the lexical leg is
-    q43's quantized BM25 top-50 over documents, the semantic leg is q22's
-    integer-exact cosine top-50 over embeddings (probe vectors = the
-    embeddings of the five lowest vec_ids, one per query), and the fused
-    score is sum over legs of 1e6 // (60 + rank) — the standard RRF
-    formula, integer-quantized so the DuckDB oracle hash-matches. The
-    reference ranks matches by embedding cosine with an exact-string
-    short-circuit (embedding.service.js findBestMatches); RRF is the
-    general form of that lexical+semantic blend every retrieval stack uses.
-
-    Scale shape: each leg is one streaming corpus scan with per-batch
-    partial top-k and an O(queries x k) driver merge; the fusion itself
-    touches only the 2 x 5 x 50 candidate rows — corpus-size-independent.
-    doc_id and vec_id are the same key space (TESTDATA.md: the tables are
-    row-aligned), which is what makes the fusion well-posed."""
-    import pandas as pd
+def _hybrid_legs(sf_dir: str):
+    """The two retrieval legs shared by q170 (fusion) and q171 (recall
+    eval): lexical = q43's quantized BM25 top-50 over documents, semantic =
+    q22's integer-exact cosine top-50 over embeddings (probe vectors = the
+    embeddings of the five lowest vec_ids, one per query). Each leg is one
+    streaming corpus scan with per-batch partial top-k and an O(queries x
+    k) driver merge. Returns (lex, sem) frames of (query_id, doc_id, rank);
+    sem rank order is exact (the leg is brute force, not approximate)."""
     import ray
 
     from medical_ocr_service_ray.pipelines.queries_core import (
@@ -1613,8 +1604,13 @@ def q170_hybrid_rrf(sf_dir: str):
         .head(_Q170_LEG_K)
     )
     sem["rank"] = sem.groupby("query_id").cumcount() + 1
+    return lex, sem[["query_id", "doc_id", "rank"]]
 
-    # ---- reciprocal-rank fusion over the two O(queries x k) legs
+
+def _rrf_fuse(lex: "pd.DataFrame", sem: "pd.DataFrame") -> "pd.DataFrame":
+    """Integer reciprocal-rank fusion of two (query_id, doc_id, rank) leg
+    frames: score = sum over legs of 1e6 // (60 + rank); re-ranked by
+    (score desc, doc_id). Touches only the O(queries x k) leg rows."""
     contrib = pd.concat(
         [lex[["query_id", "doc_id", "rank"]], sem[["query_id", "doc_id", "rank"]]],
         ignore_index=True,
@@ -1627,13 +1623,77 @@ def q170_hybrid_rrf(sf_dir: str):
         ["query_id", "rrf_x1e6", "doc_id"], ascending=[True, False, True]
     )
     fused["rank"] = fused.groupby("query_id").cumcount().astype("int64") + 1
+    return fused
+
+
+def q170_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval with reciprocal-rank fusion: BM25 top-50 (lexical)
+    x integer-exact cosine top-50 (semantic), fused by integer RRF
+    1e6 // (60 + rank) — all arithmetic integer so the DuckDB oracle
+    hash-matches. The reference ranks matches by embedding cosine with an
+    exact-string short-circuit (embedding.service.js findBestMatches); RRF
+    is the general form of that lexical+semantic blend every retrieval
+    stack uses. Legs + fusion in _hybrid_legs/_rrf_fuse (shared with the
+    q171 recall eval); the fusion touches only the 2 x 5 x 50 candidate
+    rows — corpus-size-independent. doc_id and vec_id are the same key
+    space (TESTDATA.md: the tables are row-aligned), which is what makes
+    the fusion well-posed."""
+    lex, sem = _hybrid_legs(sf_dir)
+    fused = _rrf_fuse(lex, sem)
     out = fused[fused["rank"] <= 10].reset_index(drop=True)
     out["query_id"] = out.query_id.astype(object)
     out["doc_id"] = out.doc_id.astype("int64")
     return out[["query_id", "rank", "doc_id", "rrf_x1e6"]]
 
 
-def _q170_sql() -> str:
+def q171_hybrid_recall_eval(sf_dir: str):
+    """Retrieval-quality eval for the hybrid stack (q143's eval-harness
+    idea applied to retrieval): the semantic leg is EXACT brute-force
+    cosine, so its top-10 IS the ground truth — measure how much of it the
+    fused top-10 recovers vs the lexical-only top-10. One run of the
+    shared legs (each one streaming corpus scan), then pure driver set
+    arithmetic over the O(queries x k) leg rows. Integer recalls
+    (1e6-quantized) so the DuckDB oracle hash-matches. Per query:
+    n_truth (=min(10, corpus)), fused_hits, lex_hits, *_recall_x1e6."""
+    lex, sem = _hybrid_legs(sf_dir)
+    fused = _rrf_fuse(lex, sem)
+    rows = []
+    for qid in sorted(_BM25_QUERIES):
+        truth = set(
+            sem[(sem.query_id == qid) & (sem["rank"] <= 10)].doc_id.tolist()
+        )
+        f10 = set(
+            fused[(fused.query_id == qid) & (fused["rank"] <= 10)].doc_id.tolist()
+        )
+        l10 = set(
+            lex[(lex.query_id == qid) & (lex["rank"] <= 10)].doc_id.tolist()
+        )
+        nt = len(truth)
+        fh, lh = len(f10 & truth), len(l10 & truth)
+        rows.append(
+            {
+                "query_id": qid,
+                "n_truth": nt,
+                "fused_hits": fh,
+                "lex_hits": lh,
+                "fused_recall_x1e6": (1_000_000 * fh) // nt if nt else 0,
+                "lex_recall_x1e6": (1_000_000 * lh) // nt if nt else 0,
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["query_id"] = out.query_id.astype(object)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _hybrid_ctes() -> str:
+    """The full hybrid-retrieval CTE chain (BM25 ranked -> lex leg, probe
+    mapping -> exact-cosine sem leg, RRF contrib -> fused -> final_ranked)
+    — shared verbatim by the q170 oracle (fused top-10) and the q171
+    recall-eval oracle (fused/lex recall against the exact semantic truth,
+    which IS sem_ranked: the semantic leg is exact brute force), so the
+    mirrors cannot drift."""
     probes = ",\n         ".join(
         f"('{qid}', {vid})" for qid, vid in sorted(_Q170_PROBES.items())
     )
@@ -1641,8 +1701,7 @@ def _q170_sql() -> str:
                  ELSE (CASE WHEN dot < 0 THEN -1 ELSE 1 END)
                       * ((1000000000000 * dot * dot) // (na2 * nb2))
             END AS HUGEINT)"""
-    return f"""
-WITH {_bm25_ranked_ctes()},
+    return f"""{_bm25_ranked_ctes()},
 lex AS (
   SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank
   FROM ranked WHERE rank <= {_Q170_LEG_K}
@@ -1687,7 +1746,46 @@ lex AS (
            PARTITION BY query_id ORDER BY rrf_x1e6 DESC, doc_id
          ) AS BIGINT) AS rank
   FROM fused
-)
+)"""
+
+
+def _q170_sql() -> str:
+    return f"""
+WITH {_hybrid_ctes()}
 SELECT query_id, rank, doc_id, rrf_x1e6
 FROM final_ranked WHERE rank <= 10
+"""
+
+
+def _q171_sql() -> str:
+    return f"""
+WITH {_hybrid_ctes()},
+truth AS (
+  SELECT query_id, doc_id FROM sem_ranked WHERE rank <= 10
+), f10 AS (
+  SELECT query_id, doc_id FROM final_ranked WHERE rank <= 10
+), l10 AS (
+  SELECT query_id, doc_id FROM lex WHERE rank <= 10
+), qids(query_id) AS (
+  SELECT query_id FROM probes
+), stats AS (
+  SELECT q.query_id,
+         (SELECT COUNT(*) FROM truth t WHERE t.query_id = q.query_id)
+           ::BIGINT AS n_truth,
+         (SELECT COUNT(*) FROM f10 f JOIN truth t
+            ON t.query_id = f.query_id AND t.doc_id = f.doc_id
+          WHERE f.query_id = q.query_id)::BIGINT AS fused_hits,
+         (SELECT COUNT(*) FROM l10 l JOIN truth t
+            ON t.query_id = l.query_id AND t.doc_id = l.doc_id
+          WHERE l.query_id = q.query_id)::BIGINT AS lex_hits
+  FROM qids q
+)
+SELECT query_id, n_truth, fused_hits, lex_hits,
+       (CASE WHEN n_truth = 0 THEN 0
+             ELSE (1000000 * fused_hits) // n_truth END)::BIGINT
+         AS fused_recall_x1e6,
+       (CASE WHEN n_truth = 0 THEN 0
+             ELSE (1000000 * lex_hits) // n_truth END)::BIGINT
+         AS lex_recall_x1e6
+FROM stats
 """
