@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "q169_frequent_triples",
     "q170_hybrid_rrf",
     "q171_hybrid_recall_eval",
+    "q172_countmin_heavy",
 ]
 
 

@@ -1789,3 +1789,139 @@ SELECT query_id, n_truth, fused_hits, lex_hits,
          AS lex_recall_x1e6
 FROM stats
 """
+
+
+# -------------------------------------------------------------------- q172
+
+_Q172_D, _Q172_W, _Q172_CAP = 4, 512, 256
+
+
+def q172_countmin_heavy(sf_dir: str):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    estimates with an EXACT DuckDB oracle — the order-independent
+    counterpart to q58's SpaceSaving guarantee audit. Where SpaceSaving's
+    contents depend on arrival order (hence q58's audit-style oracle), CMS
+    counters are pure sums — counter[i][b] = sum of true counts of every
+    token whose i-th hash lands in bucket b — so the merged sketch is
+    partitioning-invariant and the oracle can rebuild every probed counter
+    bit-exactly instead of merely certifying bounds. The reference's
+    analytics layer keeps per-key usage tallies in bounded memory
+    (src/services/job-queue.service.js:88-117 status roll-ups); CMS is the
+    10^12-row form of that tally. Plan: pass 1 builds the d x w sketch as
+    per-batch int64 partial arrays (one 16 KB row per block, driver-summed
+    — NO exchange; the classic mergeable-sketch shape); pass 2 reuses one
+    token-keyed exchange for exact counts and pulls only the
+    guaranteed-heavy set (true_count * cap > total, <= cap rows by the
+    pigeonhole bound). The d hash rows are the four disjoint 8-byte slices
+    of ONE sha256 per token, so the SQL mirror derives identical buckets
+    via substr(sha256(item), 1+16*i, 16). Output per heavy token:
+    (item, true_count, cms_est) with est >= true by construction and est
+    bit-equal to the SQL reconstruction."""
+    import hashlib
+
+    d, w, cap = _Q172_D, _Q172_W, _Q172_CAP
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def tokens_of(s: pd.Series) -> pd.Series:
+        vals = s.fillna("").astype(str).str.split(r"\s+").explode()
+        return vals[vals.str.len() > 0]
+
+    def _buckets(tok: str) -> list[int]:
+        h = hashlib.sha256(tok.encode()).digest()
+        return [int.from_bytes(h[8 * i : 8 * i + 8], "big") % w for i in range(d)]
+
+    # pass 1 — one d*w partial counter array per batch (16 KB), no exchange
+    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+        vc = tokens_of(df.text).value_counts()
+        flat = np.zeros(d * w, dtype=np.int64)
+        for tok, c in vc.items():
+            for i, b in enumerate(_buckets(str(tok))):
+                flat[i * w + b] += int(c)
+        return pd.DataFrame({"sketch": [flat.tobytes()]})
+
+    counters = np.zeros(d * w, dtype=np.int64)
+    for row in ds.map_batches(sketch_batch, batch_format="pandas").take_all():
+        counters += np.frombuffer(row["sketch"], dtype=np.int64)
+
+    # pass 2 — exact counts, one token-keyed exchange (q58's two-consumer
+    # shape: totals partials + the bounded heavy pull)
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = tokens_of(df.text).value_counts()
+        return pd.DataFrame(
+            {"item": vc.index.to_numpy(dtype=object),
+             "true_count": vc.to_numpy().astype("int64")}
+        )
+
+    counts = partial_then_combine(
+        ds,
+        count_partial,
+        "item",
+        lambda df: df.groupby("item", as_index=False)["true_count"].sum(),
+    ).materialize()
+
+    tot_parts = counts.map_batches(
+        lambda df: pd.DataFrame({"tot": [int(df.true_count.sum())]}),
+        batch_format="pandas",
+    ).to_pandas()
+    tot = int(tot_parts.tot.sum())
+
+    pulled = counts.map_batches(
+        lambda df: df[df.true_count.to_numpy() * cap > tot],
+        batch_format="pandas",
+    ).to_pandas()  # <= cap rows (pigeonhole)
+
+    pulled = pulled.sort_values("item").reset_index(drop=True)
+    ests = [
+        int(min(counters[i * w + b] for i, b in enumerate(_buckets(str(t)))))
+        for t in pulled.item
+    ]
+    return pd.DataFrame(
+        {
+            "item": pulled.item.to_numpy(dtype=object),
+            "true_count": pulled.true_count.astype("int64").to_numpy(),
+            "cms_est": np.asarray(ests, dtype="int64"),
+        }
+    )
+
+
+def _q172_sql() -> str:
+    # Exact counter reconstruction: the d rows are GROUP BYs over the same
+    # sha256-slice buckets the Ray side uses; cms_est = LEAST over the d
+    # probed counters. A sketch bug (wrong bucket math, lost partial,
+    # overflow) lands on a different counter value and fails the hash.
+    w, cap = _Q172_W, _Q172_CAP
+    slices = [
+        f"CAST(('0x' || substr(sha256(item), {1 + 16 * i}, 16)) AS UBIGINT)"
+        f" % {w} AS b{i}"
+        for i in range(_Q172_D)
+    ]
+    rows = ",\n".join(
+        f"r{i} AS (SELECT b{i} AS b, CAST(SUM(true_count) AS BIGINT) AS cnt"
+        f" FROM h GROUP BY b{i})"
+        for i in range(_Q172_D)
+    )
+    joins = "\n".join(
+        f"JOIN r{i} ON heavy.b{i} = r{i}.b" for i in range(_Q172_D)
+    )
+    least = ", ".join(f"r{i}.cnt" for i in range(_Q172_D))
+    slices_sql = ",\n         ".join(slices)
+    return rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(COALESCE(text, ''), '\s+')) AS item
+  FROM documents
+), t AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM toks WHERE length(item) > 0 GROUP BY item
+), n AS (
+  SELECT CAST(COALESCE(SUM(true_count), 0) AS BIGINT) AS total FROM t
+), h AS (
+  SELECT item, true_count,
+         {slices_sql}
+  FROM t
+),
+{rows},
+heavy AS (SELECT h.* FROM h, n WHERE true_count * {cap} > total)
+SELECT heavy.item, heavy.true_count, LEAST({least}) AS cms_est
+FROM heavy
+{joins}
+"""

@@ -122,6 +122,7 @@ GATED = [
     "q169_frequent_triples",
     "q170_hybrid_rrf",
     "q171_hybrid_recall_eval",
+    "q172_countmin_heavy",
 ]
 
 
