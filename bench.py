@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "q170_hybrid_rrf",
     "q171_hybrid_recall_eval",
     "q172_countmin_heavy",
+    "q173_key_skew_profile",
 ]
 
 

@@ -2063,3 +2063,111 @@ FROM pairs p JOIN pc x ON x.l_partkey = p.part_a
 ORDER BY p.cnt DESC, p.part_a, p.part_b
 LIMIT 20
 """
+
+
+# -------------------------------------------------------------------- q173
+
+_Q173_RELATIONS = [
+    ("events", "user_id"),
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+]
+
+
+def q173_key_skew_profile(sf_dir: str):
+    """Hot-key / skew diagnostics over the engine's own shuffle keys — the
+    profiling pass a distributed engine runs BEFORE choosing a join or
+    groupby plan (this repo's salted join, stages/skewjoin.py, and the
+    bucketed combines all assume a skew model; q173 measures it). The
+    reference sizes its retry/queue behavior from per-batch status
+    roll-ups (src/services/job-queue.service.js:88-117) — same idea, key
+    mass instead of job states. Per profiled (table, key): distinct-key
+    count, total rows, the top-1 and top-10 key masses, and their
+    ppm shares (integer floor, so the DuckDB mirror hash-matches; tied
+    counts make the top-10 SUM order-insensitive). Plan per relation: one
+    key-keyed exchange for exact counts, then a per-block (nd, tot,
+    top-10 partial) row — the driver merges <= 10 x blocks candidate
+    counts; nothing key-shaped ever reaches the driver."""
+    rows = []
+    for table, key in _Q173_RELATIONS:
+        ds = _read(sf_dir, table, [key])
+
+        def kp(df: pd.DataFrame, key=key) -> pd.DataFrame:
+            vc = df[key].value_counts()
+            return pd.DataFrame(
+                {"k": vc.index.to_numpy(), "c": vc.to_numpy().astype("int64")}
+            )
+
+        counts = partial_then_combine(
+            ds, kp, "k", lambda df: df.groupby("k", as_index=False)["c"].sum()
+        )
+        parts = counts.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "nd": [len(df)],
+                    "tot": [int(df.c.sum())],
+                    "top": [np.sort(df.c.to_numpy())[-10:].astype("int64").tobytes()],
+                }
+            ),
+            batch_format="pandas",
+        ).to_pandas()
+        cand = np.sort(
+            np.concatenate(
+                [np.frombuffer(b, dtype=np.int64) for b in parts.top]
+            )
+        )
+        top10 = cand[-10:]
+        nd, tot = int(parts.nd.sum()), int(parts.tot.sum())
+        top1 = int(top10[-1]) if len(top10) else 0
+        t10 = int(top10.sum())
+        rows.append(
+            (
+                f"{table}.{key}",
+                nd,
+                tot,
+                top1,
+                t10,
+                top1 * 1_000_000 // tot if tot else 0,
+                t10 * 1_000_000 // tot if tot else 0,
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "relation", "n_keys", "total_rows", "top1_count",
+            "top10_count", "top1_ppm", "top10_ppm",
+        ],
+    )
+    out["relation"] = out.relation.astype(object)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q173_sql() -> str:
+    # One grouped-counts CTE per relation; top-10 mass via ORDER BY c DESC
+    # LIMIT 10 (ties at the cut carry equal c, so the SUM is well-defined);
+    # ppm shares use // on nonnegative ints = floor on both engines.
+    legs = []
+    for table, key in _Q173_RELATIONS:
+        cte = f"g_{table}"
+        legs.append(
+            f"""
+SELECT '{table}.{key}' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS total_rows,
+       CAST(MAX(c) AS BIGINT) AS top1_count,
+       CAST((SELECT SUM(c) FROM (SELECT c FROM {cte} ORDER BY c DESC LIMIT 10))
+            AS BIGINT) AS top10_count,
+       CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top1_ppm,
+       CAST((SELECT SUM(c) FROM (SELECT c FROM {cte} ORDER BY c DESC LIMIT 10))
+            * 1000000 // SUM(c) AS BIGINT) AS top10_ppm
+FROM {cte}"""
+        )
+    ctes = ",\n".join(
+        f"g_{table} AS (SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS c"
+        f" FROM {table} GROUP BY {key})"
+        for table, key in _Q173_RELATIONS
+    )
+    body = "\nUNION ALL\n".join(legs)
+    return f"WITH {ctes}\n{body}\nORDER BY relation"

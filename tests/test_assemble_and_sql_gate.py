@@ -123,6 +123,7 @@ GATED = [
     "q170_hybrid_rrf",
     "q171_hybrid_recall_eval",
     "q172_countmin_heavy",
+    "q173_key_skew_profile",
 ]
 
 
