@@ -1925,3 +1925,159 @@ SELECT heavy.item, heavy.true_count, LEAST({least}) AS cms_est
 FROM heavy
 {joins}
 """
+
+
+# -------------------------------------------------------------------- q174
+
+_Q174_SCALE = 1_000_000
+_Q174_MIN_COUNT = 2
+
+
+def q174_bigram_lm_score(sf_dir: str):
+    """Bigram-LM fluency scoring — the classic n-gram quality filter of
+    LLM data pipelines (CCNet/KenLM-style: train a cheap LM on a clean
+    split, score the rest, drop the tail), in integer arithmetic so the
+    DuckDB oracle hash-matches. Train on even doc_ids, score odd ones.
+    Per eval-doc bigram instance the contribution is the scaled MLE
+    conditional floor(c12 * 1e6 / c1) — c12 = train count of the bigram
+    (pruned at min_count=2: rare bigrams carry ~zero MLE mass), c1 = train
+    successor count of its left token (UNpruned denominator) — summed per
+    doc with OOV/pruned bigrams contributing 0. The reference scores
+    extraction confidence per field and aggregates per document
+    (src/services/confidence.service.js); this is the corpus-level
+    analogue. Plan: ONE w1-keyed exchange builds the whole model (bigrams
+    sharing a left token co-locate, so c1 and every c12 reduce in the same
+    group — vocab-bounded per group; a stopword-grade hot w1 costs its
+    successor-vocab size, disclosed), one bg-keyed left join scores eval
+    instances against it, one doc-keyed combine sums. No corpus broadcast,
+    no driver-side model. Output per eval doc with >=1 bigram:
+    (doc_id, n_bigrams, seen_bigrams, fluency_score)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bigrams_of(df: pd.DataFrame, parity: int) -> pd.DataFrame:
+        sub = df[df.doc_id % 2 == parity]
+        toks = sub.text.fillna("").astype(str).str.split()
+        n = toks.str.len()
+        keep = n >= 2
+        toks, sub_ids = toks[keep], sub.doc_id[keep]
+        rows_doc: list[np.ndarray] = []
+        rows_w1: list[list[str]] = []
+        rows_bg: list[list[str]] = []
+        for did, tl in zip(sub_ids.to_numpy(), toks):
+            rows_doc.append(np.full(len(tl) - 1, did, dtype=np.int64))
+            rows_w1.append(tl[:-1])
+            rows_bg.append([a + " " + b for a, b in zip(tl, tl[1:])])
+        if not rows_doc:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "w1": pd.Series([], dtype=object),
+                 "bg": pd.Series([], dtype=object)}
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(rows_doc),
+                "w1": np.concatenate(rows_w1),
+                "bg": np.concatenate(rows_bg),
+            }
+        )
+
+    # model: ONE w1-keyed exchange — per-batch (w1, bg) instance counts,
+    # per-group c1 = sum of its bigram counts, contrib = c12*SCALE // c1
+    def train_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = bigrams_of(df, 0)
+        g = b.groupby(["w1", "bg"], as_index=False).size()
+        return g.rename(columns={"size": "c12"})
+
+    def train_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["w1", "bg"], as_index=False)["c12"].sum()
+        c1 = g.groupby("w1")["c12"].transform("sum")
+        g["contrib"] = (
+            g.c12.to_numpy().astype("int64") * _Q174_SCALE
+            // c1.to_numpy().astype("int64")
+        )
+        g = g[g.c12 >= _Q174_MIN_COUNT]
+        return g[["bg", "contrib"]]
+
+    model = partial_then_combine(ds, train_partial, "w1", train_combine)
+
+    # eval instances: per-batch (doc_id, bg) counts -> bg-keyed left join
+    def eval_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = bigrams_of(df, 1)
+        g = b.groupby(["doc_id", "bg"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    inst = ds.map_batches(eval_partial, batch_format="pandas")
+    joined = inst.join(
+        model,
+        join_type="left_outer",
+        num_partitions=16,
+        on=("bg",),
+    )
+
+    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.cnt.to_numpy().astype("int64")
+        contrib = df.contrib.to_numpy(dtype="float64")  # NaN where unseen
+        seen = ~np.isnan(contrib)
+        return pd.DataFrame(
+            {
+                "doc_id": df.doc_id.to_numpy(),
+                "n_bigrams": cnt,
+                "seen_bigrams": np.where(seen, cnt, 0),
+                "fluency_score": np.where(
+                    seen, cnt * np.nan_to_num(contrib).astype("int64"), 0
+                ),
+            }
+        )
+
+    def score_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("n_bigrams", "sum"),
+            seen_bigrams=("seen_bigrams", "sum"),
+            fluency_score=("fluency_score", "sum"),
+        )
+
+    out = (
+        partial_then_combine(joined, score_partial, "doc_id", score_combine)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q174_sql() -> str:
+    # list_filter-then-adjacency == Python str.split() (tokens carry no
+    # whitespace, so ' ' is an unambiguous bigram separator); // on
+    # nonnegative ints = floor on both engines; COUNT(m.contrib) counts
+    # only matched (non-null) bigram instances.
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM d, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+), train AS (
+  SELECT bg, w1, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM bg WHERE doc_id % 2 = 0 GROUP BY bg, w1
+), lefts AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM train GROUP BY w1
+), model AS (
+  SELECT t.bg, CAST(t.c12 * {_Q174_SCALE} // l.c1 AS BIGINT) AS contrib
+  FROM train t JOIN lefts l USING (w1)
+  WHERE t.c12 >= {_Q174_MIN_COUNT}
+), ev AS (
+  SELECT doc_id, bg FROM bg WHERE doc_id % 2 = 1
+)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(m.contrib) AS BIGINT) AS seen_bigrams,
+       CAST(COALESCE(SUM(m.contrib), 0) AS BIGINT) AS fluency_score
+FROM ev e LEFT JOIN model m USING (bg)
+GROUP BY e.doc_id
+ORDER BY e.doc_id
+"""

@@ -124,6 +124,7 @@ GATED = [
     "q171_hybrid_recall_eval",
     "q172_countmin_heavy",
     "q173_key_skew_profile",
+    "q174_bigram_lm_score",
 ]
 
 
