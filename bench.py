@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "q172_countmin_heavy",
     "q173_key_skew_profile",
     "q174_bigram_lm_score",
+    "q175_pq_ann_recall",
 ]
 
 

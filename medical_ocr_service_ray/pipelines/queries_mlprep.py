@@ -1588,3 +1588,214 @@ WITH cells AS (
 SELECT day, rank::BIGINT AS rank, token, n FROM ranked WHERE rank <= 5
 ORDER BY day, rank
 """
+
+
+# -------------------------------------------------------------------- q175
+
+_Q175_NSUB, _Q175_SUBD, _Q175_KC, _Q175_ITERS = 8, 8, 16, 2
+_Q175_NQ, _Q175_K = 5, 10
+
+
+def q175_pq_ann_recall(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011) with a recall@10 eval
+    against exact search — THE memory-compression scale path for
+    100 TB-corpus similarity search (64 float dims -> 8 one-byte codes:
+    the codes table is ~32x smaller than the vectors, and ADC scoring
+    reads only codes + a k×sub_dim lookup table per query). Codebooks:
+    an independent integer-Lloyd's fit per 8-dim subspace, all 8 trained
+    in ONE streaming pass per iteration (stages/kmeans.pq_fit). Scoring:
+    asymmetric distance computation — per query a (n_sub × k) int64
+    LUT of subspace dots, per corpus vector est = sum of LUT entries at
+    its assigned codes; exact and ADC top-10 partials ride the SAME
+    corpus scan (q143's dual-partial harness), so the driver merge is
+    blocks × 5 × 2 × 10 rows. All-integer arithmetic end-to-end: the
+    DuckDB oracle unrolls all 8 subspace fits, re-derives every code and
+    every ADC estimate bit-exactly. Output per probe query:
+    (query_vec_id, n_overlap, recall_x1000)."""
+    import ray
+
+    from medical_ocr_service_ray.stages.ann import _stack_embeddings
+    from medical_ocr_service_ray.stages.kmeans import assign, pq_fit, quantize
+
+    n_sub, sub_dim, kc = _Q175_NSUB, _Q175_SUBD, _Q175_KC
+    n_q, k = _Q175_NQ, _Q175_K
+    ds = _emb_dataset(sf_dir)
+    books = pq_fit(ds, n_sub, sub_dim, k=kc, iters=_Q175_ITERS)  # (8,16,8)
+
+    emb = _emb_query_table(sf_dir)
+    qdf = (
+        pd.DataFrame(
+            {"vec_id": emb["vec_id"].to_pandas(), "e": emb["embedding"].to_pylist()}
+        )
+        .sort_values("vec_id")
+        .head(n_q)
+    )
+    qids = qdf.vec_id.to_numpy(dtype=np.int64)
+    qm = quantize(np.asarray(qdf.e.tolist(), dtype=np.float64))  # (n_q, 64)
+    # ADC lookup tables: lut[qi, m, j] = dot(query slice m, codebook m row j)
+    lut = np.stack(
+        [qm[:, m * sub_dim : (m + 1) * sub_dim] @ books[m].T
+         for m in range(n_sub)],
+        axis=1,
+    )  # (n_q, n_sub, kc) int64
+    bundle = ray.put((books, qm, qids, lut))
+
+    def partial(batch: pa.Table, _ref=bundle) -> pa.Table:
+        bks, qmat, qv_ids, luts = ray.get(_ref)
+        v = quantize(_stack_embeddings(batch))
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        dots = v @ qmat.T  # (n, n_q) exact
+        est = np.zeros((v.shape[0], len(qv_ids)), dtype=np.int64)
+        for m in range(bks.shape[0]):
+            codes = assign(v[:, m * sub_dim : (m + 1) * sub_dim], bks[m])
+            est += luts[:, m, :][:, codes].T  # (n, n_q)
+        out_q, out_id, out_dot, out_kind = [], [], [], []
+        for qi in range(len(qv_ids)):
+            for kind, col in ((0, dots[:, qi]), (1, est[:, qi])):
+                order = np.lexsort((ids, -col))[:k]
+                out_q.extend([int(qv_ids[qi])] * len(order))
+                out_id.extend(ids[order].tolist())
+                out_dot.extend(col[order].tolist())
+                out_kind.extend([kind] * len(order))
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "dot_q": pa.array(out_dot, pa.int64()),
+                "kind": pa.array(out_kind, pa.int64()),
+            }
+        )
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = merged.sort_values(
+        ["qid", "kind", "dot_q", "vec_id"], ascending=[True, True, False, True]
+    )
+    top = merged.groupby(["qid", "kind"]).head(k)
+    rows = []
+    for qid in qids:
+        ex = set(top[(top.qid == qid) & (top.kind == 0)].vec_id)
+        pq_ = set(top[(top.qid == qid) & (top.kind == 1)].vec_id)
+        n = len(ex & pq_)
+        rows.append((int(qid), n, (1000 * n) // k))
+    return pd.DataFrame(
+        {
+            "query_vec_id": pd.array([r[0] for r in rows], "int64"),
+            "n_overlap": pd.array([r[1] for r in rows], "int64"),
+            "recall_x1000": pd.array([r[2] for r in rows], "int64"),
+        }
+    )
+
+
+def _pq_subspace_chain(m: int, k: int, iters: int, sub_dim: int) -> str:
+    """One subspace's unrolled integer-Lloyd's chain (prefix ``s{m}``),
+    operating on list_slice(v, m*sub_dim+1, (m+1)*sub_dim) of the shared
+    quantized relation ``q`` — the _kmeans_cte_chain semantics verbatim
+    (k-smallest-id init, int L2 lowest-index ties, positive-floor-mod
+    floor division, COALESCE empty-cluster keep) at dim=sub_dim."""
+    lo, hi = m * sub_dim + 1, (m + 1) * sub_dim
+    parts = [
+        f""", s{m}q AS (
+  SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM q
+), s{m}c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+  FROM s{m}q ORDER BY vec_id LIMIT {k}
+)"""
+    ]
+    for it in range(1, iters + 1):
+        prev, cur = f"s{m}c{it - 1}", f"s{m}c{it}"
+        parts.append(
+            f""", s{m}a{it} AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT t.vec_id, t.v, c.cluster,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY CAST(list_inner_product(c.c, c.c) AS BIGINT)
+                      - 2 * CAST(list_inner_product(t.v, c.c) AS BIGINT),
+                      c.cluster) AS rn
+    FROM s{m}q t, {prev} c) WHERE rn = 1
+), s{m}upd{it} AS (
+  SELECT cluster, list(cj ORDER BY i) AS c FROM (
+    SELECT cluster, i,
+           CAST((s - (((s % n) + n) % n)) / n AS BIGINT) AS cj
+    FROM (
+      SELECT a.cluster, t.i, SUM(a.v[t.i]) AS s, COUNT(*) AS n
+      FROM s{m}a{it} a, UNNEST(generate_series(1, {sub_dim})) AS t(i)
+      GROUP BY a.cluster, t.i))
+  GROUP BY cluster
+), {cur} AS (
+  SELECT p.cluster, COALESCE(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN s{m}upd{it} u USING (cluster)
+)"""
+        )
+    return "".join(parts)
+
+
+def _q175_sql() -> str:
+    n_sub, sub_dim, kc, iters = _Q175_NSUB, _Q175_SUBD, _Q175_KC, _Q175_ITERS
+    n_q, k, scale = _Q175_NQ, _Q175_K, 1024
+    chains = "".join(
+        _pq_subspace_chain(m, kc, iters, sub_dim) for m in range(n_sub)
+    )
+    codes = "".join(
+        f""", codes{m} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT t.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY CAST(list_inner_product(c.c, c.c) AS BIGINT)
+                      - 2 * CAST(list_inner_product(t.v, c.c) AS BIGINT),
+                      c.cluster) AS rn
+    FROM s{m}q t, s{m}c{iters} c) WHERE rn = 1
+)"""
+        for m in range(n_sub)
+    )
+    est_terms = " + ".join(
+        f"CAST(list_inner_product(list_slice(p.qv, {m * sub_dim + 1},"
+        f" {(m + 1) * sub_dim}), c{m}.c) AS BIGINT)"
+        for m in range(n_sub)
+    )
+    est_joins = "\n  ".join(
+        (
+            f"JOIN codes{m} a{m} ON a{m}.vec_id = a0.vec_id\n  "
+            if m else ""
+        )
+        + f"JOIN s{m}c{iters} c{m} ON c{m}.cluster = a{m}.cluster"
+        for m in range(n_sub)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x * {scale} + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+){chains}{codes}, qs AS (
+  SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT {n_q}
+), ex AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, t.vec_id,
+           row_number() OVER (
+             PARTITION BY s.qid
+             ORDER BY CAST(list_inner_product(t.v, s.qv) AS BIGINT) DESC,
+                      t.vec_id) AS rn
+    FROM q t, qs s) WHERE rn <= {k}
+), adc AS (
+  SELECT p.qid, a0.vec_id, {est_terms} AS est
+  FROM qs p, codes0 a0
+  {est_joins}
+), pq AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY est DESC, vec_id) AS rn
+    FROM adc) WHERE rn <= {k}
+)
+SELECT s.qid AS query_vec_id,
+       CAST((SELECT COUNT(*) FROM ex e JOIN pq p
+             ON e.qid = s.qid AND p.qid = s.qid AND e.vec_id = p.vec_id)
+            AS BIGINT) AS n_overlap,
+       CAST((1000 * (SELECT COUNT(*) FROM ex e JOIN pq p
+             ON e.qid = s.qid AND p.qid = s.qid AND e.vec_id = p.vec_id))
+            // {k} AS BIGINT) AS recall_x1000
+FROM qs s
+ORDER BY s.qid
+"""

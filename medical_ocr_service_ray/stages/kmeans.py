@@ -128,3 +128,67 @@ def kmeans_assign(
         )
 
     return ds.map_batches(label, batch_format="pandas")
+
+
+def pq_fit(
+    ds: "rd.Dataset",
+    n_sub: int,
+    sub_dim: int,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks: an independent quantized-Lloyd's fit
+    per contiguous ``sub_dim``-wide subspace, ALL subspaces trained in the
+    same streaming pass per iteration (one map_batches emits per-(subspace,
+    cluster) partial sums — n_sub separate kmeans_fit calls would re-scan
+    the corpus n_sub times for identical results). Same integer semantics
+    as kmeans_fit per subspace: init = the k smallest ids' slices, int64 L2
+    assignment with lowest-index ties, floor-divided centroid updates,
+    empty clusters keep the previous centroid — so the whole fit unrolls
+    into an exact DuckDB mirror (q175). Returns (n_sub, k, sub_dim) int64."""
+    import ray
+
+    init_parts = ds.map_batches(
+        lambda df: df.nsmallest(k, id_col)[[id_col, vec_col]], batch_format="pandas"
+    ).to_pandas()
+    init = init_parts.nsmallest(k, id_col).sort_values(id_col)
+    full = quantize(np.stack(init[vec_col].to_numpy()))  # (k, n_sub*sub_dim)
+    books = np.stack(
+        [full[:, m * sub_dim : (m + 1) * sub_dim] for m in range(n_sub)]
+    )  # (n_sub, k, sub_dim)
+
+    for _ in range(iters):
+        ref = ray.put(books)
+
+        def partial(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            bks = ray.get(_ref)
+            q = quantize(np.stack(df[vec_col].to_numpy()))
+            rows = []
+            for m in range(bks.shape[0]):
+                qs = q[:, m * sub_dim : (m + 1) * sub_dim]
+                a = assign(qs, bks[m])
+                for j in np.unique(a):
+                    sel = qs[a == j]
+                    rows.append(
+                        {
+                            "sub": int(m),
+                            "cluster": int(j),
+                            "n": int(sel.shape[0]),
+                            "sums": sel.sum(axis=0, dtype=np.int64).tobytes(),
+                        }
+                    )
+            return pd.DataFrame(rows)
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        new = books.copy()
+        for (m, j), sub in parts.groupby(["sub", "cluster"]):
+            total = np.zeros(sub_dim, dtype=np.int64)
+            for b in sub["sums"]:
+                total += np.frombuffer(b, dtype=np.int64)
+            n = int(sub["n"].sum())
+            if n:
+                new[int(m), int(j)] = total // n
+        books = new
+    return books

@@ -185,3 +185,32 @@ class TestIvfTopK:
         dots = m @ query
         order = np.lexsort((np.arange(len(m)), -dots))[:10]
         assert list(got["vec_id"]) == [int(i) for i in order]
+
+
+class TestPqFit:
+    """pq_fit must equal n_sub INDEPENDENT kmeans_fit calls on the sliced
+    columns — the fused one-pass-per-iteration fit is a pure scheduling
+    optimization, bit-invisible in the codebooks."""
+
+    def test_pq_fit_equals_per_subspace_kmeans(self, emb_table):
+        import ray.data as rd
+
+        from medical_ocr_service_ray.stages.kmeans import kmeans_fit, pq_fit
+
+        n_sub, sub_dim = 4, 8  # 32 dims
+        ds = rd.from_arrow(emb_table).repartition(5)
+        books = pq_fit(ds, n_sub, sub_dim, k=6, iters=2)
+        assert books.shape == (n_sub, 6, sub_dim)
+        mat = _matrix(emb_table)
+        for m in range(n_sub):
+            sliced = pa.table(
+                {
+                    "vec_id": emb_table["vec_id"],
+                    "embedding": pa.array(
+                        [list(map(float, r)) for r in mat[:, m * sub_dim:(m + 1) * sub_dim]],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+            ref = kmeans_fit(rd.from_arrow(sliced).repartition(5), k=6, iters=2)
+            np.testing.assert_array_equal(books[m], ref)
