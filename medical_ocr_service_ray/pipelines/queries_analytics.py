@@ -2171,3 +2171,82 @@ FROM {cte}"""
     )
     body = "\nUNION ALL\n".join(legs)
     return f"WITH {ctes}\n{body}\nORDER BY relation"
+
+
+# -------------------------------------------------------------------- q177
+
+_Q177_KS = (2, 5, 10)
+
+
+def q177_k_anonymity_audit(sf_dir: str):
+    """k-anonymity audit over a quasi-identifier tuple — the data-
+    governance gate a training-data pipeline runs before release (q60
+    redacts direct PII; this measures REIDENTIFICATION risk from indirect
+    attributes): a QI group smaller than k means those rows are
+    k-distinguishable. QI = (event_type, day, value decabucket); for each
+    k in (2, 5, 10) emit how many QI groups violate k-anonymity and how
+    many rows sit in them. Plan: ONE QI-keyed exchange for exact group
+    sizes, then per-block threshold partials (3 rows each) and a tiny
+    driver merge — group-count-shaped data never leaves the cluster.
+    value buckets ride the repo's cents convention (np.rint == SQL round
+    on this data, _qcommon._cents); cents are nonnegative here so // is
+    floor on both engines."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def qi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "event_type": df.event_type,
+                "day": df.ts.dt.floor("D"),
+                "vb": _cents(df.value.astype("float64")) // 1000,
+            }
+        )
+        out = g.groupby(["event_type", "day", "vb"], as_index=False).size()
+        return out.rename(columns={"size": "c"})
+
+    sizes = partial_then_combine(
+        ds,
+        qi_partial,
+        "day",  # day has the widest spread of the QI columns -> even buckets
+        lambda df: df.groupby(["event_type", "day", "vb"], as_index=False)["c"].sum(),
+    )
+
+    def thresh_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.c.to_numpy()
+        rows = [
+            (k, int((c < k).sum()), int(c[c < k].sum())) for k in _Q177_KS
+        ]
+        return pd.DataFrame(
+            rows, columns=["k_threshold", "violating_groups", "violating_rows"]
+        )
+
+    out = (
+        sizes.map_batches(thresh_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("k_threshold", as_index=False)
+        .sum()
+        .sort_values("k_threshold")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q177_sql() -> str:
+    ks = ", ".join(f"({k})" for k in _Q177_KS)
+    return f"""
+WITH g AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(round(value * 100) AS BIGINT) // 1000 AS vb,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT CAST(k.k AS BIGINT) AS k_threshold,
+       CAST(SUM(CASE WHEN c < k.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_groups,
+       CAST(SUM(CASE WHEN c < k.k THEN c ELSE 0 END) AS BIGINT)
+         AS violating_rows
+FROM g, (VALUES {ks}) k(k)
+GROUP BY k.k ORDER BY k.k
+"""

@@ -2081,3 +2081,57 @@ FROM ev e LEFT JOIN model m USING (bg)
 GROUP BY e.doc_id
 ORDER BY e.doc_id
 """
+
+
+# -------------------------------------------------------------------- q176
+
+_Q176_NNEG, _Q176_TRUTH_K = 5, 10
+
+
+def q176_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive retrieval training — the
+    training-data op behind every dense-retriever fine-tune (DPR/ANCE
+    style): per query, documents the LEXICAL ranker finds plausible (BM25
+    top-50) that are NOT in the semantic truth set (exact-cosine top-10)
+    are the informative negatives; random negatives are too easy. Reuses
+    q170's shared legs verbatim (one BM25 scan + one cosine scan), then
+    pure driver set arithmetic over the O(queries x k) leg rows — adding
+    this op to the engine costs zero new exchanges. Output per query: the
+    top-5 hard negatives by BM25 rank (query_id, neg_rank, doc_id,
+    bm25_rank)."""
+    lex, sem = _hybrid_legs(sf_dir)
+    truth = sem[sem["rank"] <= _Q176_TRUTH_K]
+    rows = []
+    for qid in sorted(_BM25_QUERIES):
+        tset = set(truth[truth.query_id == qid].doc_id.tolist())
+        cand = lex[lex.query_id == qid].sort_values("rank")
+        neg = cand[~cand.doc_id.isin(tset)].head(_Q176_NNEG)
+        for i, (_, r) in enumerate(neg.iterrows(), start=1):
+            rows.append((qid, i, int(r.doc_id), int(r["rank"])))
+    out = pd.DataFrame(
+        rows, columns=["query_id", "neg_rank", "doc_id", "bm25_rank"]
+    )
+    out["query_id"] = out.query_id.astype(object)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q176_sql() -> str:
+    return f"""
+WITH {_hybrid_ctes()},
+truth AS (
+  SELECT query_id, doc_id FROM sem_ranked WHERE rank <= {_Q176_TRUTH_K}
+), neg AS (
+  SELECT l.query_id, l.doc_id, l.rank AS bm25_rank,
+         row_number() OVER (PARTITION BY l.query_id ORDER BY l.rank)
+           AS neg_rank
+  FROM lex l LEFT JOIN truth t
+    ON t.query_id = l.query_id AND t.doc_id = l.doc_id
+  WHERE t.doc_id IS NULL
+)
+SELECT query_id, CAST(neg_rank AS BIGINT) AS neg_rank, doc_id,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank
+FROM neg WHERE neg_rank <= {_Q176_NNEG}
+ORDER BY query_id, neg_rank
+"""

@@ -126,6 +126,8 @@ GATED = [
     "q173_key_skew_profile",
     "q174_bigram_lm_score",
     "q175_pq_ann_recall",
+    "q176_hard_negatives",
+    "q177_k_anonymity_audit",
 ]
 
 
