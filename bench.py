@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "q175_pq_ann_recall",
     "q176_hard_negatives",
     "q177_k_anonymity_audit",
+    "q178_join_size_estimate",
 ]
 
 

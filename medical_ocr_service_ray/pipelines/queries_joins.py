@@ -1709,3 +1709,127 @@ SELECT 'lineitem->part',
        COUNT(*)::BIGINT
 FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
 """
+
+
+# -------------------------------------------------------------------- q178
+
+_Q178_D, _Q178_W = 4, 65536
+
+
+def q178_join_size_estimate(sf_dir: str):
+    """Sketch-based join-cardinality estimation (the AGMS/count-min inner-
+    product estimator, Alon-Matias-Szegedy lineage) — the statistic a
+    distributed planner consults BEFORE picking broadcast vs shuffle vs
+    salted join (q173 profiles one side's skew; this predicts the join's
+    OUTPUT size without running it): |A join B| is estimated per CMS row i
+    as sum_b cmsA[i][b] * cmsB[i][b], upper-bounding the true size
+    (collisions only ADD mass), and the estimate = min over the d rows.
+    Both sketches build in one streaming pass per side with 2 MB partial
+    arrays (w sized so the expected collision mass sum_a*sum_b/w stays near
+    the true pair count at bench scale; at 100 TB, w scales with worker
+    memory, never with rows) (driver-summed, NO exchange); the exact size — for the eval —
+    takes the one key-keyed exchange the estimator is designed to avoid.
+    Join measured: events.user_id x orders.o_custkey. All hashes are the
+    d disjoint 8-byte slices of one sha256(str(key)) (q172's idiom), so
+    the DuckDB oracle rebuilds both sketches and the minimum bit-exactly.
+    Output: one row (exact_pairs, cms_est) — pair sums fit int64 here and
+    the SQL side runs in HUGEINT (disclosed; at 10^12 rows shard the
+    product sum before casting down)."""
+    import hashlib
+
+    d, w = _Q178_D, _Q178_W
+
+    def cms_of(table: str, col: str) -> np.ndarray:
+        ds = _read(sf_dir, table, [col])
+
+        def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+            vc = df[col].value_counts()
+            flat = np.zeros(d * w, dtype=np.int64)
+            for key, c in vc.items():
+                h = hashlib.sha256(str(int(key)).encode()).digest()
+                for i in range(d):
+                    b = int.from_bytes(h[8 * i : 8 * i + 8], "big") % w
+                    flat[i * w + b] += int(c)
+            return pd.DataFrame({"sketch": [flat.tobytes()]})
+
+        counters = np.zeros(d * w, dtype=np.int64)
+        for row in ds.map_batches(sketch_batch, batch_format="pandas").take_all():
+            counters += np.frombuffer(row["sketch"], dtype=np.int64)
+        return counters.reshape(d, w)
+
+    ca, cb = cms_of("events", "user_id"), cms_of("orders", "o_custkey")
+    est = int(min((ca[i] * cb[i]).sum() for i in range(d)))
+
+    # exact join size: per-side per-key counts meet in ONE keyed exchange
+    def side_partial(col: str, tag: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            vc = df[col].value_counts()
+            n = vc.to_numpy().astype("int64")
+            z = np.zeros(len(vc), dtype="int64")
+            return pd.DataFrame(
+                {"k": vc.index.to_numpy(dtype="int64"),
+                 "ce": n if tag == "a" else z,
+                 "co": z if tag == "a" else n}
+            )
+        return fn
+
+    ea = _read(sf_dir, "events", ["user_id"]).map_batches(
+        side_partial("user_id", "a"), batch_format="pandas"
+    )
+    ob = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        side_partial("o_custkey", "b"), batch_format="pandas"
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", as_index=False).sum()
+        return pd.DataFrame(
+            {"pairs": [int((g.ce.to_numpy() * g.co.to_numpy()).sum())]}
+        )
+
+    from medical_ocr_service_ray.stages.aggregate import bucketed_combine
+
+    parts = bucketed_combine(ea.union(ob), "k", combine).to_pandas()
+    exact = int(parts.pairs.sum())
+    return pd.DataFrame(
+        {"exact_pairs": pd.array([exact], "int64"),
+         "cms_est": pd.array([est], "int64")}
+    )
+
+
+def _q178_sql() -> str:
+    d, w = _Q178_D, _Q178_W
+    def side(table: str, col: str, name: str) -> str:
+        slices = ",\n         ".join(
+            f"CAST(('0x' || substr(sha256(CAST(k AS VARCHAR)), {1 + 16 * i}, 16))"
+            f" AS UBIGINT) % {w} AS b{i}"
+            for i in range(d)
+        )
+        rows = ",\n".join(
+            f"{name}r{i} AS (SELECT b{i} AS b, CAST(SUM(c) AS HUGEINT) AS cnt"
+            f" FROM {name}h GROUP BY b{i})"
+            for i in range(d)
+        )
+        return (
+            f"{name}t AS (SELECT {col} AS k, CAST(COUNT(*) AS BIGINT) AS c"
+            f" FROM {table} GROUP BY {col}),\n"
+            f"{name}h AS (SELECT k, c,\n         {slices}\n  FROM {name}t),\n"
+            f"{rows}"
+        )
+    prods = ",\n".join(
+        f"p{i} AS (SELECT CAST(COALESCE(SUM(a.cnt * b.cnt), 0) AS HUGEINT) AS v"
+        f" FROM sar{i} a JOIN sbr{i} b USING (b))"
+        for i in range(d)
+    )
+    least = ", ".join(f"(SELECT v FROM p{i})" for i in range(d))
+    return f"""
+WITH {side("events", "user_id", "sa")},
+{side("orders", "o_custkey", "sb")},
+{prods},
+exact AS (
+  SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS pairs
+  FROM sat a JOIN sbt b USING (k)
+)
+SELECT pairs AS exact_pairs,
+       CAST(LEAST({least}) AS BIGINT) AS cms_est
+FROM exact
+"""

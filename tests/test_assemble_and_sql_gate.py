@@ -128,6 +128,7 @@ GATED = [
     "q175_pq_ann_recall",
     "q176_hard_negatives",
     "q177_k_anonymity_audit",
+    "q178_join_size_estimate",
 ]
 
 
