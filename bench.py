@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "q176_hard_negatives",
     "q177_k_anonymity_audit",
     "q178_join_size_estimate",
+    "q179_expectations_suite",
 ]
 
 

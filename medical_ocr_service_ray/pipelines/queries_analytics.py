@@ -2250,3 +2250,131 @@ SELECT CAST(k.k AS BIGINT) AS k_threshold,
 FROM g, (VALUES {ks}) k(k)
 GROUP BY k.k ORDER BY k.k
 """
+
+
+# -------------------------------------------------------------------- q179
+
+_Q179_EVENT_DOMAIN = ("click", "error", "purchase", "signup", "view")
+
+
+def q179_expectations_suite(sf_dir: str):
+    """Declarative data-quality expectations (the Great-Expectations /
+    dbt-tests pattern): a battery of table-level contracts evaluated in
+    ONE streaming scan per table, each emitting (check, n_checked,
+    n_failed, ok). The reference validates every AI result against a Joi
+    contract before persisting (src/services/validation.service.js:14-17
+    stripUnknown + defaults); this is the same gate applied to the LAKE
+    instead of one payload. Checks: domain membership, non-negativity,
+    null/empty rates, range bounds — all per-batch counter partials summed
+    on the driver (bytes per block) — plus ONE key-uniqueness check
+    (orders.o_orderkey), the only expectation that needs an exchange
+    (exact distinct via key-bucketed combine, q34's machinery)."""
+    rows = []
+
+    def scan_checks(table, cols, fns):
+        ds = _read(sf_dir, table, cols)
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                [(name, len(df), int(fail(df))) for name, fail in fns],
+                columns=["check_name", "n_checked", "n_failed"],
+            )
+
+        agg = (
+            ds.map_batches(part, batch_format="pandas")
+            .to_pandas()
+            .groupby("check_name", as_index=False)
+            .sum()
+        )
+        rows.extend(agg.itertuples(index=False, name=None))
+
+    scan_checks(
+        "events",
+        ["event_type", "ts", "value"],
+        [
+            ("events.event_type_in_domain",
+             lambda df: (~df.event_type.isin(_Q179_EVENT_DOMAIN)).sum()),
+            ("events.ts_not_null", lambda df: df.ts.isna().sum()),
+            ("events.value_nonneg",
+             lambda df: (~(df.value >= 0)).sum()),  # NaN counts as failed
+        ],
+    )
+    scan_checks(
+        "orders",
+        ["o_totalprice"],
+        [("orders.o_totalprice_positive",
+          lambda df: (~(df.o_totalprice > 0)).sum())],
+    )
+    scan_checks(
+        "lineitem",
+        ["l_quantity"],
+        [("lineitem.l_quantity_in_1_50",
+          lambda df: (~df.l_quantity.between(1, 50)).sum())],
+    )
+    scan_checks(
+        "documents",
+        ["text"],
+        [("documents.text_nonempty",
+          lambda df: (df.text.isna() | (df.text == "")).sum())],
+    )
+
+    # uniqueness: the one expectation that needs an exchange — exact
+    # distinct via key-bucketed combine, then rows-minus-distinct
+    ok_ds = _read(sf_dir, "orders", ["o_orderkey"])
+    dparts = partial_then_combine(
+        ok_ds,
+        lambda df: df[["o_orderkey"]].drop_duplicates(),
+        "o_orderkey",
+        lambda df: pd.DataFrame({"nd": [df.o_orderkey.nunique()]}),
+    ).to_pandas()
+    tparts = ok_ds.map_batches(
+        lambda df: pd.DataFrame({"n": [len(df)]}), batch_format="pandas"
+    ).to_pandas()
+    n, nd = int(tparts.n.sum()), int(dparts.nd.sum())
+    rows.append(("orders.o_orderkey_unique", n, n - nd))
+
+    out = pd.DataFrame(rows, columns=["check_name", "n_checked", "n_failed"])
+    out = out.sort_values("check_name").reset_index(drop=True)
+    out["check_name"] = out.check_name.astype(object)
+    out["n_checked"] = out.n_checked.astype("int64")
+    out["n_failed"] = out.n_failed.astype("int64")
+    out["ok"] = out.n_failed == 0
+    return out
+
+
+def _q179_sql() -> str:
+    domain = ", ".join(f"'{e}'" for e in _Q179_EVENT_DOMAIN)
+    return f"""
+WITH u AS (
+SELECT 'documents.text_nonempty' AS check_name,
+       CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_failed
+FROM documents
+UNION ALL
+SELECT 'events.event_type_in_domain', COUNT(*),
+       SUM(CASE WHEN event_type NOT IN ({domain})
+                  OR event_type IS NULL THEN 1 ELSE 0 END)
+FROM events
+UNION ALL
+SELECT 'events.ts_not_null', COUNT(*),
+       SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) FROM events
+UNION ALL
+SELECT 'events.value_nonneg', COUNT(*),
+       SUM(CASE WHEN value >= 0 THEN 0 ELSE 1 END) FROM events
+UNION ALL
+SELECT 'lineitem.l_quantity_in_1_50', COUNT(*),
+       SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+FROM lineitem
+UNION ALL
+SELECT 'orders.o_orderkey_unique', COUNT(*),
+       COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+UNION ALL
+SELECT 'orders.o_totalprice_positive', COUNT(*),
+       SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) FROM orders
+)
+SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_failed AS BIGINT) AS n_failed, n_failed = 0 AS ok
+FROM u
+ORDER BY check_name
+"""
