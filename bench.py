@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "q177_k_anonymity_audit",
     "q178_join_size_estimate",
     "q179_expectations_suite",
+    "q180_matryoshka_recall",
 ]
 
 

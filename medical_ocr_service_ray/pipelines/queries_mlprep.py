@@ -1799,3 +1799,122 @@ SELECT s.qid AS query_vec_id,
 FROM qs s
 ORDER BY s.qid
 """
+
+
+# -------------------------------------------------------------------- q180
+
+_Q180_TRUNC, _Q180_NQ, _Q180_K = 16, 5, 10
+
+
+def q180_matryoshka_recall(sf_dir: str):
+    """Matryoshka-truncation retrieval eval (Kusupati et al. 2022): how
+    much exact-search recall@10 survives keeping only the FIRST 16 of 64
+    embedding dims — the question every embedding-storage budget decision
+    asks (4x fewer bytes, same index machinery; PQ — q175 — compresses
+    codes, truncation compresses the vectors themselves). Both legs are
+    exact integer-dot searches riding ONE corpus scan (q143's
+    dual-partial harness): full-dim top-10 is the truth, prefix-dim
+    top-10 is the candidate. Output per probe query: (query_vec_id,
+    n_overlap, recall_x1000) — all-integer, oracle rebuilds both cuts
+    with list_slice."""
+    import ray
+
+    from medical_ocr_service_ray.stages.ann import _stack_embeddings
+    from medical_ocr_service_ray.stages.kmeans import quantize
+
+    t, n_q, k = _Q180_TRUNC, _Q180_NQ, _Q180_K
+    ds = _emb_dataset(sf_dir)
+    emb = _emb_query_table(sf_dir)
+    qdf = (
+        pd.DataFrame(
+            {"vec_id": emb["vec_id"].to_pandas(), "e": emb["embedding"].to_pylist()}
+        )
+        .sort_values("vec_id")
+        .head(n_q)
+    )
+    qids = qdf.vec_id.to_numpy(dtype=np.int64)
+    qm = quantize(np.asarray(qdf.e.tolist(), dtype=np.float64))
+    bundle = ray.put((qm, qids))
+
+    def partial(batch: pa.Table, _ref=bundle) -> pa.Table:
+        qmat, qv_ids = ray.get(_ref)
+        v = quantize(_stack_embeddings(batch))
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        full = v @ qmat.T
+        trunc = v[:, :t] @ qmat[:, :t].T
+        out_q, out_id, out_dot, out_kind = [], [], [], []
+        for qi in range(len(qv_ids)):
+            for kind, col in ((0, full[:, qi]), (1, trunc[:, qi])):
+                order = np.lexsort((ids, -col))[:k]
+                out_q.extend([int(qv_ids[qi])] * len(order))
+                out_id.extend(ids[order].tolist())
+                out_dot.extend(col[order].tolist())
+                out_kind.extend([kind] * len(order))
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "dot_q": pa.array(out_dot, pa.int64()),
+                "kind": pa.array(out_kind, pa.int64()),
+            }
+        )
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = merged.sort_values(
+        ["qid", "kind", "dot_q", "vec_id"], ascending=[True, True, False, True]
+    )
+    top = merged.groupby(["qid", "kind"]).head(k)
+    rows = []
+    for qid in qids:
+        ex = set(top[(top.qid == qid) & (top.kind == 0)].vec_id)
+        tr = set(top[(top.qid == qid) & (top.kind == 1)].vec_id)
+        n = len(ex & tr)
+        rows.append((int(qid), n, (1000 * n) // k))
+    return pd.DataFrame(
+        {
+            "query_vec_id": pd.array([r[0] for r in rows], "int64"),
+            "n_overlap": pd.array([r[1] for r in rows], "int64"),
+            "recall_x1000": pd.array([r[2] for r in rows], "int64"),
+        }
+    )
+
+
+def _q180_sql() -> str:
+    t, n_q, k, scale = _Q180_TRUNC, _Q180_NQ, _Q180_K, 1024
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x * {scale} + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+), qs AS (
+  SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT {n_q}
+), ex AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, x.vec_id,
+           row_number() OVER (
+             PARTITION BY s.qid
+             ORDER BY CAST(list_inner_product(x.v, s.qv) AS BIGINT) DESC,
+                      x.vec_id) AS rn
+    FROM q x, qs s) WHERE rn <= {k}
+), tr AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, x.vec_id,
+           row_number() OVER (
+             PARTITION BY s.qid
+             ORDER BY CAST(list_inner_product(list_slice(x.v, 1, {t}),
+                                              list_slice(s.qv, 1, {t}))
+                           AS BIGINT) DESC,
+                      x.vec_id) AS rn
+    FROM q x, qs s) WHERE rn <= {k}
+)
+SELECT s.qid AS query_vec_id,
+       CAST((SELECT COUNT(*) FROM ex e JOIN tr r
+             ON e.qid = s.qid AND r.qid = s.qid AND e.vec_id = r.vec_id)
+            AS BIGINT) AS n_overlap,
+       CAST((1000 * (SELECT COUNT(*) FROM ex e JOIN tr r
+             ON e.qid = s.qid AND r.qid = s.qid AND e.vec_id = r.vec_id))
+            // {k} AS BIGINT) AS recall_x1000
+FROM qs s
+ORDER BY s.qid
+"""

@@ -130,6 +130,7 @@ GATED = [
     "q177_k_anonymity_audit",
     "q178_join_size_estimate",
     "q179_expectations_suite",
+    "q180_matryoshka_recall",
 ]
 
 
