@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "q178_join_size_estimate",
     "q179_expectations_suite",
     "q180_matryoshka_recall",
+    "q181_mixture_allocation",
 ]
 
 

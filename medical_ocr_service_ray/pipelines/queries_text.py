@@ -2135,3 +2135,79 @@ SELECT query_id, CAST(neg_rank AS BIGINT) AS neg_rank, doc_id,
 FROM neg WHERE neg_rank <= {_Q176_NNEG}
 ORDER BY query_id, neg_rank
 """
+
+
+# -------------------------------------------------------------------- q181
+
+_Q181_BUDGET = 1_000_000
+
+
+def q181_mixture_allocation(sf_dir: str):
+    """Training-mix planning: apportion a fixed token budget across
+    sources proportionally to their corpus mass, with LARGEST-REMAINDER
+    (Hamilton) rounding so the allocations are integers that sum EXACTLY
+    to the budget — the deterministic core of every dataset-mixing recipe
+    (The Pile / Dolma style mix tables). Per source: n_tokens (exact
+    whitespace-token mass, one streaming scan with per-batch partials —
+    source cardinality is catalog-bounded, so the combine is a driver
+    merge), base = floor(B*n/N), and the R = B - sum(base) leftover units
+    go to the largest remainders (ties -> source asc). All-integer, so
+    the SQL mirror is exact. Output: (source, n_tokens, alloc_tokens)."""
+    B = _Q181_BUDGET
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        nt = (
+            df.text.fillna("").astype(str).str.split().str.len()
+            .astype("int64")
+        )
+        g = pd.DataFrame({"source": df.source, "nt": nt})
+        return g.groupby("source", as_index=False)["nt"].sum()
+
+    counts = driver_combine(
+        ds, part, lambda df: df.groupby("source", as_index=False)["nt"].sum()
+    ).sort_values("source").reset_index(drop=True)
+    n = counts.nt.to_numpy().astype("int64")
+    N = int(n.sum())
+    base = B * n // N
+    rem = (B * n) % N
+    R = B - int(base.sum())
+    order = np.lexsort((counts.source.to_numpy(), -rem))  # rem desc, src asc
+    alloc = base.copy()
+    alloc[order[:R]] += 1
+    return pd.DataFrame(
+        {
+            "source": counts.source.astype(object),
+            "n_tokens": n,
+            "alloc_tokens": alloc.astype("int64"),
+        }
+    )
+
+
+def _q181_sql() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT source,
+         len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                         x -> length(x) > 0)) AS nt
+  FROM documents
+), s AS (
+  SELECT source, CAST(SUM(nt) AS BIGINT) AS n FROM toks GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS N FROM s
+), base AS (
+  SELECT source, n,
+         CAST(({_Q181_BUDGET} * n) // t.N AS BIGINT) AS b,
+         CAST(({_Q181_BUDGET} * n) % t.N AS BIGINT) AS r
+  FROM s, tot t
+), rk AS (
+  SELECT *, row_number() OVER (ORDER BY r DESC, source) AS rn FROM base
+), need AS (
+  SELECT CAST({_Q181_BUDGET} - SUM(b) AS BIGINT) AS R FROM base
+)
+SELECT source, n AS n_tokens,
+       CAST(b + CASE WHEN rn <= need.R THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_tokens
+FROM rk, need
+ORDER BY source
+"""

@@ -131,6 +131,7 @@ GATED = [
     "q178_join_size_estimate",
     "q179_expectations_suite",
     "q180_matryoshka_recall",
+    "q181_mixture_allocation",
 ]
 
 
