@@ -2194,11 +2194,11 @@ WITH toks AS (
 ), s AS (
   SELECT source, CAST(SUM(nt) AS BIGINT) AS n FROM toks GROUP BY source
 ), tot AS (
-  SELECT CAST(SUM(n) AS BIGINT) AS N FROM s
+  SELECT CAST(SUM(n) AS BIGINT) AS total FROM s
 ), base AS (
   SELECT source, n,
-         CAST(({_Q181_BUDGET} * n) // t.N AS BIGINT) AS b,
-         CAST(({_Q181_BUDGET} * n) % t.N AS BIGINT) AS r
+         CAST(({_Q181_BUDGET} * n) // t.total AS BIGINT) AS b,
+         CAST(({_Q181_BUDGET} * n) % t.total AS BIGINT) AS r
   FROM s, tot t
 ), rk AS (
   SELECT *, row_number() OVER (ORDER BY r DESC, source) AS rn FROM base
