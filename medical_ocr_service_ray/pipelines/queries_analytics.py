@@ -2269,26 +2269,19 @@ def q179_expectations_suite(sf_dir: str):
     on the driver (bytes per block) — plus ONE key-uniqueness check
     (orders.o_orderkey), the only expectation that needs an exchange
     (exact distinct via key-bucketed combine, q34's machinery)."""
-    rows = []
-
-    def scan_checks(table, cols, fns):
-        ds = _read(sf_dir, table, cols)
-
+    def check_partials(table, cols, fns):
         def part(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame(
                 [(name, len(df), int(fail(df))) for name, fail in fns],
                 columns=["check_name", "n_checked", "n_failed"],
             )
 
-        agg = (
-            ds.map_batches(part, batch_format="pandas")
-            .to_pandas()
-            .groupby("check_name", as_index=False)
-            .sum()
+        return _read(sf_dir, table, cols).map_batches(
+            part, batch_format="pandas", batch_size=65536
         )
-        rows.extend(agg.itertuples(index=False, name=None))
 
-    scan_checks(
+    legs = []
+    legs.append(check_partials(
         "events",
         ["event_type", "ts", "value"],
         [
@@ -2298,39 +2291,48 @@ def q179_expectations_suite(sf_dir: str):
             ("events.value_nonneg",
              lambda df: (~(df.value >= 0)).sum()),  # NaN counts as failed
         ],
-    )
-    scan_checks(
+    ))
+    legs.append(check_partials(
         "orders",
         ["o_totalprice"],
         [("orders.o_totalprice_positive",
           lambda df: (~(df.o_totalprice > 0)).sum())],
-    )
-    scan_checks(
+    ))
+    legs.append(check_partials(
         "lineitem",
         ["l_quantity"],
         [("lineitem.l_quantity_in_1_50",
           lambda df: (~df.l_quantity.between(1, 50)).sum())],
-    )
-    scan_checks(
+    ))
+    legs.append(check_partials(
         "documents",
         ["text"],
         [("documents.text_nonempty",
           lambda df: (df.text.isna() | (df.text == "")).sum())],
-    )
+    ))
+
+    # ALL four tables' counter partials ride ONE union'd execution (one
+    # Ray job, zero exchanges) instead of four serial to_pandas passes
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.union(leg)
+    agg = u.to_pandas().groupby("check_name", as_index=False).sum()
+    rows = list(agg.itertuples(index=False, name=None))
 
     # uniqueness: the one expectation that needs an exchange — exact
-    # distinct via key-bucketed combine, then rows-minus-distinct
-    ok_ds = _read(sf_dir, "orders", ["o_orderkey"])
+    # distinct via key-bucketed combine; the total-row side reuses the
+    # o_totalprice check's n_checked (same table, same full scan)
     dparts = partial_then_combine(
-        ok_ds,
+        _read(sf_dir, "orders", ["o_orderkey"]),
         lambda df: df[["o_orderkey"]].drop_duplicates(),
         "o_orderkey",
         lambda df: pd.DataFrame({"nd": [df.o_orderkey.nunique()]}),
     ).to_pandas()
-    tparts = ok_ds.map_batches(
-        lambda df: pd.DataFrame({"n": [len(df)]}), batch_format="pandas"
-    ).to_pandas()
-    n, nd = int(tparts.n.sum()), int(dparts.nd.sum())
+    n = int(
+        agg.loc[agg.check_name == "orders.o_totalprice_positive", "n_checked"]
+        .iloc[0]
+    )
+    nd = int(dparts.nd.sum())
     rows.append(("orders.o_orderkey_unique", n, n - nd))
 
     out = pd.DataFrame(rows, columns=["check_name", "n_checked", "n_failed"])

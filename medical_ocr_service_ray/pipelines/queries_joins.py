@@ -1739,9 +1739,7 @@ def q178_join_size_estimate(sf_dir: str):
 
     d, w = _Q178_D, _Q178_W
 
-    def cms_of(table: str, col: str) -> np.ndarray:
-        ds = _read(sf_dir, table, [col])
-
+    def sketch_partials(table: str, col: str, side: str):
         def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
             vc = df[col].value_counts()
             flat = np.zeros(d * w, dtype=np.int64)
@@ -1750,14 +1748,28 @@ def q178_join_size_estimate(sf_dir: str):
                 for i in range(d):
                     b = int.from_bytes(h[8 * i : 8 * i + 8], "big") % w
                     flat[i * w + b] += int(c)
-            return pd.DataFrame({"sketch": [flat.tobytes()]})
+            return pd.DataFrame({"side": [side], "sketch": [flat.tobytes()]})
 
-        counters = np.zeros(d * w, dtype=np.int64)
-        for row in ds.map_batches(sketch_batch, batch_format="pandas").take_all():
-            counters += np.frombuffer(row["sketch"], dtype=np.int64)
-        return counters.reshape(d, w)
+        # batch_size sized UP: every partial is a dense d*w int64 array
+        # (2 MB) however few rows it saw — small batches would ship
+        # hundreds of them to the driver (measured 128 x 2 MB = 268 MB);
+        # at 64k rows/batch the partial count is the block count (~13)
+        return _read(sf_dir, table, [col]).map_batches(
+            sketch_batch, batch_format="pandas", batch_size=65536
+        )
 
-    ca, cb = cms_of("events", "user_id"), cms_of("orders", "o_custkey")
+    # both sides' sketch partials ride ONE union'd execution (one Ray job,
+    # zero exchanges) instead of two serial take_all passes
+    ca = np.zeros(d * w, dtype=np.int64)
+    cb = np.zeros(d * w, dtype=np.int64)
+    both = sketch_partials("events", "user_id", "a").union(
+        sketch_partials("orders", "o_custkey", "b")
+    )
+    for row in both.take_all():
+        (ca if row["side"] == "a" else cb)[:] += np.frombuffer(
+            row["sketch"], dtype=np.int64
+        )
+    ca, cb = ca.reshape(d, w), cb.reshape(d, w)
     est = int(min((ca[i] * cb[i]).sum() for i in range(d)))
 
     # exact join size: per-side per-key counts meet in ONE keyed exchange
@@ -1774,10 +1786,10 @@ def q178_join_size_estimate(sf_dir: str):
         return fn
 
     ea = _read(sf_dir, "events", ["user_id"]).map_batches(
-        side_partial("user_id", "a"), batch_format="pandas"
+        side_partial("user_id", "a"), batch_format="pandas", batch_size=65536
     )
     ob = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
-        side_partial("o_custkey", "b"), batch_format="pandas"
+        side_partial("o_custkey", "b"), batch_format="pandas", batch_size=65536
     )
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
