@@ -364,3 +364,95 @@ def live_files(table_dir: str | Path) -> set[str]:
             except FileNotFoundError:
                 continue  # expired between glob and read
     return out
+
+
+def delete_rows(
+    table_dir: str | Path,
+    column: str,
+    values: list,
+) -> dict:
+    """GDPR-style row erasure as a SNAPSHOT COMMIT (the Delta/Iceberg
+    DELETE shape): rewrite ONLY the live part files whose footer min/max
+    interval can contain a target value — every other file is carried
+    into the new snapshot untouched (never re-read, never re-written) —
+    then commit a 'replace' manifest naming untouched + rewritten files.
+    Rewrites fan out as one Ray task per candidate file (at 100 TB the
+    candidates after footer pruning are the unit of parallelism; a file
+    whose rows ALL survive keeps its original name and bytes). Older
+    snapshots still reference the pre-delete files, so time travel keeps
+    working until ``expire_snapshots`` + ``gc_orphans`` reclaim them —
+    which IS the erasure retention boundary: run both to make the delete
+    physical. Returns {snapshot_id, files_scanned, files_rewritten,
+    rows_deleted}.
+
+    Reference parity: the reference erases per-document rows by key
+    (ordenes_procesadas UNIQUE archivo_hash upsert/delete surface,
+    src/services/feedback.service.js:28-58); this is the same operation
+    expressed against immutable parquet + a manifest log."""
+    import ray
+
+    table_dir = Path(table_dir)
+    snap_dir = table_dir / "_snapshots"
+    if snap_dir.is_dir() and any(snap_dir.glob("*.json")):
+        live = sorted(live_files(table_dir))
+    else:
+        live = sorted(p.name for p in table_dir.glob("*.parquet"))
+    if not live:
+        raise FileNotFoundError(f"no live part files under {table_dir}")
+
+    vals = sorted(set(values))
+    vset = set(vals)
+
+    def _may_contain(path: Path) -> bool:
+        md = pq.read_metadata(path)
+        saw_stats = False
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema != column:
+                    continue
+                st = col.statistics
+                if st is None or st.min is None or st.max is None:
+                    return True  # no stats -> cannot prune
+                saw_stats = True
+                if any(st.min <= v <= st.max for v in vals):
+                    return True
+        if not saw_stats:
+            # column absent from footer stats entirely -> cannot prune
+            return True
+        return False
+
+    candidates = [f for f in live if _may_contain(table_dir / f)]
+
+    @ray.remote
+    def _rewrite(fname: str) -> tuple[str, str | None, int]:
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(table_dir / fname)
+        mask = _pc.is_in(t[column], value_set=pa.array(vals))
+        keep = t.filter(_pc.fill_null(_pc.invert(mask), True))
+        dropped = t.num_rows - keep.num_rows
+        if dropped == 0:
+            return fname, None, 0  # false positive of the stats prune
+        import hashlib
+
+        tag = hashlib.sha256(
+            ("|".join(map(str, vals)) + "|" + fname).encode()
+        ).hexdigest()[:8]
+        new_name = f"{Path(fname).stem}.del-{tag}.parquet"
+        _pq.write_table(keep, table_dir / new_name)
+        return fname, new_name, dropped
+
+    results = ray.get([_rewrite.remote(f) for f in candidates])
+    renames = {old: new for old, new, _ in results if new is not None}
+    rows_deleted = sum(d for _, _, d in results)
+    new_list = [renames.get(f, f) for f in live]
+    sid = commit_snapshot(table_dir, new_list, op="replace")
+    return {
+        "snapshot_id": sid,
+        "files_scanned": len(candidates),
+        "files_rewritten": len(renames),
+        "rows_deleted": int(rows_deleted),
+    }

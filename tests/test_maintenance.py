@@ -212,3 +212,72 @@ class TestSnapshotsTimeTravel:
             )
         assert sorted(ids) == [1, 2]
         assert live_files(tmp_path) == {"a.parquet", "b.parquet"}
+
+
+class TestDeleteRows:
+    """GDPR erasure as a replace-snapshot commit: footer-stats pruning
+    keeps out-of-range files untouched (same bytes), matching rows vanish
+    at head, older snapshots still read the pre-delete data."""
+
+    def _mk(self, d, name, ids):
+        t = pa.table({"user_id": pa.array(ids, pa.int64()),
+                      "v": pa.array([i * 10 for i in ids], pa.int64())})
+        pq.write_table(t, d / name)
+        return name
+
+    def test_delete_prune_timetravel(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.sources.maintenance import (
+            commit_snapshot,
+            delete_rows,
+            read_at_snapshot,
+        )
+
+        f1 = self._mk(tmp_path, "a.parquet", [1, 2, 3])
+        f2 = self._mk(tmp_path, "b.parquet", [100, 101])
+        s1 = commit_snapshot(tmp_path, [f1, f2])
+        mtime_b = (tmp_path / f2).stat().st_mtime_ns
+
+        res = delete_rows(tmp_path, "user_id", [2, 3])
+        assert res["rows_deleted"] == 2
+        assert res["files_rewritten"] == 1
+        # footer prune: b.parquet (ids 100-101) was never a candidate
+        assert res["files_scanned"] == 1
+        assert (tmp_path / f2).stat().st_mtime_ns == mtime_b
+
+        head = read_at_snapshot(tmp_path).to_pandas()
+        assert sorted(head.user_id) == [1, 100, 101]
+        # time travel: the pre-delete snapshot still reads everything
+        old = read_at_snapshot(tmp_path, s1).to_pandas()
+        assert sorted(old.user_id) == [1, 2, 3, 100, 101]
+
+    def test_noop_delete_keeps_every_file(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.sources.maintenance import (
+            commit_snapshot,
+            delete_rows,
+            live_files,
+        )
+
+        f1 = self._mk(tmp_path, "a.parquet", [1, 2, 3])
+        commit_snapshot(tmp_path, [f1])
+        before = live_files(tmp_path)
+        res = delete_rows(tmp_path, "user_id", [999])
+        assert res["rows_deleted"] == 0 and res["files_rewritten"] == 0
+        assert live_files(tmp_path) == before
+
+    def test_erasure_becomes_physical_after_expire_gc(
+        self, ray_session, tmp_path
+    ):
+        from medical_ocr_service_ray.sources.maintenance import (
+            commit_snapshot,
+            delete_rows,
+            expire_snapshots,
+            gc_orphans,
+            live_files,
+        )
+
+        f1 = self._mk(tmp_path, "a.parquet", [1, 2, 3])
+        commit_snapshot(tmp_path, [f1])
+        delete_rows(tmp_path, "user_id", [2])
+        expire_snapshots(tmp_path, keep_last=1)
+        gc_orphans(tmp_path, live_files(tmp_path), dry_run=False)
+        assert not (tmp_path / f1).exists()  # the bytes holding id=2 are gone
