@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "q179_expectations_suite",
     "q180_matryoshka_recall",
     "q181_mixture_allocation",
+    "q182_ivfpq_recall",
 ]
 
 

@@ -1918,3 +1918,200 @@ SELECT s.qid AS query_vec_id,
 FROM qs s
 ORDER BY s.qid
 """
+
+
+# -------------------------------------------------------------------- q182
+
+_Q182_KCOARSE, _Q182_NPROBE = 8, 2
+
+
+def q182_ivfpq_recall(sf_dir: str):
+    """IVF-PQ combined index eval — the FAISS IndexIVFPQ shape, and the
+    production layout for 10^11-vector search: a coarse quantizer (q78's
+    IVF, k=8) prunes WHICH vectors are scored, PQ codes (q175's 8x8-dim
+    codebooks) compress HOW they are scored — candidate set shrinks
+    nprobe/k-fold AND each candidate costs 8 LUT lookups instead of a
+    64-dim dot. Both structures reuse their tested fits verbatim
+    (kmeans_fit + pq_fit); the eval rides ONE corpus scan emitting exact
+    top-10 truth AND in-probe ADC top-10 partials (q143's dual-partial
+    harness with q175's LUT scoring inside the probe gate). Output per
+    probe query: (query_vec_id, n_overlap, recall_x1000) — recall
+    compounds BOTH loss sources (probe misses + code quantization), so
+    q143 (IVF-only) and q175 (PQ-only) bound it from above."""
+    import ray
+
+    from medical_ocr_service_ray.stages.ann import _stack_embeddings, probe_clusters
+    from medical_ocr_service_ray.stages.kmeans import assign, kmeans_fit, pq_fit, quantize
+
+    n_sub, sub_dim, kc = _Q175_NSUB, _Q175_SUBD, _Q175_KC
+    n_q, k = _Q175_NQ, _Q175_K
+    ds = _emb_dataset(sf_dir)
+    coarse = kmeans_fit(ds, k=_Q182_KCOARSE, iters=2)
+    books = pq_fit(ds, n_sub, sub_dim, k=kc, iters=_Q175_ITERS)
+
+    emb = _emb_query_table(sf_dir)
+    qdf = (
+        pd.DataFrame(
+            {"vec_id": emb["vec_id"].to_pandas(), "e": emb["embedding"].to_pylist()}
+        )
+        .sort_values("vec_id")
+        .head(n_q)
+    )
+    qids = qdf.vec_id.to_numpy(dtype=np.int64)
+    qm = quantize(np.asarray(qdf.e.tolist(), dtype=np.float64))
+    lut = np.stack(
+        [qm[:, m * sub_dim : (m + 1) * sub_dim] @ books[m].T
+         for m in range(n_sub)],
+        axis=1,
+    )
+    probes = [
+        set(map(int, probe_clusters(qm[i], coarse, _Q182_NPROBE)))
+        for i in range(len(qids))
+    ]
+    bundle = ray.put((coarse, books, qm, qids, lut, probes))
+
+    def partial(batch: pa.Table, _ref=bundle) -> pa.Table:
+        crs, bks, qmat, qv_ids, luts, probe_sets = ray.get(_ref)
+        v = quantize(_stack_embeddings(batch))
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        dots = v @ qmat.T
+        a = assign(v, crs)
+        est = np.zeros((v.shape[0], len(qv_ids)), dtype=np.int64)
+        for m in range(bks.shape[0]):
+            codes = assign(v[:, m * sub_dim : (m + 1) * sub_dim], bks[m])
+            est += luts[:, m, :][:, codes].T
+        out_q, out_id, out_dot, out_kind = [], [], [], []
+        for qi in range(len(qv_ids)):
+            order = np.lexsort((ids, -dots[:, qi]))[:k]
+            out_q.extend([int(qv_ids[qi])] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_dot.extend(dots[order, qi].tolist())
+            out_kind.extend([0] * len(order))
+            mask = np.isin(a, np.fromiter(probe_sets[qi], dtype=np.int64))
+            mids, mest = ids[mask], est[mask, qi]
+            morder = np.lexsort((mids, -mest))[:k]
+            out_q.extend([int(qv_ids[qi])] * len(morder))
+            out_id.extend(mids[morder].tolist())
+            out_dot.extend(mest[morder].tolist())
+            out_kind.extend([1] * len(morder))
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "dot_q": pa.array(out_dot, pa.int64()),
+                "kind": pa.array(out_kind, pa.int64()),
+            }
+        )
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = merged.sort_values(
+        ["qid", "kind", "dot_q", "vec_id"], ascending=[True, True, False, True]
+    )
+    top = merged.groupby(["qid", "kind"]).head(k)
+    rows = []
+    for qid in qids:
+        ex = set(top[(top.qid == qid) & (top.kind == 0)].vec_id)
+        iv = set(top[(top.qid == qid) & (top.kind == 1)].vec_id)
+        n = len(ex & iv)
+        rows.append((int(qid), n, (1000 * n) // k))
+    return pd.DataFrame(
+        {
+            "query_vec_id": pd.array([r[0] for r in rows], "int64"),
+            "n_overlap": pd.array([r[1] for r in rows], "int64"),
+            "recall_x1000": pd.array([r[2] for r in rows], "int64"),
+        }
+    )
+
+
+def _q182_sql() -> str:
+    from medical_ocr_service_ray.pipelines.queries_text import _kmeans_cte_chain
+
+    n_sub, sub_dim, kc, iters = _Q175_NSUB, _Q175_SUBD, _Q175_KC, _Q175_ITERS
+    n_q, k = _Q175_NQ, _Q175_K
+    kcoarse, nprobe, citers = _Q182_KCOARSE, _Q182_NPROBE, 2
+    chains = "".join(
+        _pq_subspace_chain(m, kc, iters, sub_dim) for m in range(n_sub)
+    )
+    codes = "".join(
+        f""", codes{m} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT t.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY CAST(list_inner_product(c.c, c.c) AS BIGINT)
+                      - 2 * CAST(list_inner_product(t.v, c.c) AS BIGINT),
+                      c.cluster) AS rn
+    FROM s{m}q t, s{m}c{iters} c) WHERE rn = 1
+)"""
+        for m in range(n_sub)
+    )
+    est_terms = " + ".join(
+        f"CAST(list_inner_product(list_slice(p.qv, {m * sub_dim + 1},"
+        f" {(m + 1) * sub_dim}), c{m}.c) AS BIGINT)"
+        for m in range(n_sub)
+    )
+    est_joins = "\n  ".join(
+        (
+            f"JOIN codes{m} a{m} ON a{m}.vec_id = a0.vec_id\n  "
+            if m else ""
+        )
+        + f"JOIN s{m}c{iters} c{m} ON c{m}.cluster = a{m}.cluster"
+        for m in range(n_sub)
+    )
+    # coarse chain provides WITH q AS (...), c0..c{citers}
+    return (
+        _kmeans_cte_chain(kcoarse, citers, 64, 1024)
+        + chains
+        + codes
+        + f""", qs AS (
+  SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT {n_q}
+), ex AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, t.vec_id,
+           row_number() OVER (
+             PARTITION BY s.qid
+             ORDER BY CAST(list_inner_product(t.v, s.qv) AS BIGINT) DESC,
+                      t.vec_id) AS rn
+    FROM q t, qs s) WHERE rn <= {k}
+), af AS (
+  SELECT vec_id, cluster FROM (
+    SELECT t.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY CAST(list_inner_product(c.c, c.c) AS BIGINT)
+                      - 2 * CAST(list_inner_product(t.v, c.c) AS BIGINT),
+                      c.cluster) AS rn
+    FROM q t, c{citers} c) WHERE rn = 1
+), pr AS (
+  SELECT qid, cluster FROM (
+    SELECT s.qid, c.cluster,
+           row_number() OVER (
+             PARTITION BY s.qid
+             ORDER BY CAST(list_inner_product(c.c, c.c) AS BIGINT)
+                      - 2 * CAST(list_inner_product(s.qv, c.c) AS BIGINT),
+                      c.cluster) AS rn
+    FROM qs s, c{citers} c) WHERE rn <= {nprobe}
+), adc AS (
+  SELECT p.qid, a0.vec_id, {est_terms} AS est
+  FROM qs p, codes0 a0
+  {est_joins}
+  JOIN af ON af.vec_id = a0.vec_id
+  JOIN pr ON pr.qid = p.qid AND pr.cluster = af.cluster
+), ivfpq AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY est DESC, vec_id) AS rn
+    FROM adc) WHERE rn <= {k}
+)
+SELECT s.qid AS query_vec_id,
+       CAST((SELECT COUNT(*) FROM ex e JOIN ivfpq p
+             ON e.qid = s.qid AND p.qid = s.qid AND e.vec_id = p.vec_id)
+            AS BIGINT) AS n_overlap,
+       CAST((1000 * (SELECT COUNT(*) FROM ex e JOIN ivfpq p
+             ON e.qid = s.qid AND p.qid = s.qid AND e.vec_id = p.vec_id))
+            // {k} AS BIGINT) AS recall_x1000
+FROM qs s
+ORDER BY s.qid
+"""
+    )

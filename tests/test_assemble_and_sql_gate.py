@@ -132,6 +132,7 @@ GATED = [
     "q179_expectations_suite",
     "q180_matryoshka_recall",
     "q181_mixture_allocation",
+    "q182_ivfpq_recall",
 ]
 
 
