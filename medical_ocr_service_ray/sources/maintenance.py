@@ -456,3 +456,111 @@ def delete_rows(
         "files_rewritten": len(renames),
         "rows_deleted": int(rows_deleted),
     }
+
+
+def write_bloom_sidecars(
+    data_dir: str | Path,
+    column: str,
+    fpr: float = 0.01,
+) -> dict:
+    """FILE-SKIPPING indexes for a secondary int64 column: one Bloom
+    sidecar (``<part>.bloom-<column>.npz``: bitmap + k) per part file,
+    built by one Ray task per file reading ONLY that column. Footer
+    min/max stats (collect_parquet_stats) prune RANGE predicates; they are
+    useless for point lookups on a high-cardinality column whose values
+    span every file — a per-file Bloom answers "can this file contain
+    key X?" with no false negatives at ~10 bits/key. This is parquet's
+    own bloom_filter feature rebuilt as an explicit, separately-GC-able
+    lake artifact (and the per-file form of stages/bloom.py's join
+    filter — same splitmix64 double hashing, so a bitmap built here is
+    probe-compatible with the join path). Returns {files, bytes}."""
+    import ray
+
+    from medical_ocr_service_ray.stages.bloom import (
+        _bit_positions,
+        _set_bits,
+        bloom_params,
+    )
+
+    data_dir = Path(data_dir)
+    files = sorted(p for p in data_dir.glob("*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {data_dir}")
+
+    @ray.remote
+    def _one(path: str) -> int:
+        import numpy as _np
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(path, columns=[column])
+        keys = _np.unique(_np.asarray(t[column].to_pylist(), dtype=_np.int64))
+        m_bits, k = bloom_params(len(keys), fpr)
+        bitmap = _np.zeros(m_bits // 8, dtype=_np.uint8)
+        if len(keys):
+            _set_bits(bitmap, _bit_positions(keys, m_bits, k))
+        out = Path(path).with_suffix(f".bloom-{column}.npz")
+        with open(out, "wb") as f:
+            _np.savez(f, bitmap=bitmap, k=_np.int64(k))
+        return out.stat().st_size
+
+    sizes = ray.get([_one.remote(str(p)) for p in files])
+    return {"files": len(files), "bytes": int(sum(sizes))}
+
+
+def bloom_prune_files(
+    data_dir: str | Path,
+    column: str,
+    values: list[int],
+) -> tuple[list[str], list[str]]:
+    """Split ``data_dir``'s part files into (candidates, skipped) for a
+    point lookup on ``column``: a file is a candidate iff its Bloom
+    sidecar admits at least one probe value (a missing sidecar always
+    makes the file a candidate — skipping is only ever an optimization,
+    NEVER correctness: no false negatives by Bloom construction). O(files
+    × k) bit probes on the driver, no data read."""
+    import numpy as _np
+
+    from medical_ocr_service_ray.stages.bloom import _bit_positions, _test_bits
+
+    data_dir = Path(data_dir)
+    probe = _np.asarray(sorted(set(values)), dtype=_np.int64)
+    cand, skipped = [], []
+    for p in sorted(data_dir.glob("*.parquet")):
+        side = p.with_suffix(f".bloom-{column}.npz")
+        if not side.exists():
+            cand.append(str(p))
+            continue
+        z = _np.load(side)
+        bitmap, k = z["bitmap"], int(z["k"])
+        m_bits = _np.uint64(len(bitmap) * 8)
+        hit = _test_bits(bitmap, _bit_positions(probe, m_bits, k)).any()
+        (cand if hit else skipped).append(str(p))
+    return cand, skipped
+
+
+def point_read_with_blooms(
+    data_dir: str | Path,
+    column: str,
+    values: list[int],
+    columns: list[str] | None = None,
+) -> "rd.Dataset":
+    """Bloom-pruned point read: consult the sidecars, then a normal pruned
+    ``read_parquet`` over ONLY the candidate files, filtered to the probe
+    values. Returns an (possibly empty) streaming Dataset with exactly the
+    matching rows — identical to a full-scan filter, minus the skipped
+    files' IO."""
+    import pyarrow.dataset as pads
+
+    cand, _ = bloom_prune_files(data_dir, column, values)
+    if not cand:
+        # typed-empty result: read zero rows via an impossible filter on
+        # any one file's schema-bearing path is overkill — just return an
+        # empty dataset from an empty list of items
+        import ray.data as _rd
+
+        return _rd.from_items([])
+    return rd.read_parquet(
+        cand,
+        columns=columns,
+        filter=pads.field(column).isin(list(map(int, values))),
+    )

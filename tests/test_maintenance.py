@@ -281,3 +281,69 @@ class TestDeleteRows:
         expire_snapshots(tmp_path, keep_last=1)
         gc_orphans(tmp_path, live_files(tmp_path), dry_run=False)
         assert not (tmp_path / f1).exists()  # the bytes holding id=2 are gone
+
+
+class TestBloomSidecars:
+    """Per-file Bloom sidecars: point-lookup file skipping where footer
+    min/max is useless (interleaved key ranges). Skipping is deterministic
+    (splitmix64 double hashing, no RNG), so the observed prune is pinned
+    exactly; correctness = result equality with the unpruned scan."""
+
+    def _mk(self, d):
+        # interleaved keys (file i holds i, i+3, i+6, ...): every file's
+        # [min, max] contains every probe, so footer stats can never skip
+        # — blooms can. 200 keys/file so m is sized by the formula, not
+        # the 64-bit floor (the tiny-n floor saturates and false-positives
+        # every probe).
+        for i in range(3):
+            ids = list(range(i, i + 600, 3))
+            t = pa.table({"k": pa.array(ids, pa.int64()),
+                          "v": pa.array([x * 2 for x in ids], pa.int64())})
+            pq.write_table(t, d / f"p{i}.parquet")
+
+    def test_skip_and_exact_result(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.sources.maintenance import (
+            bloom_prune_files,
+            point_read_with_blooms,
+            write_bloom_sidecars,
+        )
+
+        self._mk(tmp_path)
+        res = write_bloom_sidecars(tmp_path, "k")
+        assert res["files"] == 3
+        cand, skipped = bloom_prune_files(tmp_path, "k", [300])
+        assert str(tmp_path / "p0.parquet") in cand
+        assert len(skipped) == 2  # deterministic: no RNG in the hash
+        got = point_read_with_blooms(tmp_path, "k", [300]).to_pandas()
+        import pandas as pd
+
+        full = pd.concat(
+            [pq.read_table(tmp_path / f"p{i}.parquet").to_pandas() for i in range(3)]
+        )
+        want = full[full.k == 300].reset_index(drop=True)
+        assert got.sort_values("k").reset_index(drop=True).equals(want)
+
+    def test_missing_sidecar_is_candidate(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.sources.maintenance import (
+            bloom_prune_files,
+            write_bloom_sidecars,
+        )
+
+        self._mk(tmp_path)
+        write_bloom_sidecars(tmp_path, "k")
+        (tmp_path / "p1.parquet").with_suffix(".bloom-k.npz").unlink()
+        cand, _ = bloom_prune_files(tmp_path, "k", [4])
+        assert str(tmp_path / "p1.parquet") in cand  # never skip blind
+
+    def test_absent_value_skips_everything(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.sources.maintenance import (
+            bloom_prune_files,
+            point_read_with_blooms,
+            write_bloom_sidecars,
+        )
+
+        self._mk(tmp_path)
+        write_bloom_sidecars(tmp_path, "k")
+        cand, skipped = bloom_prune_files(tmp_path, "k", [123456789])
+        assert cand == [] and len(skipped) == 3  # deterministic
+        assert point_read_with_blooms(tmp_path, "k", [123456789]).count() == 0
