@@ -350,6 +350,23 @@ def expire_snapshots(table_dir: str | Path, keep_last: int) -> list[int]:
     return expired
 
 
+def head_files(table_dir: str | Path) -> list[str]:
+    """The CURRENT table contents: the newest snapshot's file list (order
+    preserved). Distinct from ``live_files`` — that is the union over ALL
+    surviving snapshots (the GC keep-set); using the union as "current"
+    would resurrect files an earlier replace-commit removed."""
+    import json
+
+    snap_dir = Path(table_dir) / "_snapshots"
+    ids = sorted(int(p.stem) for p in snap_dir.glob("*.json")) if snap_dir.is_dir() else []
+    if not ids:
+        raise FileNotFoundError(f"no snapshots committed under {table_dir}")
+    try:
+        return list(json.loads((snap_dir / f"{ids[-1]}.json").read_text())["files"])
+    except FileNotFoundError:
+        raise KeyError(f"snapshot {ids[-1]} expired") from None
+
+
 def live_files(table_dir: str | Path) -> set[str]:
     """Union of every surviving snapshot's file list — the ``referenced``
     set ``gc_orphans`` must keep for time travel to stay sound."""
@@ -394,7 +411,10 @@ def delete_rows(
     table_dir = Path(table_dir)
     snap_dir = table_dir / "_snapshots"
     if snap_dir.is_dir() and any(snap_dir.glob("*.json")):
-        live = sorted(live_files(table_dir))
+        # the HEAD manifest, not live_files' all-snapshot union: the union
+        # is the GC keep-set and would resurrect files an earlier
+        # replace-commit (a previous delete/merge/compaction) removed
+        live = sorted(head_files(table_dir))
     else:
         live = sorted(p.name for p in table_dir.glob("*.parquet"))
     if not live:
@@ -564,3 +584,224 @@ def point_read_with_blooms(
         columns=columns,
         filter=pads.field(column).isin(list(map(int, values))),
     )
+
+
+def merge_rows(
+    table_dir: str | Path,
+    updates: "pa.Table",
+    key: str,
+) -> dict:
+    """MERGE INTO (upsert) as a SNAPSHOT COMMIT — the Delta/Iceberg
+    copy-on-write MERGE: every target row whose ``key`` appears in
+    ``updates`` is replaced with the update's values (WHEN MATCHED THEN
+    UPDATE), and update keys matching no target row are appended as new
+    rows (WHEN NOT MATCHED THEN INSERT). Only part files whose footer
+    min/max interval on ``key`` can contain an update key are read or
+    rewritten — everything else is carried into the new snapshot
+    byte-identical. Rewrites fan out one Ray task per candidate file (the
+    unit of parallelism at 100 TB); the insert remainder lands in ONE new
+    part file; the commit is a 'replace' manifest, so time travel to the
+    pre-merge version keeps working until expiration + GC.
+
+    Semantics pinned down:
+    - ``updates`` must be unique on ``key`` (two source rows for one key
+      is the ambiguous-merge error every lake engine raises).
+    - Duplicate keys in the TARGET each get updated (multiplicity is
+      preserved, exactly like SQL MERGE's per-target-row update).
+    - ``updates`` must carry the full table schema (column-subset updates
+      would silently null the missing columns on the rewrite path).
+
+    Reference parity: the reference's idempotent re-ingest upserts by
+    archivo_hash (ordenes_procesadas UNIQUE + ON CONFLICT UPDATE,
+    database/migration_processing.sql); this is that operation against
+    immutable parquet + a manifest log. Returns {snapshot_id,
+    files_scanned, files_rewritten, rows_updated, rows_inserted}."""
+    import hashlib
+
+    import ray
+
+    table_dir = Path(table_dir)
+    snap_dir = table_dir / "_snapshots"
+    if snap_dir.is_dir() and any(snap_dir.glob("*.json")):
+        live = sorted(head_files(table_dir))
+    else:
+        live = sorted(p.name for p in table_dir.glob("*.parquet"))
+    if not live:
+        raise FileNotFoundError(f"no live part files under {table_dir}")
+
+    if not isinstance(updates, pa.Table):
+        updates = pa.Table.from_pandas(updates, preserve_index=False)
+    import pyarrow.compute as _pc
+
+    n_keys = updates.num_rows
+    if n_keys == 0:
+        raise ValueError("empty updates table")
+    if _pc.count_distinct(updates[key]).as_py() != n_keys:
+        raise ValueError(f"updates not unique on {key!r}: ambiguous MERGE")
+
+    # align the updates to the table schema (order + types); missing or
+    # extra columns are a contract error, not a silent cast
+    tbl_schema = pq.read_schema(table_dir / live[0])
+    if set(updates.schema.names) != set(tbl_schema.names):
+        raise ValueError(
+            f"updates schema {sorted(updates.schema.names)} != table schema "
+            f"{sorted(tbl_schema.names)}"
+        )
+    updates = updates.select(tbl_schema.names).cast(tbl_schema)
+    upd_keys = updates[key].combine_chunks()
+    vals = sorted(v for v in upd_keys.to_pylist())
+
+    def _may_contain(path: Path) -> bool:
+        md = pq.read_metadata(path)
+        saw_stats = False
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema != key:
+                    continue
+                st = col.statistics
+                if st is None or st.min is None or st.max is None:
+                    return True
+                saw_stats = True
+                lo, hi = st.min, st.max
+                import bisect
+
+                i = bisect.bisect_left(vals, lo)
+                if i < len(vals) and vals[i] <= hi:
+                    return True
+        return not saw_stats
+
+    candidates = [f for f in live if _may_contain(table_dir / f)]
+    upd_ref = ray.put(updates)
+
+    @ray.remote
+    def _rewrite(fname: str) -> tuple[str, str | None, int, list]:
+        import pyarrow.compute as _pc2
+        import pyarrow.parquet as _pq
+
+        upd = ray.get(upd_ref) if isinstance(upd_ref, ray.ObjectRef) else upd_ref
+        t = _pq.read_table(table_dir / fname)
+        mask = _pc2.fill_null(_pc2.is_in(t[key], value_set=upd[key].combine_chunks()), False)
+        n_matched = _pc2.sum(_pc2.cast(mask, pa.int64())).as_py() or 0
+        if n_matched == 0:
+            return fname, None, 0, []
+        keep = t.filter(_pc2.invert(mask))
+        matched_keys = t.filter(mask)[key]  # multiplicity preserved
+        # replacement rows: for each matched target row, the update row of
+        # its key (index_in into the unique update keys)
+        idx = _pc2.index_in(matched_keys, value_set=upd[key].combine_chunks())
+        repl = upd.take(idx)
+        out = pa.concat_tables([keep, repl]).combine_chunks()
+        tag = hashlib.sha256(
+            ("|".join(map(str, vals)) + "|" + fname).encode()
+        ).hexdigest()[:8]
+        new_name = f"{Path(fname).stem}.mrg-{tag}.parquet"
+        _pq.write_table(out, table_dir / new_name)
+        seen = _pc2.unique(matched_keys).to_pylist()
+        return fname, new_name, n_matched, seen
+
+    results = ray.get([_rewrite.remote(f) for f in candidates])
+    renames = {old: new for old, new, _, _ in results if new is not None}
+    rows_updated = sum(n for _, _, n, _ in results)
+    matched_all: set = set()
+    for _, _, _, seen in results:
+        matched_all.update(seen)
+
+    new_list = [renames.get(f, f) for f in live]
+    insert_mask = _pc.invert(
+        _pc.is_in(upd_keys, value_set=pa.array(sorted(matched_all), type=upd_keys.type))
+    ) if matched_all else None
+    inserts = updates.filter(insert_mask) if insert_mask is not None else updates
+    rows_inserted = inserts.num_rows
+    if rows_inserted:
+        tag = hashlib.sha256(("ins|" + "|".join(map(str, vals))).encode()).hexdigest()[:8]
+        ins_name = f"merge-insert-{tag}.parquet"
+        pq.write_table(inserts, table_dir / ins_name)
+        new_list.append(ins_name)
+    sid = commit_snapshot(table_dir, new_list, op="replace")
+    return {
+        "snapshot_id": sid,
+        "files_scanned": len(candidates),
+        "files_rewritten": len(renames),
+        "rows_updated": int(rows_updated),
+        "rows_inserted": int(rows_inserted),
+    }
+
+
+def diff_snapshots(
+    table_dir: str | Path,
+    from_id: int,
+    to_id: int,
+) -> dict:
+    """FILE-level snapshot diff — the manifest comparison every
+    incremental consumer starts from: which part files did the table gain
+    / lose between two versions? O(manifest) driver work, no data read.
+    Returns {added: [...], removed: [...]} (each sorted). A file that a
+    replace-commit rewrote shows up as its old name removed + new name
+    added — exactly the copy-on-write signal ``read_changes`` expands to
+    row-level delete+insert pairs."""
+    import json
+
+    snap_dir = Path(table_dir) / "_snapshots"
+
+    def _files(sid: int) -> set[str]:
+        try:
+            return set(json.loads((snap_dir / f"{sid}.json").read_text())["files"])
+        except FileNotFoundError:
+            raise KeyError(f"snapshot {sid} not in log or expired") from None
+
+    a, b = _files(from_id), _files(to_id)
+    return {"added": sorted(b - a), "removed": sorted(a - b)}
+
+
+def read_changes(
+    table_dir: str | Path,
+    from_id: int,
+    to_id: int,
+    columns: list[str] | None = None,
+) -> "rd.Dataset":
+    """ROW-level change feed (CDC) between two snapshots — the Delta
+    change-data-feed shape for a copy-on-write table WITHOUT per-commit
+    change files: rows in files the table gained stream out tagged
+    ``_change_type='insert'``, rows in files it lost tagged ``'delete'``.
+    A row rewritten in place (same values, file renamed by a
+    delete/merge rewrite) therefore appears as a delete+insert PAIR — the
+    standard copy-on-write CDC contract (consumers reconcile by key).
+    Requires the ``from`` snapshot's files to still exist on disk (i.e.
+    GC has not reclaimed them): raises FileNotFoundError otherwise, never
+    a silent partial feed. Streaming pruned reads over ONLY the changed
+    files; unchanged files are never opened."""
+    d = diff_snapshots(table_dir, from_id, to_id)
+    table_dir = Path(table_dir)
+    missing = [f for f in (*d["added"], *d["removed"]) if not (table_dir / f).exists()]
+    if missing:
+        raise FileNotFoundError(
+            f"change feed {from_id}->{to_id} needs GC-reclaimed files: {missing}"
+        )
+
+    def _tag(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_change_type", pa.array([kind] * t.num_rows, type=pa.string())
+            )
+
+        return f
+
+    legs = []
+    if d["added"]:
+        legs.append(
+            rd.read_parquet([str(table_dir / f) for f in d["added"]], columns=columns)
+            .map_batches(_tag("insert"), batch_format="pyarrow")
+        )
+    if d["removed"]:
+        legs.append(
+            rd.read_parquet([str(table_dir / f) for f in d["removed"]], columns=columns)
+            .map_batches(_tag("delete"), batch_format="pyarrow")
+        )
+    if not legs:
+        return rd.from_items([])
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.union(leg)
+    return out

@@ -347,3 +347,157 @@ class TestBloomSidecars:
         cand, skipped = bloom_prune_files(tmp_path, "k", [123456789])
         assert cand == [] and len(skipped) == 3  # deterministic
         assert point_read_with_blooms(tmp_path, "k", [123456789]).count() == 0
+
+
+class TestMergeRows:
+    """MERGE INTO (copy-on-write upsert): matched target rows replaced
+    with update values (multiplicity preserved), unmatched update keys
+    appended as one insert file, out-of-range files carried byte-identical,
+    pre-merge snapshot still time-travel-readable."""
+
+    def _mk(self, d, name, ids):
+        t = pa.table({"user_id": pa.array(ids, pa.int64()),
+                      "v": pa.array([i * 10 for i in ids], pa.int64())})
+        pq.write_table(t, d / name)
+        return name
+
+    def test_update_insert_prune_timetravel(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.sources.maintenance import (
+            commit_snapshot,
+            merge_rows,
+            read_at_snapshot,
+        )
+
+        f1 = self._mk(tmp_path, "a.parquet", [1, 2, 3])
+        f2 = self._mk(tmp_path, "b.parquet", [100, 101])
+        s1 = commit_snapshot(tmp_path, [f1, f2])
+        mtime_b = (tmp_path / f2).stat().st_mtime_ns
+
+        upd = pa.table({"user_id": pa.array([2, 3, 7], pa.int64()),
+                        "v": pa.array([-2, -3, -7], pa.int64())})
+        res = merge_rows(tmp_path, upd, "user_id")
+        assert res["rows_updated"] == 2 and res["rows_inserted"] == 1
+        assert res["files_rewritten"] == 1
+        assert res["files_scanned"] == 1  # footer prune skipped b.parquet
+        assert (tmp_path / f2).stat().st_mtime_ns == mtime_b
+
+        head = read_at_snapshot(tmp_path).to_pandas().sort_values("user_id")
+        assert list(head.user_id) == [1, 2, 3, 7, 100, 101]
+        assert list(head.v) == [10, -2, -3, -7, 1000, 1010]
+        old = read_at_snapshot(tmp_path, s1).to_pandas()
+        assert sorted(old.v) == [10, 20, 30, 1000, 1010]
+
+    def test_duplicate_target_rows_all_updated(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.sources.maintenance import (
+            commit_snapshot,
+            merge_rows,
+            read_at_snapshot,
+        )
+
+        f1 = self._mk(tmp_path, "a.parquet", [5, 5, 6])
+        commit_snapshot(tmp_path, [f1])
+        upd = pa.table({"user_id": pa.array([5], pa.int64()),
+                        "v": pa.array([-5], pa.int64())})
+        res = merge_rows(tmp_path, upd, "user_id")
+        assert res["rows_updated"] == 2 and res["rows_inserted"] == 0
+        head = read_at_snapshot(tmp_path).to_pandas()
+        assert sorted(head.v) == [-5, -5, 60]  # both dup rows updated
+
+    def test_ambiguous_updates_and_schema_mismatch_raise(
+        self, ray_session, tmp_path
+    ):
+        from medical_ocr_service_ray.sources.maintenance import (
+            commit_snapshot,
+            merge_rows,
+        )
+
+        f1 = self._mk(tmp_path, "a.parquet", [1])
+        commit_snapshot(tmp_path, [f1])
+        dup = pa.table({"user_id": pa.array([9, 9], pa.int64()),
+                        "v": pa.array([1, 2], pa.int64())})
+        with pytest.raises(ValueError, match="ambiguous"):
+            merge_rows(tmp_path, dup, "user_id")
+        subset = pa.table({"user_id": pa.array([9], pa.int64())})
+        with pytest.raises(ValueError, match="schema"):
+            merge_rows(tmp_path, subset, "user_id")
+
+    def test_chained_replace_commits_do_not_resurrect(self, ray_session, tmp_path):
+        """head_files regression: a second replace-commit op (delete after
+        delete) must build on the HEAD manifest, not the all-snapshot
+        union — the union would resurrect pre-delete rows."""
+        from medical_ocr_service_ray.sources.maintenance import (
+            commit_snapshot,
+            delete_rows,
+            read_at_snapshot,
+        )
+
+        f1 = self._mk(tmp_path, "a.parquet", [1, 2, 3, 4])
+        commit_snapshot(tmp_path, [f1])
+        delete_rows(tmp_path, "user_id", [2])
+        delete_rows(tmp_path, "user_id", [3])
+        head = read_at_snapshot(tmp_path).to_pandas()
+        assert sorted(head.user_id) == [1, 4]
+
+
+class TestChangeFeed:
+    """Snapshot diff + row-level CDC read: appends stream as inserts,
+    replace-rewrites as delete+insert pairs over ONLY the changed files."""
+
+    def _mk(self, d, name, ids):
+        t = pa.table({"user_id": pa.array(ids, pa.int64()),
+                      "v": pa.array([i * 10 for i in ids], pa.int64())})
+        pq.write_table(t, d / name)
+        return name
+
+    def test_append_is_insert_only(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.sources.maintenance import (
+            commit_snapshot,
+            diff_snapshots,
+            read_changes,
+        )
+
+        f1 = self._mk(tmp_path, "a.parquet", [1, 2])
+        s1 = commit_snapshot(tmp_path, [f1])
+        f2 = self._mk(tmp_path, "b.parquet", [3])
+        s2 = commit_snapshot(tmp_path, [f2])  # append op
+
+        d = diff_snapshots(tmp_path, s1, s2)
+        assert d == {"added": ["b.parquet"], "removed": []}
+        ch = read_changes(tmp_path, s1, s2).to_pandas()
+        assert list(ch._change_type) == ["insert"]
+        assert list(ch.user_id) == [3]
+
+    def test_rewrite_is_delete_insert_pair(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.sources.maintenance import (
+            commit_snapshot,
+            delete_rows,
+            read_changes,
+        )
+
+        f1 = self._mk(tmp_path, "a.parquet", [1, 2, 3])
+        s1 = commit_snapshot(tmp_path, [f1])
+        res = delete_rows(tmp_path, "user_id", [2])
+        ch = read_changes(tmp_path, s1, res["snapshot_id"]).to_pandas()
+        ins = ch[ch._change_type == "insert"]
+        dele = ch[ch._change_type == "delete"]
+        # old file's 3 rows out, rewritten file's 2 survivors in:
+        # consumers reconcile by key -> net effect = row 2 deleted
+        assert sorted(dele.user_id) == [1, 2, 3]
+        assert sorted(ins.user_id) == [1, 3]
+
+    def test_identical_snapshots_and_gc_guard(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.sources.maintenance import (
+            commit_snapshot,
+            delete_rows,
+            read_changes,
+        )
+
+        f1 = self._mk(tmp_path, "a.parquet", [1, 2])
+        s1 = commit_snapshot(tmp_path, [f1])
+        assert read_changes(tmp_path, s1, s1).count() == 0
+        res = delete_rows(tmp_path, "user_id", [1])
+        # simulate GC reclaiming the pre-delete file while the manifest
+        # survives: the feed must refuse, never emit a silent partial
+        (tmp_path / "a.parquet").unlink()
+        with pytest.raises(FileNotFoundError, match="GC-reclaimed"):
+            read_changes(tmp_path, s1, res["snapshot_id"])
