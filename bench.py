@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "q180_matryoshka_recall",
     "q181_mixture_allocation",
     "q182_ivfpq_recall",
+    "q183_dsir_selection",
 ]
 
 

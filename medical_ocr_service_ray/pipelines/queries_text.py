@@ -2211,3 +2211,180 @@ SELECT source, n AS n_tokens,
 FROM rk, need
 ORDER BY source
 """
+
+
+# -------------------------------------------------------------------- q183
+
+_Q183_D = 4096
+_Q183_SCALE = 1_000_000
+_Q183_TOPK = 100
+_Q183_TARGET_LANG = "en"
+
+
+def _q183_bucket_of(uniq: np.ndarray) -> np.ndarray:
+    """sha256-slice bucket per UNIQUE bigram string (q172's hash idiom:
+    first 8 bytes of one sha256, mod D) — hashing only uniques keeps the
+    Python hash loop off the per-instance path."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.sha256(u.encode()).digest()[:8], "big")
+            % _Q183_D
+            for u in uniq
+        ),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+
+
+def _q183_instances(df: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray]:
+    """Explode a documents batch into bigram instances: returns
+    (frame[doc_id, lang], bucket array), one entry per bigram instance."""
+    toks = df.text.fillna("").astype(str).str.split()
+    n = toks.str.len()
+    keep = n >= 2
+    toks = toks[keep]
+    sub = df[keep]
+    if not len(sub):
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "lang": pd.Series([], dtype=object)}
+        )
+        return empty, np.zeros(0, dtype=np.int64)
+    doc_rep, lang_rep, bgs = [], [], []
+    for did, lg, tl in zip(sub.doc_id.to_numpy(), sub.lang.fillna(""), toks):
+        doc_rep.append(np.full(len(tl) - 1, did, dtype=np.int64))
+        lang_rep.append(np.full(len(tl) - 1, lg, dtype=object))
+        bgs.append([a + " " + b for a, b in zip(tl, tl[1:])])
+    all_bg = np.concatenate([np.asarray(b, dtype=object) for b in bgs])
+    uniq, inv = np.unique(all_bg.astype(str), return_inverse=True)
+    buckets = _q183_bucket_of(uniq)[inv]
+    frame = pd.DataFrame(
+        {"doc_id": np.concatenate(doc_rep),
+         "lang": np.concatenate(lang_rep)}
+    )
+    return frame, buckets
+
+
+def q183_dsir_selection(sf_dir: str):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every NON-target
+    document by how target-like its hashed-bigram features are, select the
+    top-K. Features are word bigrams hashed into D=4096 buckets (the
+    paper's hashed n-gram generative model); per bucket the importance
+    weight is the add-1-smoothed target/raw ratio in fixed point,
+    w[b] = floor((t[b]+1)*1e6/(r[b]+1)) — the log-free integer variant
+    (per-feature monotone in the same ratio the paper's log-likelihood
+    uses; exact cross-engine, unlike float logs). Target = lang='en' docs;
+    raw = the whole corpus; candidates = everything non-target. A doc's
+    raw_score sums w over its bigram instances; selection ranks by
+    length-debiased avg_score = raw_score // n_bigrams (deterministic
+    top-K in place of the paper's Gumbel sampling, disclosed).
+
+    Plan (ZERO exchanges): pass 1 streams the corpus once emitting one
+    (2 x 32 KB) dense bucket-count partial per BLOCK (batch_size sized to
+    blocks — a fixed-size dense partial costs per CALL, PERF_NOTES #36),
+    driver-summed; the 4096-entry weight table is closure-shipped to pass
+    2, which scores candidates per batch and emits only its LOCAL top-K
+    (global top-K = top-K of per-block top-Ks, the q3 partial-top-k
+    shape). Driver merge is O(blocks x K). The reference scores documents
+    against per-practice term models and keeps the best matches
+    (src/services/enrichment.service.js top-k rerank); this is the
+    corpus-selection form. Output: (sel_rank, doc_id, n_bigrams,
+    raw_score, avg_score), rank 1 = most target-like."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        frame, buckets = _q183_instances(df)
+        is_t = (frame.lang == _Q183_TARGET_LANG).to_numpy()
+        t = np.bincount(buckets[is_t], minlength=_Q183_D).astype(np.int64)
+        r = np.bincount(buckets, minlength=_Q183_D).astype(np.int64)
+        return pd.DataFrame({"t": [t.tobytes()], "r": [r.tobytes()]})
+
+    t_cnt = np.zeros(_Q183_D, dtype=np.int64)
+    r_cnt = np.zeros(_Q183_D, dtype=np.int64)
+    for row in ds.map_batches(
+        count_partial, batch_format="pandas", batch_size=65536
+    ).take_all():
+        t_cnt += np.frombuffer(row["t"], dtype=np.int64)
+        r_cnt += np.frombuffer(row["r"], dtype=np.int64)
+    w = (t_cnt + 1) * _Q183_SCALE // (r_cnt + 1)  # 32 KB, closure-shipped
+
+    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
+        frame, buckets = _q183_instances(df)
+        cand = (frame.lang != _Q183_TARGET_LANG).to_numpy()
+        g = pd.DataFrame(
+            {"doc_id": frame.doc_id[cand], "wgt": w[buckets[cand]]}
+        ).groupby("doc_id", as_index=False).agg(
+            n_bigrams=("wgt", "size"), raw_score=("wgt", "sum")
+        )
+        g["avg_score"] = (
+            g.raw_score.to_numpy().astype("int64")
+            // g.n_bigrams.to_numpy().astype("int64")
+        )
+        return g.sort_values(
+            ["avg_score", "doc_id"], ascending=[False, True]
+        ).head(_Q183_TOPK)
+
+    parts = ds.map_batches(score_partial, batch_format="pandas").to_pandas()
+    top = (
+        parts.sort_values(["avg_score", "doc_id"], ascending=[False, True])
+        .head(_Q183_TOPK)
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame(
+        {
+            "sel_rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "doc_id": top.doc_id.astype("int64"),
+            "n_bigrams": top.n_bigrams.astype("int64"),
+            "raw_score": top.raw_score.astype("int64"),
+            "avg_score": top.avg_score.astype("int64"),
+        }
+    )
+    return out
+
+
+def _q183_sql() -> str:
+    # Same bigrams (q174's adjacency unnest), same sha256-slice buckets
+    # (q172's idiom), same add-1 fixed-point weights; // on nonnegative
+    # ints = floor on both engines. Every scored bucket exists in r
+    # (candidates are a subset of raw), so the inner join loses nothing.
+    return rf"""
+WITH d AS (
+  SELECT doc_id, COALESCE(lang, '') AS lang,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(sha256(toks[i] || ' ' || toks[i + 1]), 1, 16))
+              AS UBIGINT) % {_Q183_D} AS b
+  FROM d, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+), t AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS tc FROM bg
+  WHERE lang = '{_Q183_TARGET_LANG}' GROUP BY b
+), r AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM bg GROUP BY b
+), w AS (
+  SELECT r.b,
+         CAST((COALESCE(t.tc, 0) + 1) * {_Q183_SCALE} // (r.rc + 1)
+              AS BIGINT) AS wgt
+  FROM r LEFT JOIN t USING (b)
+), sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(w.wgt) AS BIGINT) AS raw_score
+  FROM bg JOIN w USING (b)
+  WHERE lang <> '{_Q183_TARGET_LANG}'
+  GROUP BY doc_id
+), ranked AS (
+  SELECT *, CAST(raw_score // n_bigrams AS BIGINT) AS avg_score
+  FROM sc
+)
+SELECT CAST(row_number() OVER (ORDER BY avg_score DESC, doc_id) AS BIGINT)
+         AS sel_rank,
+       doc_id, n_bigrams, raw_score, avg_score
+FROM ranked
+ORDER BY avg_score DESC, doc_id
+LIMIT {_Q183_TOPK}
+"""

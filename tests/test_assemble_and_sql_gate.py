@@ -133,6 +133,7 @@ GATED = [
     "q180_matryoshka_recall",
     "q181_mixture_allocation",
     "q182_ivfpq_recall",
+    "q183_dsir_selection",
 ]
 
 
