@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "q181_mixture_allocation",
     "q182_ivfpq_recall",
     "q183_dsir_selection",
+    "q184_quality_classifier",
 ]
 
 

@@ -2388,3 +2388,113 @@ FROM ranked
 ORDER BY avg_score DESC, doc_id
 LIMIT {_Q183_TOPK}
 """
+
+
+# -------------------------------------------------------------------- q184
+
+_Q184_MULT = 2654435761  # Knuth multiplicative constant
+_Q184_MOD = 8191  # Mersenne prime -> weights in [-4095, 4095]
+
+
+def q184_quality_classifier(sf_dir: str):
+    """fastText-style hashed linear quality classifier — the model shape
+    behind the CCNet / GPT-3 / CommonCrawl "quality filter" stage: a doc's
+    score is the sum of per-feature weights over hashed unigrams AND word
+    bigrams (fastText wordNgrams=2, hashing-trick bucket table), keep =
+    score > 0. The weight table is PLANTED deterministically (w(b) =
+    (b*Knuth) mod 8191 - 4095 over the q183 bucket space) — a stand-in
+    for trained parameters with the exact serving-path dataflow; this is
+    disclosed, the point is the scoring operator, not the fit. Per
+    (source, lang) the output reports docs, kept docs, keep rate in ppm
+    and the summed score — the per-slice keep-rate report a filtering run
+    ships. Plan: ONE streaming scan, per-batch vectorized hashed scoring
+    (uniques-only sha256), per-batch (source, lang) partial counters,
+    catalog-bounded driver merge — ZERO exchanges, no model pass (weights
+    are a pure bucket function). Reference analogue: the per-document
+    confidence scorer + review gate (src/services/confidence.service.js)
+    applied corpus-wide. Output: (source, lang, n_docs, keep_docs,
+    keep_ppm, sum_score)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source", "lang"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.text.fillna("").astype(str).str.split()
+        pos_rep, grams = [], []
+        for i, tl in enumerate(toks):
+            n = len(tl)
+            if n == 0:
+                continue
+            pos_rep.append(np.full(2 * n - 1, i, dtype=np.int64))
+            grams.append(np.asarray(
+                tl + [a + " " + b for a, b in zip(tl, tl[1:])], dtype=object
+            ))
+        score = np.zeros(len(df), dtype=np.int64)
+        if grams:
+            allg = np.concatenate(grams).astype(str)
+            uniq, inv = np.unique(allg, return_inverse=True)
+            wu = (_q183_bucket_of(uniq) * _Q184_MULT) % _Q184_MOD - (
+                (_Q184_MOD - 1) // 2
+            )
+            np.add.at(score, np.concatenate(pos_rep), wu[inv])
+        g = pd.DataFrame(
+            {
+                "source": df.source.to_numpy(dtype=object),
+                "lang": df.lang.fillna("").to_numpy(dtype=object),
+                "n_docs": np.ones(len(df), dtype=np.int64),
+                "keep_docs": (score > 0).astype(np.int64),
+                "sum_score": score,
+            }
+        )
+        return g.groupby(["source", "lang"], as_index=False).sum()
+
+    out = driver_combine(
+        ds, part,
+        lambda df: df.groupby(["source", "lang"], as_index=False).sum(),
+    ).sort_values(["source", "lang"]).reset_index(drop=True)
+    out["keep_ppm"] = (
+        out.keep_docs.to_numpy().astype("int64") * 1_000_000
+        // out.n_docs.to_numpy().astype("int64")
+    )
+    for c in ("n_docs", "keep_docs", "keep_ppm", "sum_score"):
+        out[c] = out[c].astype("int64")
+    return out[["source", "lang", "n_docs", "keep_docs", "keep_ppm",
+                "sum_score"]]
+
+
+def _q184_sql() -> str:
+    half = (_Q184_MOD - 1) // 2
+    return rf"""
+WITH d AS (
+  SELECT doc_id, source, COALESCE(lang, '') AS lang,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), uni AS (
+  SELECT doc_id, unnest(toks) AS g FROM d
+), bi AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+  FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+), grams AS (
+  SELECT * FROM uni UNION ALL SELECT * FROM bi
+), wt AS (
+  SELECT doc_id,
+         CAST((CAST(('0x' || substr(sha256(g), 1, 16)) AS UBIGINT)
+               % {_Q183_D}) * {_Q184_MULT} % {_Q184_MOD} AS BIGINT)
+           - {half} AS w
+  FROM grams
+), sc AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score FROM wt GROUP BY doc_id
+), alldocs AS (
+  SELECT d.source, d.lang, COALESCE(sc.score, 0) AS score
+  FROM d LEFT JOIN sc USING (doc_id)
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS keep_docs,
+       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS keep_ppm,
+       CAST(SUM(score) AS BIGINT) AS sum_score
+FROM alldocs
+GROUP BY source, lang
+ORDER BY source, lang
+"""

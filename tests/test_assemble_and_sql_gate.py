@@ -134,6 +134,7 @@ GATED = [
     "q181_mixture_allocation",
     "q182_ivfpq_recall",
     "q183_dsir_selection",
+    "q184_quality_classifier",
 ]
 
 
