@@ -2498,3 +2498,277 @@ FROM alldocs
 GROUP BY source, lang
 ORDER BY source, lang
 """
+
+
+# -------------------------------------------------------------------- q185
+
+_Q185_SHARDS = 10
+
+
+def q185_novelty_curve(sf_dir: str):
+    """Corpus-saturation (Heaps-law) diagnostic: ingest the corpus as
+    shards 0..9 (shard = doc_id % 10, the deterministic arrival order) and
+    report how much NEW vocabulary each successive shard contributes —
+    novel_tokens(s) = distinct tokens whose FIRST shard is s, plus the
+    cumulative distinct count. The marginal-data-value curve every
+    scaling-laws data-curation effort draws before buying more of a
+    source: when the curve flattens, the next shard of this corpus is
+    mostly repetition. Plan: per-batch (token, min_shard) pre-reduce, ONE
+    token-keyed exchange taking the min, then a 10-cell count — the
+    combine-before-shuffle shape (A7). Doc counts per shard ride a
+    separate per-batch 10-row partial on the same scan lineage. Output:
+    (shard, n_docs, novel_tokens, cum_tokens)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.text.fillna("").astype(str).str.split().explode()
+        shard = (df.doc_id % _Q185_SHARDS).reindex(toks.index)
+        sub = pd.DataFrame({"token": toks, "shard": shard}).dropna()
+        sub = sub[sub.token.str.len() > 0]
+        return sub.groupby("token", as_index=False)["shard"].min()
+
+    def tok_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("token", as_index=False)["shard"].min()
+
+    mins = partial_then_combine(ds, tok_partial, "token", tok_combine)
+    nov_parts = mins.map_batches(
+        lambda df: df.groupby("shard", as_index=False).size(),
+        batch_format="pandas",
+    ).to_pandas()
+    nov = nov_parts.groupby("shard")["size"].sum()
+
+    nd_parts = driver_combine(
+        ds,
+        lambda df: pd.DataFrame({"shard": df.doc_id % _Q185_SHARDS})
+        .groupby("shard", as_index=False)
+        .size(),
+        lambda df: df.groupby("shard", as_index=False)["size"].sum(),
+    )
+    nd = nd_parts.set_index("shard")["size"]
+
+    shards = np.arange(_Q185_SHARDS, dtype=np.int64)
+    novel = np.asarray(
+        [int(nov.get(s, 0)) for s in shards], dtype=np.int64
+    )
+    return pd.DataFrame(
+        {
+            "shard": shards,
+            "n_docs": np.asarray(
+                [int(nd.get(s, 0)) for s in shards], dtype=np.int64
+            ),
+            "novel_tokens": novel,
+            "cum_tokens": np.cumsum(novel).astype(np.int64),
+        }
+    )
+
+
+def _q185_sql() -> str:
+    return rf"""
+WITH d AS (
+  SELECT doc_id % {_Q185_SHARDS} AS shard,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), nd AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY shard
+), tok AS (
+  SELECT shard, unnest(toks) AS token FROM d
+), ms AS (
+  SELECT token, MIN(shard) AS shard FROM tok GROUP BY token
+), nov AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS novel_tokens
+  FROM ms GROUP BY shard
+)
+SELECT g.shard, COALESCE(nd.n_docs, 0) AS n_docs,
+       COALESCE(nov.novel_tokens, 0) AS novel_tokens,
+       CAST(SUM(COALESCE(nov.novel_tokens, 0))
+            OVER (ORDER BY g.shard) AS BIGINT) AS cum_tokens
+FROM (SELECT unnest(generate_series(0, {_Q185_SHARDS - 1})) AS shard) g
+LEFT JOIN nd USING (shard)
+LEFT JOIN nov USING (shard)
+ORDER BY g.shard
+"""
+
+
+# -------------------------------------------------------------------- q186
+
+_Q186_A_CHARS = 300
+_Q186_B_TOKENS = 48
+_Q186_PPM = 1_000_000
+
+
+def q186_annotator_agreement(sf_dir: str):
+    """Inter-annotator agreement (Cohen's kappa) between two weak
+    labelers — the label-quality audit run before trusting any
+    rule-derived or model-derived training label: labeler A flags docs
+    with n_chars >= 300, labeler B flags docs with >= 48 whitespace
+    tokens. Reports the confusion matrix and po/pe/kappa in ppm, all
+    integer (exact rational arithmetic scaled by 1e6; the one division
+    truncates toward zero on BOTH engines by construction — operands are
+    made nonnegative via an explicit sign split). Plan: ONE streaming
+    scan, four int64 counters per batch, driver sum — zero exchanges,
+    O(1) driver state. The reference's review gate compares its
+    confidence rule against the validation rule per document
+    (src/services/validation.service.js); kappa is the corpus-level
+    agreement statistic between two such gates. Output one row:
+    (n_docs, n11, n10, n01, n00, po_ppm, pe_ppm, kappa_ppm)."""
+    ds = _read(sf_dir, "documents", ["text", "n_chars"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df.n_chars.fillna(0).to_numpy() >= _Q186_A_CHARS)
+        ntok = (
+            df.text.fillna("").astype(str).str.split().str.len().to_numpy()
+        )
+        b = ntok >= _Q186_B_TOKENS
+        return pd.DataFrame(
+            {
+                "n11": [int((a & b).sum())],
+                "n10": [int((a & ~b).sum())],
+                "n01": [int((~a & b).sum())],
+                "n00": [int((~a & ~b).sum())],
+            }
+        )
+
+    c = driver_combine(ds, part, lambda df: df.sum().to_frame().T)
+    n11, n10, n01, n00 = (int(c[k].iloc[0]) for k in ("n11", "n10", "n01", "n00"))
+    N = n11 + n10 + n01 + n00
+    a1, b1 = n11 + n10, n11 + n01
+    po_num = n11 + n00
+    pe_n2 = a1 * b1 + (N - a1) * (N - b1)  # pe * N^2, exact
+    num = po_num * N - pe_n2  # (po - pe) * N^2
+    den = N * N - pe_n2  # (1 - pe) * N^2
+    kappa = (1 if num >= 0 else -1) * (abs(num) * _Q186_PPM // den)
+    return pd.DataFrame(
+        {
+            "n_docs": [N], "n11": [n11], "n10": [n10],
+            "n01": [n01], "n00": [n00],
+            "po_ppm": [po_num * _Q186_PPM // N],
+            "pe_ppm": [pe_n2 * _Q186_PPM // (N * N)],
+            "kappa_ppm": [kappa],
+        }
+    ).astype("int64")
+
+
+def _q186_sql() -> str:
+    # sign-split division mirrors the Python trunc-toward-zero exactly;
+    # every other step is exact integer arithmetic (HUGEINT intermediates
+    # collapse back to BIGINT via the final CASTs).
+    return rf"""
+WITH lab AS (
+  SELECT (COALESCE(n_chars, 0) >= {_Q186_A_CHARS}) AS a,
+         (len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                          x -> length(x) > 0)) >= {_Q186_B_TOKENS}) AS b
+  FROM documents
+), m AS (
+  SELECT CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM lab
+), s AS (
+  SELECT *, n11 + n10 + n01 + n00 AS N, n11 + n10 AS a1, n11 + n01 AS b1
+  FROM m
+), t AS (
+  SELECT *, n11 + n00 AS po_num,
+         a1 * b1 + (N - a1) * (N - b1) AS pe_n2
+  FROM s
+)
+SELECT CAST(N AS BIGINT) AS n_docs, n11, n10, n01, n00,
+       CAST(po_num * {_Q186_PPM} // N AS BIGINT) AS po_ppm,
+       CAST(pe_n2 * {_Q186_PPM} // (N * N) AS BIGINT) AS pe_ppm,
+       CAST(CASE WHEN po_num * N >= pe_n2 THEN 1 ELSE -1 END
+            * (abs(po_num * N - pe_n2) * {_Q186_PPM} // (N * N - pe_n2))
+            AS BIGINT) AS kappa_ppm
+FROM t
+"""
+
+
+# -------------------------------------------------------------------- q187
+
+_Q187_BUDGET = 1_000_000
+
+
+def q187_alpha_mixture(sf_dir: str):
+    """Temperature-scaled mixture allocation (alpha = 0.5) — the
+    multilingual/multi-source sampling scheme of XLM-R / mC4: allocate a
+    token budget proportional to n_tokens^alpha instead of n_tokens, so
+    small sources are upsampled relative to their mass. q181's Hamilton
+    largest-remainder apportionment applied to weight = isqrt(n_tokens)
+    (the exact integer sqrt, so the SQL mirror is exact via a
+    float-sqrt-then-correct idiom — no float drift can survive the +-1
+    correction). Same plan as q181: one streaming token-mass scan,
+    catalog-bounded driver merge, integer-exact sum == budget. Output:
+    (source, n_tokens, weight, alloc_tokens)."""
+    import math
+
+    B = _Q187_BUDGET
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        nt = (
+            df.text.fillna("").astype(str).str.split().str.len()
+            .astype("int64")
+        )
+        g = pd.DataFrame({"source": df.source, "nt": nt})
+        return g.groupby("source", as_index=False)["nt"].sum()
+
+    counts = driver_combine(
+        ds, part, lambda df: df.groupby("source", as_index=False)["nt"].sum()
+    ).sort_values("source").reset_index(drop=True)
+    n = counts.nt.to_numpy().astype("int64")
+    wgt = np.asarray([math.isqrt(int(x)) for x in n], dtype=np.int64)
+    W = int(wgt.sum())
+    base = B * wgt // W
+    rem = (B * wgt) % W
+    R = B - int(base.sum())
+    order = np.lexsort((counts.source.to_numpy(), -rem))
+    alloc = base.copy()
+    alloc[order[:R]] += 1
+    return pd.DataFrame(
+        {
+            "source": counts.source.astype(object),
+            "n_tokens": n,
+            "weight": wgt,
+            "alloc_tokens": alloc.astype("int64"),
+        }
+    )
+
+
+def _q187_sql() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT source,
+         len(list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                         x -> length(x) > 0)) AS nt
+  FROM documents
+), s AS (
+  SELECT source, CAST(SUM(nt) AS BIGINT) AS n FROM toks GROUP BY source
+), sq AS (
+  -- exact isqrt: float sqrt then +-1 correction (the correction absorbs
+  -- any last-ulp float error; result is the true floor sqrt)
+  SELECT source, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0
+  FROM s
+), w AS (
+  SELECT source, n,
+         s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= n THEN 1 ELSE 0 END)
+            - (CASE WHEN s0 * s0 > n THEN 1 ELSE 0 END) AS wgt
+  FROM sq
+), tot AS (
+  SELECT CAST(SUM(wgt) AS BIGINT) AS W FROM w
+), base AS (
+  SELECT source, n, wgt,
+         CAST(({_Q187_BUDGET} * wgt) // t.W AS BIGINT) AS b,
+         CAST(({_Q187_BUDGET} * wgt) % t.W AS BIGINT) AS r
+  FROM w, tot t
+), rk AS (
+  SELECT *, row_number() OVER (ORDER BY r DESC, source) AS rn FROM base
+), need AS (
+  SELECT CAST({_Q187_BUDGET} - SUM(b) AS BIGINT) AS R FROM base
+)
+SELECT source, n AS n_tokens, CAST(wgt AS BIGINT) AS weight,
+       CAST(b + CASE WHEN rn <= need.R THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_tokens
+FROM rk, need
+ORDER BY source
+"""

@@ -135,6 +135,9 @@ GATED = [
     "q182_ivfpq_recall",
     "q183_dsir_selection",
     "q184_quality_classifier",
+    "q185_novelty_curve",
+    "q186_annotator_agreement",
+    "q187_alpha_mixture",
 ]
 
 
