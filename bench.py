@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "q185_novelty_curve",
     "q186_annotator_agreement",
     "q187_alpha_mixture",
+    "q188_rerank_recall",
 ]
 
 

@@ -2115,3 +2115,198 @@ FROM qs s
 ORDER BY s.qid
 """
     )
+
+
+# -------------------------------------------------------------------- q188
+
+_Q188_S = 50  # ADC shortlist size feeding the exact reranker
+
+
+def q188_rerank_recall(sf_dir: str):
+    """Two-stage retrieval eval — the PRODUCTION serving composition for
+    compressed indexes (FAISS refine / DiskANN rerank): stage 1 scores
+    every vector cheaply with q175's PQ-ADC codes and keeps a shortlist
+    of 50, stage 2 re-scores ONLY the shortlist with exact dots and cuts
+    to 10. Reports recall@10 vs exact truth for BOTH the raw ADC top-10
+    and the reranked top-10 — the rerank lift (rr >= adc by construction
+    whenever the shortlist covers truth) is the number that justifies
+    storing codes instead of vectors. Plan: the q175 single-scan harness
+    extended to emit three partials per block — exact top-10 (truth),
+    and ADC-top-50 rows carrying BOTH est (for the global shortlist cut)
+    AND the exact dot (already computed in the same block — the rerank
+    costs ZERO extra corpus reads); driver merge is blocks x (10 + 50)
+    rows. Output per probe query: (query_vec_id, adc_overlap,
+    adc_recall_x1000, rr_overlap, rr_recall_x1000)."""
+    import ray
+
+    from medical_ocr_service_ray.stages.ann import _stack_embeddings
+    from medical_ocr_service_ray.stages.kmeans import assign, pq_fit, quantize
+
+    n_sub, sub_dim, kc = _Q175_NSUB, _Q175_SUBD, _Q175_KC
+    n_q, k, S = _Q175_NQ, _Q175_K, _Q188_S
+    ds = _emb_dataset(sf_dir)
+    books = pq_fit(ds, n_sub, sub_dim, k=kc, iters=_Q175_ITERS)
+
+    emb = _emb_query_table(sf_dir)
+    qdf = (
+        pd.DataFrame(
+            {"vec_id": emb["vec_id"].to_pandas(), "e": emb["embedding"].to_pylist()}
+        )
+        .sort_values("vec_id")
+        .head(n_q)
+    )
+    qids = qdf.vec_id.to_numpy(dtype=np.int64)
+    qm = quantize(np.asarray(qdf.e.tolist(), dtype=np.float64))
+    lut = np.stack(
+        [qm[:, m * sub_dim : (m + 1) * sub_dim] @ books[m].T
+         for m in range(n_sub)],
+        axis=1,
+    )
+    bundle = ray.put((books, qm, qids, lut))
+
+    def partial(batch: pa.Table, _ref=bundle) -> pa.Table:
+        bks, qmat, qv_ids, luts = ray.get(_ref)
+        v = quantize(_stack_embeddings(batch))
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        dots = v @ qmat.T
+        est = np.zeros((v.shape[0], len(qv_ids)), dtype=np.int64)
+        for m in range(bks.shape[0]):
+            codes = assign(v[:, m * sub_dim : (m + 1) * sub_dim], bks[m])
+            est += luts[:, m, :][:, codes].T
+        out = {c: [] for c in ("qid", "vec_id", "est", "dot", "kind")}
+        for qi in range(len(qv_ids)):
+            order = np.lexsort((ids, -dots[:, qi]))[:k]  # truth partial
+            out["qid"].extend([int(qv_ids[qi])] * len(order))
+            out["vec_id"].extend(ids[order].tolist())
+            out["est"].extend(est[order, qi].tolist())
+            out["dot"].extend(dots[order, qi].tolist())
+            out["kind"].extend([0] * len(order))
+            sorder = np.lexsort((ids, -est[:, qi]))[:S]  # shortlist partial
+            out["qid"].extend([int(qv_ids[qi])] * len(sorder))
+            out["vec_id"].extend(ids[sorder].tolist())
+            out["est"].extend(est[sorder, qi].tolist())
+            out["dot"].extend(dots[sorder, qi].tolist())
+            out["kind"].extend([1] * len(sorder))
+        return pa.table({c: pa.array(v_, pa.int64()) for c, v_ in out.items()})
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    truth = (
+        merged[merged.kind == 0]
+        .sort_values(["qid", "dot", "vec_id"], ascending=[True, False, True])
+        .groupby("qid")
+        .head(k)
+    )
+    short = (
+        merged[merged.kind == 1]
+        .sort_values(["qid", "est", "vec_id"], ascending=[True, False, True])
+        .groupby("qid")
+        .head(S)
+    )
+    rows = []
+    for qid in qids:
+        ex = set(truth[truth.qid == qid].vec_id)
+        sl = short[short.qid == qid]
+        adc = set(sl.head(k).vec_id)
+        rr = set(
+            sl.sort_values(["dot", "vec_id"], ascending=[False, True])
+            .head(k).vec_id
+        )
+        na, nr = len(ex & adc), len(ex & rr)
+        rows.append((int(qid), na, (1000 * na) // k, nr, (1000 * nr) // k))
+    return pd.DataFrame(
+        {
+            "query_vec_id": pd.array([r[0] for r in rows], "int64"),
+            "adc_overlap": pd.array([r[1] for r in rows], "int64"),
+            "adc_recall_x1000": pd.array([r[2] for r in rows], "int64"),
+            "rr_overlap": pd.array([r[3] for r in rows], "int64"),
+            "rr_recall_x1000": pd.array([r[4] for r in rows], "int64"),
+        }
+    )
+
+
+def _q188_sql() -> str:
+    n_sub, sub_dim, kc, iters = _Q175_NSUB, _Q175_SUBD, _Q175_KC, _Q175_ITERS
+    n_q, k, S, scale = _Q175_NQ, _Q175_K, _Q188_S, 1024
+    chains = "".join(
+        _pq_subspace_chain(m, kc, iters, sub_dim) for m in range(n_sub)
+    )
+    codes = "".join(
+        f""", codes{m} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT t.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY CAST(list_inner_product(c.c, c.c) AS BIGINT)
+                      - 2 * CAST(list_inner_product(t.v, c.c) AS BIGINT),
+                      c.cluster) AS rn
+    FROM s{m}q t, s{m}c{iters} c) WHERE rn = 1
+)"""
+        for m in range(n_sub)
+    )
+    est_terms = " + ".join(
+        f"CAST(list_inner_product(list_slice(p.qv, {m * sub_dim + 1},"
+        f" {(m + 1) * sub_dim}), c{m}.c) AS BIGINT)"
+        for m in range(n_sub)
+    )
+    est_joins = "\n  ".join(
+        (
+            f"JOIN codes{m} a{m} ON a{m}.vec_id = a0.vec_id\n  "
+            if m else ""
+        )
+        + f"JOIN s{m}c{iters} c{m} ON c{m}.cluster = a{m}.cluster"
+        for m in range(n_sub)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x * {scale} + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+){chains}{codes}, qs AS (
+  SELECT vec_id AS qid, v AS qv FROM q ORDER BY vec_id LIMIT {n_q}
+), ex AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, t.vec_id,
+           row_number() OVER (
+             PARTITION BY s.qid
+             ORDER BY CAST(list_inner_product(t.v, s.qv) AS BIGINT) DESC,
+                      t.vec_id) AS rn
+    FROM q t, qs s) WHERE rn <= {k}
+), adc AS (
+  SELECT p.qid, a0.vec_id, {est_terms} AS est
+  FROM qs p, codes0 a0
+  {est_joins}
+), short AS (
+  SELECT qid, vec_id, est, rn FROM (
+    SELECT qid, vec_id, est,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY est DESC, vec_id) AS rn
+    FROM adc) WHERE rn <= {S}
+), adc10 AS (
+  SELECT qid, vec_id FROM short WHERE rn <= {k}
+), rr AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, s.vec_id,
+           row_number() OVER (
+             PARTITION BY s.qid
+             ORDER BY CAST(list_inner_product(t.v, p.qv) AS BIGINT) DESC,
+                      s.vec_id) AS rn
+    FROM short s JOIN q t ON t.vec_id = s.vec_id
+                 JOIN qs p ON p.qid = s.qid) WHERE rn <= {k}
+)
+SELECT s.qid AS query_vec_id,
+       CAST((SELECT COUNT(*) FROM ex e JOIN adc10 a
+             ON e.qid = s.qid AND a.qid = s.qid AND e.vec_id = a.vec_id)
+            AS BIGINT) AS adc_overlap,
+       CAST((1000 * (SELECT COUNT(*) FROM ex e JOIN adc10 a
+             ON e.qid = s.qid AND a.qid = s.qid AND e.vec_id = a.vec_id))
+            // {k} AS BIGINT) AS adc_recall_x1000,
+       CAST((SELECT COUNT(*) FROM ex e JOIN rr r
+             ON e.qid = s.qid AND r.qid = s.qid AND e.vec_id = r.vec_id)
+            AS BIGINT) AS rr_overlap,
+       CAST((1000 * (SELECT COUNT(*) FROM ex e JOIN rr r
+             ON e.qid = s.qid AND r.qid = s.qid AND e.vec_id = r.vec_id))
+            // {k} AS BIGINT) AS rr_recall_x1000
+FROM qs s
+ORDER BY s.qid
+"""

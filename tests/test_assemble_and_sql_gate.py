@@ -138,6 +138,7 @@ GATED = [
     "q185_novelty_curve",
     "q186_annotator_agreement",
     "q187_alpha_mixture",
+    "q188_rerank_recall",
 ]
 
 
