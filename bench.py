@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "q186_annotator_agreement",
     "q187_alpha_mixture",
     "q188_rerank_recall",
+    "q189_split_contamination",
 ]
 
 

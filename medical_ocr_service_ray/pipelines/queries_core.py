@@ -2023,3 +2023,90 @@ def q34_distinct_users_by_type(sf_dir: str):
 
 
 _Q34_SQL = "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
+
+
+# -------------------------------------------------------------------- q189
+
+def q189_split_contamination(sf_dir: str):
+    """Train/eval split-contamination audit — the near-dup leakage check
+    every benchmark-quality pipeline runs AFTER choosing a split: a hash
+    split (q35's Knuth rule) is reproducible, but if two near-duplicate
+    documents (q13's verified MinHash pairs) land on opposite sides, the
+    eval set leaks training content and the benchmark is inflated
+    (the Lee et al. 2021 dedup paper's core motivation). Per pair kind
+    ('train-train' / 'cross' / 'test-test') reports the pair count and
+    the number of DISTINCT test documents involved — 'cross' test docs
+    are the contaminated eval set to drop. Plan: stamp both endpoints of
+    each q13 pair with the split (a pure arithmetic function of doc_id —
+    NO join against the corpus, the property hash splits exist for),
+    then reduce the LSH-bounded pairs table (q13's own result size) on
+    the driver. Output: (pair_kind, n_pairs, n_test_docs)."""
+    from medical_ocr_service_ray.stages.sampling import knuth_hash_batch
+
+    pairs = q13_minhash_pairs(sf_dir)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        sa = knuth_hash_batch(t["doc_a"]) % 100 < 80
+        sb = knuth_hash_batch(t["doc_b"]) % 100 < 80
+        kind = np.where(
+            sa & sb, "train-train", np.where(~sa & ~sb, "test-test", "cross")
+        )
+        return pa.table(
+            {
+                "pair_kind": pa.array(kind, pa.string()),
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "a_test": pa.array(~sa),
+                "b_test": pa.array(~sb),
+            }
+        )
+
+    df = pairs.map_batches(stamp, batch_format="pyarrow").to_pandas()
+    td = pd.concat(
+        [
+            df[df.a_test][["pair_kind", "doc_a"]].rename(columns={"doc_a": "doc"}),
+            df[df.b_test][["pair_kind", "doc_b"]].rename(columns={"doc_b": "doc"}),
+        ]
+    ).drop_duplicates()
+    nt = td.groupby("pair_kind")["doc"].nunique()
+    np_ = df.groupby("pair_kind").size()
+    kinds = sorted(np_.index)
+    return pd.DataFrame(
+        {
+            "pair_kind": pd.array(kinds, "object"),
+            "n_pairs": pd.array([int(np_[k]) for k in kinds], "int64"),
+            "n_test_docs": pd.array(
+                [int(nt.get(k, 0)) for k in kinds], "int64"
+            ),
+        }
+    )
+
+
+def _q189_sql() -> str:
+    return _q13_base_sql() + """
+, stamped AS (
+  SELECT doc_a, doc_b,
+         ((doc_a * 2654435761) % 4294967296 % 100 < 80) AS a_train,
+         ((doc_b * 2654435761) % 4294967296 % 100 < 80) AS b_train
+  FROM pairs
+), kinds AS (
+  SELECT CASE WHEN a_train AND b_train THEN 'train-train'
+              WHEN NOT a_train AND NOT b_train THEN 'test-test'
+              ELSE 'cross' END AS pair_kind,
+         doc_a, doc_b, a_train, b_train
+  FROM stamped
+), np AS (
+  SELECT pair_kind, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM kinds GROUP BY pair_kind
+), td AS (
+  SELECT pair_kind, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_test_docs
+  FROM (
+    SELECT pair_kind, doc_a AS doc FROM kinds WHERE NOT a_train
+    UNION ALL
+    SELECT pair_kind, doc_b FROM kinds WHERE NOT b_train
+  ) GROUP BY pair_kind
+)
+SELECT np.pair_kind, np.n_pairs, COALESCE(td.n_test_docs, 0) AS n_test_docs
+FROM np LEFT JOIN td USING (pair_kind)
+ORDER BY np.pair_kind
+"""

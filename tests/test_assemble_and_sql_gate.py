@@ -139,6 +139,7 @@ GATED = [
     "q186_annotator_agreement",
     "q187_alpha_mixture",
     "q188_rerank_recall",
+    "q189_split_contamination",
 ]
 
 
