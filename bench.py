@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "q187_alpha_mixture",
     "q188_rerank_recall",
     "q189_split_contamination",
+    "q190_gopher_rules",
 ]
 
 

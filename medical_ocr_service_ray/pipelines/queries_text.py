@@ -2772,3 +2772,132 @@ SELECT source, n AS n_tokens, CAST(wgt AS BIGINT) AS weight,
 FROM rk, need
 ORDER BY source
 """
+
+
+# -------------------------------------------------------------------- q190
+
+# function-word list adapted to the synthetic corpus vocabulary (the
+# English list kills 100% here — a degenerate gate teaches nothing);
+# structure and threshold are the paper's
+_Q190_STOP = ("a", "the", "data", "value", "key", "row", "table", "line")
+
+
+def q190_gopher_rules(sf_dir: str):
+    """Gopher-style rule-based quality filter (Rae et al. 2021, Table A1
+    — the published rule suite RefinedWeb/Dolma/FineWeb all descend
+    from), restricted to its integer-expressible core so the oracle is
+    exact: R1 word count in [50, 100000]; R2 mean word length in [3, 10]
+    (as 3*nw <= sum_len <= 10*nw — no division); R3 symbol-to-word ratio
+    <= 0.1 for '#' and '...' (as 10*nsym <= nw); R4 >= 80% of words
+    contain an alphabetic character (as 5*n_alpha >= 4*nw); R5 at least
+    2 distinct stopwords present. Zero-token docs fail R1/R2/R4 by
+    definition. Output: per-rule documents KILLED plus the all-pass
+    survivor count — the per-rule attribution a filtering run reports
+    before anyone tunes thresholds. Plan: ONE streaming scan, per-batch
+    vectorized rule evaluation, six int64 counters to the driver — zero
+    exchanges. Output: (metric, n_docs)."""
+    ds = _read(sf_dir, "documents", ["text"])
+    stop = set(_Q190_STOP)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df.text.fillna("").astype(str)
+        toks = txt.str.split()
+        nw = toks.str.len().to_numpy(dtype=np.int64)
+        ex = toks.explode().dropna()
+        ex = ex[ex.str.len() > 0]
+        sumlen = (
+            ex.str.len().groupby(level=0).sum()
+            .reindex(df.index, fill_value=0)
+            .to_numpy(dtype=np.int64)
+        )
+        nalpha = (
+            ex.str.contains("[a-zA-Z]", regex=True)
+            .groupby(level=0).sum()
+            .reindex(df.index, fill_value=0)
+            .to_numpy(dtype=np.int64)
+        )
+        nstop = (
+            ex.str.lower()[ex.str.lower().isin(stop)]
+            .groupby(level=0).nunique()
+            .reindex(df.index, fill_value=0)
+            .to_numpy(dtype=np.int64)
+        )
+        nsym = (
+            txt.str.count("#") + txt.str.count(r"\.\.\.")
+        ).to_numpy(dtype=np.int64)
+        r1 = (nw >= 50) & (nw <= 100_000)
+        r2 = (nw > 0) & (3 * nw <= sumlen) & (sumlen <= 10 * nw)
+        r3 = 10 * nsym <= nw
+        r4 = (nw > 0) & (5 * nalpha >= 4 * nw)
+        r5 = nstop >= 2
+        return pd.DataFrame(
+            {
+                "r1_word_count": [int((~r1).sum())],
+                "r2_mean_word_len": [int((~r2).sum())],
+                "r3_symbol_ratio": [int((~r3).sum())],
+                "r4_alpha_words": [int((~r4).sum())],
+                "r5_stopwords": [int((~r5).sum())],
+                "all_pass": [int((r1 & r2 & r3 & r4 & r5).sum())],
+            }
+        )
+
+    c = driver_combine(ds, part, lambda df: df.sum().to_frame().T)
+    metrics = sorted(c.columns)
+    return pd.DataFrame(
+        {
+            "metric": pd.array(metrics, "object"),
+            "n_docs": pd.array([int(c[m].iloc[0]) for m in metrics], "int64"),
+        }
+    )
+
+
+def _q190_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in _Q190_STOP)
+    return rf"""
+WITH d AS (
+  SELECT list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                     x -> length(x) > 0) AS toks,
+         COALESCE(text, '') AS txt
+  FROM documents
+), f AS (
+  SELECT len(toks) AS nw,
+         COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+           AS sumlen,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+           AS nalpha,
+         len(list_intersect(list_distinct(list_transform(toks,
+                                                         x -> lower(x))),
+                            [{stops}])) AS nstop,
+         (length(txt) - length(replace(txt, '#', '')))
+           + (length(txt) - length(replace(txt, '...', ''))) // 3 AS nsym
+  FROM d
+), r AS (
+  SELECT (nw >= 50 AND nw <= 100000) AS r1,
+         (nw > 0 AND 3 * nw <= sumlen AND sumlen <= 10 * nw) AS r2,
+         (10 * nsym <= nw) AS r3,
+         (nw > 0 AND 5 * nalpha >= 4 * nw) AS r4,
+         (nstop >= 2) AS r5
+  FROM f
+)
+SELECT metric, n_docs FROM (
+  SELECT 'r1_word_count' AS metric,
+         CAST(SUM(CASE WHEN r1 THEN 0 ELSE 1 END) AS BIGINT) AS n_docs FROM r
+  UNION ALL
+  SELECT 'r2_mean_word_len',
+         CAST(SUM(CASE WHEN r2 THEN 0 ELSE 1 END) AS BIGINT) FROM r
+  UNION ALL
+  SELECT 'r3_symbol_ratio',
+         CAST(SUM(CASE WHEN r3 THEN 0 ELSE 1 END) AS BIGINT) FROM r
+  UNION ALL
+  SELECT 'r4_alpha_words',
+         CAST(SUM(CASE WHEN r4 THEN 0 ELSE 1 END) AS BIGINT) FROM r
+  UNION ALL
+  SELECT 'r5_stopwords',
+         CAST(SUM(CASE WHEN r5 THEN 0 ELSE 1 END) AS BIGINT) FROM r
+  UNION ALL
+  SELECT 'all_pass',
+         CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5
+                       THEN 1 ELSE 0 END) AS BIGINT) FROM r
+)
+ORDER BY metric
+"""

@@ -140,6 +140,7 @@ GATED = [
     "q187_alpha_mixture",
     "q188_rerank_recall",
     "q189_split_contamination",
+    "q190_gopher_rules",
 ]
 
 
