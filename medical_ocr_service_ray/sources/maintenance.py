@@ -38,10 +38,18 @@ import ray.data as rd
 def compact_parquet(
     in_dir: str | Path,
     out_dir: str | Path,
-    target_mb: int = 128,
+    target_mb: float = 128,
+    sort_by: str | None = None,
 ) -> dict:
     """Rewrite ``in_dir``'s parquet files into ~target_mb files at
-    ``out_dir`` (fresh dir + atomic rename). Returns a summary dict
+    ``out_dir`` (fresh dir + atomic rename). With ``sort_by``, the
+    rewrite CLUSTERS the data on that column (a range-partitioned global
+    sort) so the output files carry disjoint footer min/max intervals —
+    the Delta OPTIMIZE ZORDER/sort analogue: after long unordered ingest,
+    point/range reads prune to O(1) files instead of touching every one
+    (the same footer stats delete_rows/merge_rows prune with). The sort
+    is the one all-to-all exchange compaction is allowed to spend; plain
+    bin-packing stays exchange-free. Returns a summary dict
     {files_in, files_out, rows, bytes_in}."""
     import shutil
 
@@ -50,11 +58,14 @@ def compact_parquet(
     if not files:
         raise ValueError(f"no parquet files under {in_dir}")
     bytes_in = sum(os.path.getsize(f) for f in files)
-    n_out = max(1, -(-bytes_in // (target_mb << 20)))  # ceil
+    target_bytes = max(1, int(target_mb * (1 << 20)))
+    n_out = max(1, -(-bytes_in // target_bytes))  # ceil
 
     tmp = Path(str(out_dir) + ".compacting")
     shutil.rmtree(tmp, ignore_errors=True)
     ds = rd.read_parquet(files)
+    if sort_by is not None:
+        ds = ds.sort(sort_by)
     ds.repartition(int(n_out)).write_parquet(str(tmp))
 
     rows_in = sum(pq.read_metadata(f).num_rows for f in files)

@@ -59,6 +59,49 @@ class TestCompaction:
         with pytest.raises(ValueError):
             compact_parquet(tmp_path / "empty", tmp_path / "out")
 
+    def test_sorted_compaction_yields_disjoint_footer_intervals(
+        self, ray_session, shardy_dir, tmp_path
+    ):
+        """OPTIMIZE-with-sort: the input shards' v-intervals all overlap
+        (random interleave); after sort_by='v' compaction the output
+        files carry touching-at-most footer intervals, so point/range
+        reads prune to O(1) files."""
+        from medical_ocr_service_ray.sources.maintenance import compact_parquet
+
+        in_dir, rows = shardy_dir
+
+        def intervals(d):
+            out = []
+            for f in sorted(d.glob("*.parquet")):
+                md = pq.read_metadata(f)
+                lo = min(md.row_group(i).column(1).statistics.min
+                         for i in range(md.num_row_groups))
+                hi = max(md.row_group(i).column(1).statistics.max
+                         for i in range(md.num_row_groups))
+                out.append((lo, hi))
+            return sorted(out)
+
+        ins = intervals(in_dir)
+        overlapping = sum(
+            1 for (a, b), (c, _) in zip(ins, ins[1:]) if c < b
+        )
+        assert overlapping > len(ins) // 2  # unsorted ingest: interleaved
+
+        out = tmp_path / "sorted"
+        res = compact_parquet(in_dir, out, target_mb=0.02, sort_by="v")
+        assert res["rows"] == rows and res["files_out"] > 1
+        outs = intervals(out)
+        assert all(b[0] >= a[1] for a, b in zip(outs, outs[1:]))  # disjoint
+        # content identical (order-insensitive)
+        a = pq.read_table(
+            sorted(str(p) for p in in_dir.glob("*.parquet"))
+        ).to_pandas()
+        b = pq.read_table(out).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values(["id"]).reset_index(drop=True),
+            b.sort_values(["id"]).reset_index(drop=True),
+        )
+
 
 class TestCatalogStats:
     def test_matches_full_scan(self, ray_session, shardy_dir):
