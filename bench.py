@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "q188_rerank_recall",
     "q189_split_contamination",
     "q190_gopher_rules",
+    "q191_distinct_ngrams",
+    "q192_dedup_report",
 ]
 
 

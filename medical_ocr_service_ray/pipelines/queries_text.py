@@ -2901,3 +2901,188 @@ SELECT metric, n_docs FROM (
 )
 ORDER BY metric
 """
+
+
+# -------------------------------------------------------------------- q191
+
+def q191_distinct_ngrams(sf_dir: str):
+    """Corpus diversity via distinct-n (Li et al. 2016, the distinct-1/
+    distinct-2 generation-diversity metric, applied per source): for each
+    (source, n in 1..3), the total n-gram instance count, the distinct
+    n-gram count, and their ratio in ppm — LOW distinct-n flags a source
+    as templated/repetitive BEFORE it floods a training mix (the corpus-
+    level complement of q107's per-doc repetition gate). Plan: per-batch
+    (source, n, gram) pre-counts, ONE gram-keyed exchange (grams sharing
+    a hash co-locate, so per-(source,n,gram) totals finish in-exchange),
+    then per-block (source, n) cell partials (<= sources x 3 rows each)
+    to a driver merge. Output: (source, n, total_grams, distinct_grams,
+    distinct_ppm)."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def gram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.text.fillna("").astype(str).str.split()
+        src_rep, n_rep, grams = [], [], []
+        for src, tl in zip(df.source.to_numpy(dtype=object), toks):
+            L = len(tl)
+            for n in (1, 2, 3):
+                if L < n:
+                    continue
+                gs = (
+                    tl if n == 1
+                    else [" ".join(tl[i : i + n]) for i in range(L - n + 1)]
+                )
+                src_rep.append(np.full(len(gs), src, dtype=object))
+                n_rep.append(np.full(len(gs), n, dtype=np.int64))
+                grams.append(np.asarray(gs, dtype=object))
+        if not grams:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64"),
+                 "gram": pd.Series([], dtype=object),
+                 "c": pd.Series([], dtype="int64")}
+            )
+        g = pd.DataFrame(
+            {"source": np.concatenate(src_rep),
+             "n": np.concatenate(n_rep),
+             "gram": np.concatenate(grams)}
+        ).groupby(["source", "n", "gram"], as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    def gram_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "n", "gram"], as_index=False)["c"].sum()
+
+    per_gram = partial_then_combine(ds, gram_partial, "gram", gram_combine)
+    cells = per_gram.map_batches(
+        lambda df: df.groupby(["source", "n"], as_index=False).agg(
+            total_grams=("c", "sum"), distinct_grams=("c", "size")
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    out = (
+        cells.groupby(["source", "n"], as_index=False)[
+            ["total_grams", "distinct_grams"]
+        ].sum()
+        .sort_values(["source", "n"])
+        .reset_index(drop=True)
+    )
+    out["distinct_ppm"] = (
+        out.distinct_grams.to_numpy().astype("int64") * 1_000_000
+        // out.total_grams.to_numpy().astype("int64")
+    )
+    for c in ("n", "total_grams", "distinct_grams", "distinct_ppm"):
+        out[c] = out[c].astype("int64")
+    out["source"] = out.source.astype(object)
+    return out
+
+
+def _q191_sql() -> str:
+    return r"""
+WITH d AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), grams AS (
+  SELECT source, 1 AS n, unnest(toks) AS g FROM d
+  UNION ALL
+  SELECT source, 2, toks[i] || ' ' || toks[i + 1]
+  FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  UNION ALL
+  SELECT source, 3, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+  FROM d, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+), cnt AS (
+  SELECT source, n, g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM grams GROUP BY source, n, g
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(SUM(c) AS BIGINT) AS total_grams,
+       CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+       CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS distinct_ppm
+FROM cnt
+GROUP BY source, n
+ORDER BY source, n
+"""
+
+
+# -------------------------------------------------------------------- q192
+
+def q192_dedup_report(sf_dir: str):
+    """Per-source exact-duplication report — the dedup-yield table a
+    curation run publishes per domain (which sources are worth deduping,
+    which are already clean): per source, total docs, distinct texts,
+    duplicate docs (total - distinct) and dup rate in ppm. Plan:
+    per-batch (source, text-hash) pre-counts, ONE hash-keyed exchange
+    (q7's exact-dedup partitioning), per-block (source) cell partials to
+    a catalog-bounded driver merge. Hashing the text (q31's sha256-slice
+    idiom) keeps the exchange rows fixed-width — the full text never
+    shuffles. Output: (source, n_docs, distinct_texts, dup_docs,
+    dup_ppm)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.sha256(t.encode()).digest()[:8], "big"
+                ) >> 1
+                for t in df.text.fillna("").astype(str)
+            ),
+            dtype=np.int64,
+            count=len(df),
+        )
+        g = pd.DataFrame(
+            {"source": df.source.to_numpy(dtype=object), "h": h}
+        ).groupby(["source", "h"], as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "h"], as_index=False)["c"].sum()
+
+    per_text = partial_then_combine(ds, part, "h", comb)
+    cells = per_text.map_batches(
+        lambda df: df.groupby("source", as_index=False).agg(
+            n_docs=("c", "sum"), distinct_texts=("c", "size")
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    out = (
+        cells.groupby("source", as_index=False)[["n_docs", "distinct_texts"]]
+        .sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["dup_docs"] = out.n_docs - out.distinct_texts
+    out["dup_ppm"] = (
+        out.dup_docs.to_numpy().astype("int64") * 1_000_000
+        // out.n_docs.to_numpy().astype("int64")
+    )
+    for c in ("n_docs", "distinct_texts", "dup_docs", "dup_ppm"):
+        out[c] = out[c].astype("int64")
+    out["source"] = out.source.astype(object)
+    return out
+
+
+def _q192_sql() -> str:
+    # sha256-slice >> 1 == the Ray side's 63-bit nonnegative key; counting
+    # distinct hashes (not distinct texts) keeps collision behavior
+    # IDENTICAL across engines even if a 63-bit collision ever occurred
+    return r"""
+WITH h AS (
+  SELECT source,
+         CAST(('0x' || substr(sha256(COALESCE(text, '')), 1, 16))
+              AS UBIGINT) >> 1 AS h
+  FROM documents
+), cnt AS (
+  SELECT source, h, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY source, h
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS distinct_texts,
+       CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_docs,
+       CAST((SUM(c) - COUNT(*)) * 1000000 // SUM(c) AS BIGINT) AS dup_ppm
+FROM cnt
+GROUP BY source
+ORDER BY source
+"""
