@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "q190_gopher_rules",
     "q191_distinct_ngrams",
     "q192_dedup_report",
+    "q193_bpe_fertility",
+    "q194_l_diversity_audit",
 ]
 
 

@@ -266,10 +266,10 @@ def q153_bpe_encode(sf_dir: str):
     return out.reset_index(drop=True)
 
 
-def _q153_sql() -> str:
-    """Unrolled 4-round BPE train (identical CTE chain to q142's oracle,
-    but carrying the word w through every merge round) + apply: final token
-    count per word joined back to per-source word counts."""
+def _bpe_apply_chain() -> str:
+    """The shared unrolled 4-round BPE train chain carrying the word w
+    through every merge round, ending in relation ``tok(w, t)`` = final
+    token count per distinct word (used by the q153 and q193 oracles)."""
     parts = [
         r"""WITH words AS (
   SELECT w, COUNT(*)::BIGINT AS n FROM (
@@ -307,7 +307,14 @@ def _q153_sql() -> str:
   FROM documents
 ), sw AS (
   SELECT source, w, COUNT(*)::BIGINT AS n FROM cells GROUP BY 1, 2
-), enc AS (
+)"""
+    )
+    return "".join(parts)
+
+
+def _q153_sql() -> str:
+    return _bpe_apply_chain() + """
+, enc AS (
   SELECT sw.source, SUM(sw.n)::BIGINT AS n_words,
          SUM(sw.n * tok.t)::BIGINT AS n_tokens
   FROM sw JOIN tok USING (w) GROUP BY 1
@@ -318,8 +325,6 @@ SELECT d.source, d.n_docs,
        COALESCE(enc.n_words, 0)::BIGINT AS n_words,
        COALESCE(enc.n_tokens, 0)::BIGINT AS n_tokens
 FROM d LEFT JOIN enc USING (source) ORDER BY d.source"""
-    )
-    return "".join(parts)
 
 
 _Q153_SQL = _q153_sql()
@@ -1856,3 +1861,94 @@ tri AS (
 SELECT pa AS part_a, pb AS part_b, pc3 AS part_c, n::BIGINT AS support
 FROM tri WHERE n >= 2 ORDER BY 1, 2, 3
 """
+
+
+# -------------------------------------------------------------------- q193
+
+def q193_bpe_fertility(sf_dir: str):
+    """Tokenizer fertility eval — chars-per-token under the q142-trained
+    BPE, per source: the compression-ratio table that decides whether a
+    tokenizer (or a data source) is token-efficient before committing a
+    training budget (multilingual tokenizer papers report exactly this
+    per language). fertility_ppm = 1e6 * word_chars / bpe_tokens — higher
+    means each token covers more characters. Same
+    O(distinct words x sources) plan as q153 (the trained merge table is
+    a closure-carried artifact; the corpus reduces to (source, word)
+    cells in ONE word-keyed exchange, each cell encoded once) with char
+    mass riding the same cells — adding the eval costs no new exchange.
+    Output: (source, n_words, n_chars, n_tokens, fertility_ppm)."""
+    import re
+    from collections import Counter
+
+    merges = [(l, r) for (_rnd, l, r, _cnt) in _bpe_train_rounds(sf_dir)]
+    ds = _read(sf_dir, "documents", ["text", "source"])
+    word_re = re.compile(r"[a-z]+")
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for src, t in zip(df.source, df.text):
+            for w in word_re.findall((t or "").lower()):
+                c[(src, w)] += 1
+        if not c:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series(dtype="string"),
+                    "w": pd.Series(dtype="string"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        srcs, ws = zip(*c.keys())
+        return pd.DataFrame(
+            {"source": list(srcs), "w": list(ws),
+             "n": pd.array(list(c.values()), "int64")}
+        )
+
+    def encode_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "w"], as_index=False)["n"].sum()
+        wrapped = "<" + g.w.map(lambda w: "><".join(w)) + ">"
+        for left, right in merges:
+            wrapped = wrapped.str.replace(
+                f"<{left}><{right}>", f"<{left}{right}>", regex=False
+            )
+        t = (wrapped.str.count("><") + 1).astype("int64")
+        part = pd.DataFrame(
+            {
+                "source": g.source,
+                "n_words": g.n,
+                "n_chars": g.n * g.w.str.len().astype("int64"),
+                "n_tokens": g.n * t,
+            }
+        )
+        return part.groupby("source", as_index=False).sum()
+
+    out = (
+        partial_then_combine(ds, cell_partial, "w", encode_bucket,
+                             num_buckets=16)
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["fertility_ppm"] = (
+        out.n_chars.to_numpy().astype("int64") * 1_000_000
+        // out.n_tokens.to_numpy().astype("int64")
+    )
+    for c in ("n_words", "n_chars", "n_tokens", "fertility_ppm"):
+        out[c] = out[c].astype("int64")
+    out["source"] = out.source.astype(object)
+    return out
+
+
+def _q193_sql() -> str:
+    return _bpe_apply_chain() + """
+, enc AS (
+  SELECT sw.source,
+         SUM(sw.n)::BIGINT AS n_words,
+         SUM(sw.n * length(sw.w))::BIGINT AS n_chars,
+         SUM(sw.n * tok.t)::BIGINT AS n_tokens
+  FROM sw JOIN tok USING (w) GROUP BY 1
+)
+SELECT source, n_words, n_chars, n_tokens,
+       CAST(n_chars * 1000000 // n_tokens AS BIGINT) AS fertility_ppm
+FROM enc ORDER BY source"""

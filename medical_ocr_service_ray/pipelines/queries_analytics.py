@@ -2380,3 +2380,93 @@ SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
 FROM u
 ORDER BY check_name
 """
+
+
+# -------------------------------------------------------------------- q194
+
+_Q194_LS = (2, 3, 5)
+
+
+def q194_l_diversity_audit(sf_dir: str):
+    """l-diversity audit — k-anonymity's (q177) stronger sibling
+    (Machanavajjhala et al. 2007): a QI group can be large (k-anonymous)
+    yet still leak if every row shares the SAME sensitive value; a group
+    is l-diverse iff its sensitive attribute takes >= l distinct values.
+    QI = q177's (event_type, day, value decabucket); sensitive =
+    user_id. For each l in (2, 3, 5): violating groups + rows in them.
+    Plan: per-batch (QI, user) pre-counts, ONE day-keyed exchange (the
+    QI includes day, so whole groups co-locate and distinct-user counts
+    finish in-exchange), then 3-row threshold partials to a driver
+    merge. Output: (l_threshold, violating_groups, violating_rows)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value", "user_id"])
+
+    def qi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "event_type": df.event_type,
+                "day": df.ts.dt.floor("D"),
+                "vb": _cents(df.value.astype("float64")) // 1000,
+                "user_id": df.user_id,
+            }
+        )
+        out = g.groupby(
+            ["event_type", "day", "vb", "user_id"], as_index=False
+        ).size()
+        return out.rename(columns={"size": "c"})
+
+    def qi_combine(df: pd.DataFrame) -> pd.DataFrame:
+        per_user = df.groupby(
+            ["event_type", "day", "vb", "user_id"], as_index=False
+        )["c"].sum()
+        return per_user.groupby(
+            ["event_type", "day", "vb"], as_index=False
+        ).agg(n_rows=("c", "sum"), du=("user_id", "nunique"))
+
+    sizes = partial_then_combine(ds, qi_partial, "day", qi_combine)
+
+    def thresh_partial(df: pd.DataFrame) -> pd.DataFrame:
+        du = df.du.to_numpy()
+        c = df.n_rows.to_numpy()
+        rows = [
+            (l, int((du < l).sum()), int(c[du < l].sum()))
+            for l in _Q194_LS
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=["l_threshold", "violating_groups", "violating_rows"],
+        )
+
+    out = (
+        sizes.map_batches(thresh_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("l_threshold", as_index=False)
+        .sum()
+        .sort_values("l_threshold")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q194_sql() -> str:
+    ls = ", ".join(f"({l})" for l in _Q194_LS)
+    return f"""
+WITH g AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(round(value * 100) AS BIGINT) // 1000 AS vb, user_id
+  FROM events
+), gg AS (
+  SELECT event_type, day, vb,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS du
+  FROM g GROUP BY 1, 2, 3
+)
+SELECT CAST(l.l AS BIGINT) AS l_threshold,
+       CAST(SUM(CASE WHEN du < l.l THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_groups,
+       CAST(SUM(CASE WHEN du < l.l THEN n_rows ELSE 0 END) AS BIGINT)
+         AS violating_rows
+FROM gg, (VALUES {ls}) l(l)
+GROUP BY l.l ORDER BY l.l
+"""

@@ -143,6 +143,8 @@ GATED = [
     "q190_gopher_rules",
     "q191_distinct_ngrams",
     "q192_dedup_report",
+    "q193_bpe_fertility",
+    "q194_l_diversity_audit",
 ]
 
 
