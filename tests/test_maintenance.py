@@ -544,3 +544,113 @@ class TestChangeFeed:
         (tmp_path / "a.parquet").unlink()
         with pytest.raises(FileNotFoundError, match="GC-reclaimed"):
             read_changes(tmp_path, s1, res["snapshot_id"])
+
+
+class TestLakeLifecycle:
+    """End-to-end lake lifecycle driving the WHOLE maintenance surface in
+    one story: ingest appends -> sorted compaction committed as replace ->
+    GDPR delete -> MERGE upsert -> CDC-fed incremental aggregate that
+    matches a full recompute at every version -> retention + GC, with
+    time travel checked along the way. The piecewise unit tests above pin
+    each op; this pins their COMPOSITION (manifest lineage, file reuse,
+    feed consistency)."""
+
+    def _mk(self, d, name, ids, vs):
+        t = pa.table({"user_id": pa.array(ids, pa.int64()),
+                      "v": pa.array(vs, pa.int64())})
+        pq.write_table(t, d / name)
+        return name
+
+    @staticmethod
+    def _full_sum(tmp_path, sid):
+        from medical_ocr_service_ray.sources.maintenance import read_at_snapshot
+
+        df = read_at_snapshot(tmp_path, sid).to_pandas()
+        return df.groupby("user_id")["v"].sum().to_dict()
+
+    @staticmethod
+    def _apply_changes(state, tmp_path, s_from, s_to):
+        from medical_ocr_service_ray.sources.maintenance import read_changes
+
+        ch = read_changes(tmp_path, s_from, s_to).to_pandas()
+        out = dict(state)
+        for _, r in ch.iterrows():
+            delta = int(r.v) if r._change_type == "insert" else -int(r.v)
+            out[int(r.user_id)] = out.get(int(r.user_id), 0) + delta
+        return {k: v for k, v in out.items() if v != 0 or k in out}
+
+    def test_full_lifecycle(self, ray_session, tmp_path):
+        from medical_ocr_service_ray.sources.maintenance import (
+            commit_snapshot,
+            compact_parquet,
+            delete_rows,
+            expire_snapshots,
+            gc_orphans,
+            head_files,
+            live_files,
+            merge_rows,
+            read_at_snapshot,
+        )
+
+        # 1) two ingest appends (small-file phase)
+        f1 = self._mk(tmp_path, "ing-1.parquet", [1, 2, 3], [10, 20, 30])
+        s1 = commit_snapshot(tmp_path, [f1])
+        f2 = self._mk(tmp_path, "ing-2.parquet", [2, 4], [200, 40])
+        s2 = commit_snapshot(tmp_path, [f2])
+
+        # 2) sorted compaction, committed as a replace snapshot
+        comp = tmp_path / "_compact_out"
+        compact_parquet(tmp_path, comp, target_mb=128, sort_by="user_id")
+        names = []
+        for i, p in enumerate(sorted(comp.glob("*.parquet"))):
+            name = f"compact-{i}.parquet"
+            p.rename(tmp_path / name)
+            names.append(name)
+        s3 = commit_snapshot(tmp_path, names, op="replace")
+        assert read_at_snapshot(tmp_path, s3).count() == 5
+
+        # 3) GDPR delete of user 2 (both its rows, across former files)
+        d = delete_rows(tmp_path, "user_id", [2])
+        s4 = d["snapshot_id"]
+        assert d["rows_deleted"] == 2
+
+        # 4) MERGE upsert: update user 3, insert user 9
+        upd = pa.table({"user_id": pa.array([3, 9], pa.int64()),
+                        "v": pa.array([-30, 90], pa.int64())})
+        m = merge_rows(tmp_path, upd, "user_id")
+        s5 = m["snapshot_id"]
+        assert m["rows_updated"] == 1 and m["rows_inserted"] == 1
+
+        # 5) CDC consumer: fold each version's change feed into a running
+        #    per-user sum; at EVERY version it must equal the recompute
+        state = {}
+        prev = None
+        for sid in (s1, s2, s3, s4, s5):
+            if prev is None:
+                state = self._full_sum(tmp_path, sid)
+            else:
+                state = self._apply_changes(state, tmp_path, prev, sid)
+            full = self._full_sum(tmp_path, sid)
+            assert {k: v for k, v in state.items() if v != 0} == full, sid
+            prev = sid
+
+        # final contents: 1:10, 3:-30, 4:40, 9:90 (user 2 erased)
+        assert self._full_sum(tmp_path, s5) == {1: 10, 3: -30, 4: 40, 9: 90}
+
+        # 6) time travel to every historical version still works pre-GC
+        assert self._full_sum(tmp_path, s1) == {1: 10, 2: 20, 3: 30}
+        assert self._full_sum(tmp_path, s2) == {1: 10, 2: 220, 3: 30, 4: 40}
+
+        # 7) retention + GC: only the head survives; its files all exist
+        expire_snapshots(tmp_path, keep_last=1)
+        gc_orphans(tmp_path, live_files(tmp_path), dry_run=False)
+        assert self._full_sum(tmp_path, s5) == {1: 10, 3: -30, 4: 40, 9: 90}
+        for f in head_files(tmp_path):
+            assert (tmp_path / f).exists()
+        # erased user's data is now physically gone from the data dir
+        import pyarrow.dataset as pads
+
+        left = pq.read_table(
+            [str(tmp_path / f) for f in head_files(tmp_path)]
+        ).to_pandas()
+        assert 2 not in set(left.user_id)
