@@ -654,3 +654,75 @@ class TestLakeLifecycle:
             [str(tmp_path / f) for f in head_files(tmp_path)]
         ).to_pandas()
         assert 2 not in set(left.user_id)
+
+
+class TestMergeRowsProperty:
+    """Hypothesis: merge_rows == the pandas reference upsert for random
+    target shards (duplicate keys allowed, arbitrary file splits) and
+    random unique update sets — pins matched-multiplicity, insert
+    remainder, and footer-prune correctness across shapes the unit tests
+    don't enumerate. Few examples: each spins real Ray tasks."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    def _reference(target: pd.DataFrame, upd: pd.DataFrame) -> dict:
+        m = target.merge(upd, on="user_id", how="left", suffixes=("", "_u"))
+        out_v = m.v_u.where(m.v_u.notna(), m.v)
+        got = pd.DataFrame({"user_id": m.user_id, "v": out_v})
+        ins = upd[~upd.user_id.isin(target.user_id)]
+        got = pd.concat([got, ins])
+        return (
+            got.astype("int64")
+            .sort_values(["user_id", "v"])
+            .reset_index(drop=True)
+            .to_dict("list")
+        )
+
+    @given(
+        target=st.lists(
+            st.tuples(st.integers(0, 15), st.integers(-100, 100)),
+            min_size=1, max_size=24,
+        ),
+        upd_keys=st.sets(st.integers(0, 20), min_size=1, max_size=8),
+        n_files=st.integers(1, 3),
+    )
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_matches_pandas_upsert(
+        self, ray_session, tmp_path_factory, target, upd_keys, n_files
+    ):
+        from medical_ocr_service_ray.sources.maintenance import (
+            commit_snapshot,
+            merge_rows,
+            read_at_snapshot,
+        )
+
+        d = tmp_path_factory.mktemp("merge_prop")
+        tdf = pd.DataFrame(target, columns=["user_id", "v"]).astype("int64")
+        files = []
+        for i, part in enumerate(np.array_split(tdf, n_files)):
+            if not len(part):
+                continue
+            name = f"t-{i}.parquet"
+            pq.write_table(
+                pa.Table.from_pandas(part, preserve_index=False), d / name
+            )
+            files.append(name)
+        commit_snapshot(d, files)
+        keys = sorted(upd_keys)
+        upd = pa.table(
+            {"user_id": pa.array(keys, pa.int64()),
+             "v": pa.array([1000 + k for k in keys], pa.int64())}
+        )
+        merge_rows(d, upd, "user_id")
+        got = (
+            read_at_snapshot(d).to_pandas().astype("int64")
+            .sort_values(["user_id", "v"]).reset_index(drop=True)
+            .to_dict("list")
+        )
+        udf = upd.to_pandas()
+        assert got == self._reference(tdf, udf)
