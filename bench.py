@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "q192_dedup_report",
     "q193_bpe_fertility",
     "q194_l_diversity_audit",
+    "q195_t_closeness_audit",
 ]
 
 

@@ -2470,3 +2470,133 @@ SELECT CAST(l.l AS BIGINT) AS l_threshold,
 FROM gg, (VALUES {ls}) l(l)
 GROUP BY l.l ORDER BY l.l
 """
+
+
+# -------------------------------------------------------------------- q195
+
+_Q195_TS_PPM = (5_000, 15_000, 40_000)
+_Q195_VB_DIV = 2000  # cents // 2000 = 20-currency-unit ordered buckets
+
+
+def q195_t_closeness_audit(sf_dir: str):
+    """t-closeness audit — the third rung of the release-gate privacy
+    ladder (k-anonymity q177, l-diversity q194; Li et al. 2007): a QI
+    group can be large AND diverse yet still leak if its sensitive-value
+    DISTRIBUTION differs sharply from the global one (skewness attack).
+    A group is t-close iff EMD(group dist, global dist) <= t. QI =
+    (event_type, day); sensitive = the ORDERED value bucket (cents //
+    2000), so the distance is the ordered-domain EMD = sum of
+    |cumulative share diffs| / (m-1), computed exactly in integers by
+    cross-multiplying counts over the common denominator n_g * N
+    (q161's trick, lifted per-group). Plan: ONE day-keyed exchange for
+    exact (QI, vb) cells (the QI includes day, so groups co-locate),
+    then a driver pull BOUNDED by QI-groups x sensitive domain —
+    event_types x calendar days x value buckets, calendar-bounded at
+    any corpus size (q161's "(bin x period) cells" precedent). Final
+    division runs in Python bigints (numerator 1e6 * sum|cd| exceeds
+    int64 past ~sf1; the SQL twin uses HUGEINT). For each t in
+    (5k, 15k, 40k) ppm (sized to the corpus: group EMDs shrink ~1/sqrt(n_g)
+    as groups grow, so the ladder brackets the observed range at every sf): groups with emd_ppm > t + rows in them."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "event_type": df.event_type,
+                "day": df.ts.dt.floor("D"),
+                "vb": _cents(df.value.astype("float64")) // _Q195_VB_DIV,
+            }
+        )
+        out = g.groupby(["event_type", "day", "vb"], as_index=False).size()
+        return out.rename(columns={"size": "c"})
+
+    cells = partial_then_combine(
+        ds,
+        cell_partial,
+        "day",
+        lambda df: df.groupby(["event_type", "day", "vb"], as_index=False)["c"].sum(),
+    ).to_pandas()
+
+    dom = np.sort(cells.vb.unique())
+    m = int(dom.size)
+    glob = cells.groupby("vb")["c"].sum()
+    C = glob.reindex(dom).to_numpy(dtype="int64")
+    N = int(C.sum())
+
+    # dense (group x domain) grid: cumulative cross-multiplied diffs
+    piv = (
+        cells.pivot_table(
+            index=["event_type", "day"], columns="vb", values="c",
+            aggfunc="sum", fill_value=0,
+        )
+        .reindex(columns=dom, fill_value=0)
+    )
+    cnt = piv.to_numpy(dtype="int64")
+    ng = cnt.sum(axis=1)
+    cd = np.cumsum(cnt * N - C[None, :] * ng[:, None], axis=1)
+    tot = np.abs(cd).sum(axis=1)
+    if m > 1:
+        emd = np.array(
+            [
+                (1_000_000 * int(t)) // (int(g) * N * (m - 1))
+                for t, g in zip(tot, ng)
+            ],
+            dtype="int64",
+        )
+    else:
+        emd = np.zeros(len(ng), dtype="int64")
+
+    rows = [
+        (t, int((emd > t).sum()), int(ng[emd > t].sum()))
+        for t in _Q195_TS_PPM
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=["t_threshold_ppm", "violating_groups", "violating_rows"],
+    ).astype("int64")
+
+
+def _q195_sql() -> str:
+    ts = ", ".join(f"({t})" for t in _Q195_TS_PPM)
+    return f"""
+WITH g AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(round(value * 100) AS BIGINT) // {_Q195_VB_DIV} AS vb,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+), gl AS (
+  SELECT vb, CAST(SUM(c) AS HUGEINT) AS cg FROM g GROUP BY vb
+), tot AS (
+  SELECT CAST(SUM(cg) AS HUGEINT) AS nn, CAST(COUNT(*) AS HUGEINT) AS m
+  FROM gl
+), qi AS (
+  SELECT event_type, day, CAST(SUM(c) AS HUGEINT) AS ng
+  FROM g GROUP BY 1, 2
+), grid AS (
+  SELECT qi.event_type, qi.day, qi.ng, gl.vb, gl.cg,
+         CAST(COALESCE(g.c, 0) AS HUGEINT) AS cgj
+  FROM qi CROSS JOIN gl
+  LEFT JOIN g ON g.event_type = qi.event_type AND g.day = qi.day
+             AND g.vb = gl.vb
+), cum AS (
+  SELECT event_type, day, ng,
+         SUM(cgj * (SELECT nn FROM tot) - cg * ng)
+           OVER (PARTITION BY event_type, day ORDER BY vb
+                 ROWS UNBOUNDED PRECEDING) AS cd
+  FROM grid
+), emd AS (
+  SELECT event_type, day, MAX(ng) AS ng,
+         CASE WHEN (SELECT m FROM tot) > 1 THEN
+           (1000000 * SUM(abs(cd)))
+             // (MAX(ng) * (SELECT nn FROM tot) * ((SELECT m FROM tot) - 1))
+         ELSE 0 END AS emd_ppm
+  FROM cum GROUP BY event_type, day
+)
+SELECT CAST(t.t AS BIGINT) AS t_threshold_ppm,
+       CAST(SUM(CASE WHEN emd_ppm > t.t THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_groups,
+       CAST(SUM(CASE WHEN emd_ppm > t.t THEN ng ELSE 0 END) AS BIGINT)
+         AS violating_rows
+FROM emd, (VALUES {ts}) t(t)
+GROUP BY t.t ORDER BY t.t
+"""

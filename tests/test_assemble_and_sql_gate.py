@@ -145,6 +145,7 @@ GATED = [
     "q192_dedup_report",
     "q193_bpe_fertility",
     "q194_l_diversity_audit",
+    "q195_t_closeness_audit",
 ]
 
 
