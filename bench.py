@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "q193_bpe_fertility",
     "q194_l_diversity_audit",
     "q195_t_closeness_audit",
+    "q196_top_pc_power_iteration",
 ]
 
 

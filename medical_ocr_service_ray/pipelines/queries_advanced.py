@@ -1033,17 +1033,11 @@ FROM tot
 
 # -------------------------------------------------------------------- q162
 
-def q162_embedding_covariance(sf_dir: str):
-    """Exact integer covariance (Gram) matrix of the embedding column — the
-    sufficient-statistics pass PCA / whitening starts from, q145 lifted
-    from per-dimension to per-PAIR: each batch contributes its upper-
-    triangular V^T·V (one 64x64 int64 matmul, vectorized) plus per-dim
-    sums, the driver combines blocks x 2080 cells, ZERO exchanges. cov_num
-    = n*gram - s_i*s_j on the combined totals (int64 safe while
-    n * dim-scaled gram < 2^63, ~1e8 rows at scale 1024 — promote to the
-    SQL twin's HUGEINT beyond). Quantization = stages/kmeans.quantize, so
-    the oracle is bit-exact. Returns (dim_i, dim_j, n, gram, cov_num) for
-    i <= j."""
+def _embedding_gram_cells(sf_dir: str) -> pd.DataFrame:
+    """Shared sufficient-statistics pass for q162/q196: per-batch upper-
+    triangular V^T·V + per-dim sums (one 64x64 int64 matmul per block),
+    driver-combined to one row per (dim_i<=dim_j) with summed n / gram /
+    sxi / sxj. ZERO exchanges; driver state is blocks x 2080 cells."""
     from medical_ocr_service_ray.stages.ann import _stack_embeddings
     from medical_ocr_service_ray.stages.kmeans import quantize
 
@@ -1067,7 +1061,21 @@ def q162_embedding_covariance(sf_dir: str):
         )
 
     cells = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    g = cells.groupby(["dim_i", "dim_j"], as_index=False).sum()
+    return cells.groupby(["dim_i", "dim_j"], as_index=False).sum()
+
+
+def q162_embedding_covariance(sf_dir: str):
+    """Exact integer covariance (Gram) matrix of the embedding column — the
+    sufficient-statistics pass PCA / whitening starts from, q145 lifted
+    from per-dimension to per-PAIR: each batch contributes its upper-
+    triangular V^T·V (one 64x64 int64 matmul, vectorized) plus per-dim
+    sums, the driver combines blocks x 2080 cells, ZERO exchanges. cov_num
+    = n*gram - s_i*s_j on the combined totals (int64 safe while
+    n * dim-scaled gram < 2^63, ~1e8 rows at scale 1024 — promote to the
+    SQL twin's HUGEINT beyond). Quantization = stages/kmeans.quantize, so
+    the oracle is bit-exact. Returns (dim_i, dim_j, n, gram, cov_num) for
+    i <= j."""
+    g = _embedding_gram_cells(sf_dir)
     return pd.DataFrame(
         {
             "dim_i": g.dim_i.astype("int64"),
@@ -1952,3 +1960,116 @@ def _q193_sql() -> str:
 SELECT source, n_words, n_chars, n_tokens,
        CAST(n_chars * 1000000 // n_tokens AS BIGINT) AS fertility_ppm
 FROM enc ORDER BY source"""
+
+
+# -------------------------------------------------------------------- q196
+
+_Q196_ITERS = 8
+_Q196_VSCALE = 1024
+
+
+def q196_top_pc_power_iteration(sf_dir: str):
+    """Top principal component of the embedding corpus by INTEGER power
+    iteration over q162's exact covariance numerator — the whitening /
+    PCA-drift primitive on top of the sufficient-statistics pass: the
+    corpus is touched ONCE (the shared _embedding_gram_cells scan, zero
+    exchanges); the 64x64 eigen-iteration is driver-side Python-bigint
+    arithmetic (cov_num entries grow ~n^2 x scale^2 and the matvec adds
+    x64x1024 — past int64 from ~20k rows, so NO numpy in the iteration;
+    the SQL twin runs the same 8 rounds in HUGEINT). Deterministic: v0 =
+    all-ones, each round w = A·v then renormalize to |v|_inf = 1024 with
+    SIGN-SPLIT truncating division (identical on both engines regardless
+    of their native // semantics). Output: (dim, v_q, ev_share_ppm) —
+    the quantized eigenvector and the Rayleigh share of total variance
+    v'Av / (v'v * trace(A)) in ppm (A is exactly PSD: integer centered
+    Gram), the 'how much does one direction dominate' anisotropy number
+    a curriculum/whitening stage reads before deciding to decorrelate."""
+    g = _embedding_gram_cells(sf_dir)
+    cov = (g.n * g.gram - g.sxi * g.sxj).astype("int64")
+    d = int(g.dim_j.max())
+    A = [[0] * d for _ in range(d)]
+    for i, j, c in zip(g.dim_i, g.dim_j, cov):
+        A[i - 1][j - 1] = int(c)
+        A[j - 1][i - 1] = int(c)
+
+    v = [1] * d
+    for _ in range(_Q196_ITERS):
+        w = [sum(A[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(max(abs(x) for x in w), 1)
+        v = [
+            (abs(x) * _Q196_VSCALE // mx) * (1 if x >= 0 else -1) for x in w
+        ]
+
+    num = sum(A[i][j] * v[i] * v[j] for i in range(d) for j in range(d))
+    den = sum(x * x for x in v)
+    trace = sum(A[i][i] for i in range(d))
+    share = (num * 1_000_000) // (den * trace) if den and trace else 0
+    return pd.DataFrame(
+        {
+            "dim": pd.array(range(1, d + 1), "int64"),
+            "v_q": pd.array(v, "int64"),
+            "ev_share_ppm": pd.array([share] * d, "int64"),
+        }
+    )
+
+
+def _q196_sql() -> str:
+    """q162's cells CTE -> mirrored full matrix -> 8 unrolled HUGEINT
+    matvec+renormalize rounds (sign-split // so truncation matches the
+    Python bigint side exactly) -> Rayleigh share in ppm. Every CTE that
+    is referenced more than once (cov, a, each w_r / v_r) is marked
+    MATERIALIZED: DuckDB inlines CTEs by default, and because v_r reads
+    w_r twice the inlined plan re-expands the whole upstream chain
+    2^rounds times — 256 parquet scans that exhaust the process fd
+    table before they exhaust patience."""
+    S = _Q196_VSCALE
+    parts = [
+        f"""WITH q AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(floor(x * 1024 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+), cells AS (
+  SELECT i.i AS dim_i, j.j AS dim_j, q.v[i.i] AS xi, q.v[j.j] AS xj
+  FROM q,
+       UNNEST(generate_series(1, 64)) AS i(i),
+       UNNEST(generate_series(1, 64)) AS j(j)
+  WHERE j.j >= i.i
+), cov AS MATERIALIZED (
+  SELECT dim_i, dim_j,
+         CAST(COUNT(*) * SUM(xi * xj) - SUM(xi) * SUM(xj) AS HUGEINT) AS a
+  FROM cells GROUP BY dim_i, dim_j
+), a AS MATERIALIZED (
+  SELECT dim_i AS i, dim_j AS j, a FROM cov
+  UNION ALL
+  SELECT dim_j, dim_i, a FROM cov WHERE dim_i <> dim_j
+), v0 AS (
+  SELECT CAST(range AS BIGINT) AS i, CAST(1 AS HUGEINT) AS v
+  FROM range(1, 65)
+)"""
+    ]
+    for r in range(1, _Q196_ITERS + 1):
+        parts.append(
+            f""", w{r} AS MATERIALIZED (
+  SELECT a.i, SUM(a.a * p.v) AS w FROM a JOIN v{r-1} p ON p.i = a.j
+  GROUP BY a.i
+), m{r} AS (SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM w{r})
+, v{r} AS MATERIALIZED (
+  SELECT i, CASE WHEN w >= 0 THEN (w * {S}) // (SELECT m FROM m{r})
+           ELSE -(((-w) * {S}) // (SELECT m FROM m{r})) END AS v
+  FROM w{r}
+)"""
+        )
+    R = _Q196_ITERS
+    parts.append(
+        f""", ray AS (
+  SELECT SUM(a.a * vi.v * vj.v) AS num
+  FROM a JOIN v{R} vi ON vi.i = a.i JOIN v{R} vj ON vj.i = a.j
+), dn AS (SELECT SUM(v * v) AS den FROM v{R}),
+tr AS (SELECT SUM(a) AS trace FROM cov WHERE dim_i = dim_j)
+SELECT CAST(v{R}.i AS BIGINT) AS dim, CAST(v{R}.v AS BIGINT) AS v_q,
+       CAST(CASE WHEN dn.den > 0 AND tr.trace > 0 THEN
+              (ray.num * 1000000) // (dn.den * tr.trace) ELSE 0 END
+            AS BIGINT) AS ev_share_ppm
+FROM v{R}, ray, dn, tr ORDER BY dim"""
+    )
+    return "".join(parts)

@@ -146,6 +146,7 @@ GATED = [
     "q193_bpe_fertility",
     "q194_l_diversity_audit",
     "q195_t_closeness_audit",
+    "q196_top_pc_power_iteration",
 ]
 
 
