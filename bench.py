@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "q194_l_diversity_audit",
     "q195_t_closeness_audit",
     "q196_top_pc_power_iteration",
+    "q197_sequence_packing",
 ]
 
 

@@ -2073,3 +2073,106 @@ SELECT CAST(v{R}.i AS BIGINT) AS dim, CAST(v{R}.v AS BIGINT) AS v_q,
 FROM v{R}, ray, dn, tr ORDER BY dim"""
     )
     return "".join(parts)
+
+
+# -------------------------------------------------------------------- q197
+
+_Q197_BIN = 256
+
+
+def q197_sequence_packing(sf_dir: str):
+    """Next-fit sequence packing of the document stream into fixed
+    token-budget bins (B=256) per source — the pretraining batch-packing
+    op (concatenate docs into context windows in arrival order, T5/GPT-3
+    style): ONE vectorized corpus scan counts whitespace tokens
+    (pyarrow count of \\S+ runs — exactly q9's SQL split semantics),
+    then ONE source-keyed exchange folds each source's doc stream in
+    doc_id order with the O(1)-state next-fit rule (fill+t>B opens a
+    new bin). The per-stream fold is inherently sequential — that IS
+    the packing semantics, not a limitation: the parallelism unit is
+    the source/stream and per-group state is (fill, bins), so it
+    streams at any corpus size. Docs longer than B are truncated to B
+    for packing (t_eff=min(t,B), disclosed); empty docs are skipped.
+    Output per source: n_docs (packed), tokens_eff, bins, lb_bins
+    (ceil(tokens_eff/B), the bin-count lower bound), fill_ppm (mean
+    bin utilization). SQL twin: list_reduce over list(t ORDER BY
+    doc_id) with state encoded as (bins-1)*2^20 + fill."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        t = pc.count_substring_regex(batch["text"], r"\S+").cast(pa.int64())
+        return pa.table(
+            {"doc_id": batch["doc_id"], "source": batch["source"], "t": t}
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df.t > 0]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in df.groupby("source", sort=False):
+            tv = np.minimum(
+                g.sort_values("doc_id").t.to_numpy(), _Q197_BIN
+            )
+            fill = bins = 0
+            for t in tv:
+                t = int(t)
+                if bins == 0 or fill + t > _Q197_BIN:
+                    bins += 1
+                    fill = t
+                else:
+                    fill += t
+            tot = int(tv.sum())
+            rows.append(
+                (
+                    src,
+                    len(tv),
+                    tot,
+                    bins,
+                    (tot + _Q197_BIN - 1) // _Q197_BIN,
+                    tot * 1_000_000 // (bins * _Q197_BIN) if bins else 0,
+                )
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "source", "n_docs", "tokens_eff", "bins", "lb_bins", "fill_ppm",
+            ],
+        )
+        for c in out.columns[1:]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return partial_then_combine(
+        ds.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True),
+        partial,
+        "source",
+        combine,
+        num_buckets=16,
+    )
+
+
+_Q197_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         END AS t
+  FROM documents
+), eff AS (
+  SELECT doc_id, source, LEAST(t, {_Q197_BIN}) AS t FROM toks WHERE t > 0
+), packed AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS tokens_eff,
+         list_reduce(list(t ORDER BY doc_id),
+                     (acc, x) -> CASE WHEN acc % 1048576 + x > {_Q197_BIN}
+                                      THEN acc - (acc % 1048576) + 1048576 + x
+                                      ELSE acc + x END) AS st
+  FROM eff GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, tokens_eff,
+       CAST(st // 1048576 + 1 AS BIGINT) AS bins,
+       CAST((tokens_eff + {_Q197_BIN - 1}) // {_Q197_BIN} AS BIGINT) AS lb_bins,
+       CAST(tokens_eff * 1000000 // ((st // 1048576 + 1) * {_Q197_BIN}) AS BIGINT)
+         AS fill_ppm
+FROM packed ORDER BY source
+"""

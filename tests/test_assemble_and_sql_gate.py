@@ -147,6 +147,7 @@ GATED = [
     "q194_l_diversity_audit",
     "q195_t_closeness_audit",
     "q196_top_pc_power_iteration",
+    "q197_sequence_packing",
 ]
 
 
