@@ -2176,3 +2176,95 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs, tokens_eff,
          AS fill_ppm
 FROM packed ORDER BY source
 """
+
+
+# -------------------------------------------------------------------- q198
+
+_Q198_TOPK = 20
+
+
+def q198_embedding_outliers(sf_dir: str):
+    """Embedding outlier audit: top-20 vectors farthest from the corpus
+    centroid, exact to the integer — the pre-training sanity pass that
+    catches corrupt / out-of-distribution embeddings before they poison
+    ANN index training or semantic dedup. Two zero-exchange corpus
+    scans: pass 1 folds per-dim (n, sum) sufficient statistics (q145's
+    pattern, blocks x 64 driver cells); pass 2 broadcasts the 64-int
+    centroid numerator and scores each vector with the common-
+    denominator squared distance dist2_num = sum_d (n*x_d - s_d)^2
+    (true squared distance x n^2 — rank-equivalent, division-free,
+    bit-exact on both engines), keeping a per-block top-20 partial so
+    the driver merges blocks x 20 rows, never the corpus. int64 safe
+    while n^2 * (scale*|x|_max)^2 * dim < 2^63 (~5e5 rows at scale
+    1024) — promote to the SQL twin's HUGEINT beyond. Ties break by
+    vec_id ascending on both engines."""
+    from medical_ocr_service_ray.stages.ann import _stack_embeddings
+    from medical_ocr_service_ray.stages.kmeans import quantize
+
+    ds = _emb_dataset(sf_dir)
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        v = quantize(_stack_embeddings(batch))
+        return pa.table(
+            {
+                "d": pa.array(np.arange(1, v.shape[1] + 1), pa.int64()),
+                "n": pa.array(np.full(v.shape[1], v.shape[0]), pa.int64()),
+                "s": pa.array(v.sum(axis=0), pa.int64()),
+            }
+        )
+
+    cells = ds.map_batches(stat_partial, batch_format="pyarrow").to_pandas()
+    g = cells.groupby("d", as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+    g = g.sort_values("d")
+    n = int(g.n.iloc[0])
+    s = g.s.to_numpy().astype("int64")
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        v = quantize(_stack_embeddings(batch))
+        diff = n * v.astype("int64") - s
+        dist = (diff * diff).sum(axis=1)
+        ids = np.asarray(batch["vec_id"], dtype="int64")
+        keep = np.lexsort((ids, -dist))[:_Q198_TOPK]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "dist2_num": pa.array(dist[keep], pa.int64()),
+            }
+        )
+
+    top = ds.map_batches(score_partial, batch_format="pyarrow").to_pandas()
+    top = (
+        top.sort_values(["dist2_num", "vec_id"], ascending=[False, True])
+        .head(_Q198_TOPK)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(top) + 1), "int64"),
+            "vec_id": top.vec_id.astype("int64"),
+            "n": pd.array([n] * len(top), "int64"),
+            "dist2_num": top.dist2_num.astype("int64"),
+        }
+    )
+
+
+_Q198_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x * 1024 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+), stats AS MATERIALIZED (
+  SELECT t.i AS d, COUNT(*) AS n, CAST(SUM(v[t.i]) AS BIGINT) AS s
+  FROM q, UNNEST(generate_series(1, 64)) AS t(i)
+  GROUP BY t.i
+), dist AS (
+  SELECT q.vec_id,
+         CAST(SUM((stats.n * q.v[stats.d] - stats.s)
+                * (stats.n * q.v[stats.d] - stats.s)) AS BIGINT) AS dist2_num,
+         CAST(MAX(stats.n) AS BIGINT) AS n
+  FROM q, stats GROUP BY q.vec_id
+)
+SELECT CAST(row_number() OVER (ORDER BY dist2_num DESC, vec_id) AS BIGINT) AS rank,
+       vec_id, n, dist2_num
+FROM dist ORDER BY dist2_num DESC, vec_id LIMIT {_Q198_TOPK}
+"""

@@ -148,6 +148,7 @@ GATED = [
     "q195_t_closeness_audit",
     "q196_top_pc_power_iteration",
     "q197_sequence_packing",
+    "q198_embedding_outliers",
 ]
 
 
