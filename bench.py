@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "q196_top_pc_power_iteration",
     "q197_sequence_packing",
     "q198_embedding_outliers",
+    "q199_pad_waste_audit",
+    "q200_label_separability",
 ]
 
 

@@ -2268,3 +2268,223 @@ SELECT CAST(row_number() OVER (ORDER BY dist2_num DESC, vec_id) AS BIGINT) AS ra
        vec_id, n, dist2_num
 FROM dist ORDER BY dist2_num DESC, vec_id LIMIT {_Q198_TOPK}
 """
+
+
+# -------------------------------------------------------------------- q199
+
+_Q199_BATCH = 8
+
+
+def q199_pad_waste_audit(sf_dir: str):
+    """Padding-waste audit for length-grouped batching — q197's sibling
+    for the pad-don't-pack serving/finetune path: batch each source's
+    docs in groups of 8 and charge every doc the pad tokens up to its
+    batch max, once in arrival (doc_id) order and once length-sorted
+    (the dynamic-batching upper bound). The gap between the two is the
+    token waste a length-bucketing sampler would reclaim. ONE vectorized
+    token-count scan (q9 split semantics) + ONE source-keyed exchange;
+    the per-group kernel is numpy reduceat over both orderings (no
+    Python per-doc loop). Last partial batch pads to its own max. Output
+    per source: n_docs, tokens, waste_arrival, waste_sorted, saving_ppm
+    = (waste_arrival-waste_sorted)*1e6 // waste_arrival."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        t = pc.count_substring_regex(batch["text"], r"\S+").cast(pa.int64())
+        return pa.table(
+            {"doc_id": batch["doc_id"], "source": batch["source"], "t": t}
+        )
+
+    def _waste(tv: np.ndarray) -> int:
+        starts = np.arange(0, len(tv), _Q199_BATCH)
+        mx = np.maximum.reduceat(tv, starts)
+        sizes = np.diff(np.append(starts, len(tv)))
+        return int((mx * sizes).sum() - tv.sum())
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in df.groupby("source", sort=False):
+            g = g.sort_values("doc_id")
+            tv = g.t.to_numpy()
+            wa = _waste(tv)
+            ws = _waste(np.sort(tv, kind="stable"))
+            rows.append(
+                (
+                    src,
+                    len(tv),
+                    int(tv.sum()),
+                    wa,
+                    ws,
+                    (wa - ws) * 1_000_000 // wa if wa else 0,
+                )
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "source", "n_docs", "tokens",
+                "waste_arrival", "waste_sorted", "saving_ppm",
+            ],
+        )
+        for c in out.columns[1:]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return partial_then_combine(
+        ds.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True),
+        lambda df: df,
+        "source",
+        combine,
+        num_buckets=16,
+    )
+
+
+_Q199_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         END AS t
+  FROM documents
+), arr AS (
+  SELECT source, t,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+           // {_Q199_BATCH} AS b
+  FROM toks
+), wa AS (
+  SELECT source, CAST(SUM(mx - t) AS BIGINT) AS waste
+  FROM (SELECT source, t, MAX(t) OVER (PARTITION BY source, b) AS mx FROM arr)
+  GROUP BY source
+), srt AS (
+  SELECT source, t,
+         (row_number() OVER (PARTITION BY source ORDER BY t, doc_id) - 1)
+           // {_Q199_BATCH} AS b
+  FROM toks
+), ws AS (
+  SELECT source, CAST(SUM(mx - t) AS BIGINT) AS waste
+  FROM (SELECT source, t, MAX(t) OVER (PARTITION BY source, b) AS mx FROM srt)
+  GROUP BY source
+), base AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS tokens
+  FROM toks GROUP BY source
+)
+SELECT base.source, CAST(n_docs AS BIGINT) AS n_docs, tokens,
+       wa.waste AS waste_arrival, ws.waste AS waste_sorted,
+       CAST(CASE WHEN wa.waste > 0
+                 THEN (wa.waste - ws.waste) * 1000000 // wa.waste
+                 ELSE 0 END AS BIGINT) AS saving_ppm
+FROM base JOIN wa ON wa.source = base.source JOIN ws ON ws.source = base.source
+ORDER BY base.source
+"""
+
+
+# -------------------------------------------------------------------- q200
+
+def q200_label_separability(sf_dir: str):
+    """Per-label centroid separability audit (Fisher / LDA-style between-
+    vs-within scatter) over the embedding corpus — the label-quality
+    gate a classifier-training pipeline reads before trusting its
+    labels: a label whose centroid sits inside the within-class cloud
+    (low fisher_ppm) is noise, not signal. ONE zero-exchange corpus
+    scan emits per-(label, dim) sufficient statistics (n, sum, sumsq;
+    labels x 64 cells per block, labels bounded); the driver combines
+    cells and finishes in Python bigints: within_num_l = n_l*ss_l -
+    |s_l|^2 (= n_l^2 x mean within-class squared deviation), between
+    = ||N*s_l - n_l*S||^2 with the global (N, S) common denominator —
+    the cross term exceeds int64 in the worst case, so the driver uses
+    Python ints and the SQL twin HUGEINT; the exported between_q =
+    between // N^2 and fisher_ppm = between * 1e6 // (N^2 * within_num)
+    are back in int64. Quantization = stages/kmeans.quantize, bit-exact
+    vs the oracle."""
+    from medical_ocr_service_ray.stages.ann import _stack_embeddings
+    from medical_ocr_service_ray.stages.kmeans import quantize
+
+    ds = _emb_dataset(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = quantize(_stack_embeddings(batch))
+        lab = np.asarray(batch["label"], dtype="int64")
+        labels, ds_, ns, ss_, ssd = [], [], [], [], []
+        for L in np.unique(lab):
+            vm = v[lab == L]
+            labels.append(np.full(v.shape[1], L))
+            ds_.append(np.arange(1, v.shape[1] + 1))
+            ns.append(np.full(v.shape[1], vm.shape[0]))
+            ss_.append(vm.sum(axis=0))
+            ssd.append((vm * vm).sum(axis=0))
+        return pa.table(
+            {
+                "label": pa.array(np.concatenate(labels), pa.int64()),
+                "d": pa.array(np.concatenate(ds_), pa.int64()),
+                "n": pa.array(np.concatenate(ns), pa.int64()),
+                "s": pa.array(np.concatenate(ss_), pa.int64()),
+                "ssd": pa.array(np.concatenate(ssd), pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["label", "d"], as_index=False)
+        .sum()
+    )
+    labs = sorted(cells.label.unique())
+    gs = cells.groupby("d").s.sum()  # global per-dim sums
+    S = [int(x) for x in gs.sort_index()]
+    nt = int(cells.groupby("d").n.sum().iloc[0])
+    rows = []
+    for L in labs:
+        g = cells[cells.label == L].sort_values("d")
+        n_l = int(g.n.iloc[0])
+        s_l = [int(x) for x in g.s]
+        ss_l = int(g.ssd.sum())
+        s2 = sum(x * x for x in s_l)
+        within = n_l * ss_l - s2
+        between = sum((nt * a - n_l * b) ** 2 for a, b in zip(s_l, S))
+        rows.append(
+            (
+                int(L),
+                n_l,
+                within,
+                between // (nt * nt),
+                between * 1_000_000 // (nt * nt * within) if within > 0 else 0,
+            )
+        )
+    out = pd.DataFrame(
+        rows, columns=["label", "n", "within_num", "between_q", "fisher_ppm"]
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_Q200_SQL = """
+WITH q AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(floor(x * 1024 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+), cells AS MATERIALIZED (
+  SELECT label, t.i AS d, COUNT(*) AS n, CAST(SUM(v[t.i]) AS BIGINT) AS s,
+         CAST(SUM(v[t.i] * v[t.i]) AS BIGINT) AS ssd
+  FROM q, UNNEST(generate_series(1, 64)) AS t(i)
+  GROUP BY label, t.i
+), lab AS MATERIALIZED (
+  SELECT label, MAX(n) AS n, SUM(ssd) AS ss, SUM(s * s) AS s2
+  FROM cells GROUP BY label
+), tot AS MATERIALIZED (SELECT CAST(SUM(n) AS HUGEINT) AS nt FROM lab),
+gs AS MATERIALIZED (SELECT d, CAST(SUM(s) AS HUGEINT) AS sd FROM cells GROUP BY d),
+betw AS (
+  SELECT cells.label,
+         SUM((tot.nt * cells.s - CAST(lab.n AS HUGEINT) * gs.sd)
+           * (tot.nt * cells.s - CAST(lab.n AS HUGEINT) * gs.sd)) AS bn
+  FROM cells JOIN gs ON gs.d = cells.d JOIN lab ON lab.label = cells.label, tot
+  GROUP BY cells.label
+)
+SELECT CAST(lab.label AS BIGINT) AS label, CAST(lab.n AS BIGINT) AS n,
+       CAST(lab.n * lab.ss - lab.s2 AS BIGINT) AS within_num,
+       CAST(bn // (tot.nt * tot.nt) AS BIGINT) AS between_q,
+       CAST(CASE WHEN lab.n * lab.ss - lab.s2 > 0
+                 THEN bn * 1000000
+                      // (tot.nt * tot.nt * CAST(lab.n * lab.ss - lab.s2 AS HUGEINT))
+                 ELSE 0 END AS BIGINT) AS fisher_ppm
+FROM lab JOIN betw ON betw.label = lab.label, tot ORDER BY label
+"""

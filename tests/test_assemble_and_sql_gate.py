@@ -149,6 +149,8 @@ GATED = [
     "q196_top_pc_power_iteration",
     "q197_sequence_packing",
     "q198_embedding_outliers",
+    "q199_pad_waste_audit",
+    "q200_label_separability",
 ]
 
 
