@@ -182,6 +182,12 @@ BENCH_QUERIES = [
     "q198_embedding_outliers",
     "q199_pad_waste_audit",
     "q200_label_separability",
+    "q201_prefix_cache_savings",
+    "q202_sft_pairs",
+    "q203_loss_mask_mass",
+    "q204_context_overflow",
+    "q205_assistant_latency",
+    "q206_turn_time_attribution",
 ]
 
 
