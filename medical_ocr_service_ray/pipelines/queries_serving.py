@@ -97,6 +97,36 @@ def _token_scan(batch: pa.Table) -> pa.Table:
     return pa.table({**{c: batch[c] for c in keep}, "t": t})
 
 
+# q201/q202/q204 share the IDENTICAL tokenize prefix over the transcript
+# corpus (the text scan is ~6x the cost of everything downstream). One
+# materialized (conv_id, turn_idx, role, t) Dataset per (corpus, Ray
+# session) — the _EMB_CACHE/_EXTRACT_CACHE reuse policy: the cached table
+# is 4 narrow columns per turn living in the (distributed, spillable)
+# object store, never on the driver; standalone single-query paths still
+# stream. Keyed by the CORPUS dir (not sf_dir) so planted-fixture corpora
+# never collide with the synth cache.
+_TOKS_CACHE: dict = {}
+
+
+def _toks_ds(sf_dir: str) -> "rd.Dataset":
+    import ray
+
+    from medical_ocr_service_ray.synth import ensure_transcripts_for_sf
+
+    corpus = str(ensure_transcripts_for_sf(sf_dir))
+    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
+    key = (corpus, job)
+    ds = _TOKS_CACHE.get(key)
+    if ds is None:
+        ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "role", "text"]).map_batches(
+            _token_scan, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        _TOKS_CACHE[key] = ds
+    else:
+        _turns_view_dir(sf_dir)  # oracle view side effect on cache hits too
+    return ds
+
+
 # SQL fragment shared by every twin that tokenizes: one definition so the
 # split semantics cannot drift between queries. Counts `\S+` runs directly
 # (regexp_extract_all) — the exact mirror of the Ray side's
@@ -125,7 +155,7 @@ def q201_prefix_cache_savings(sf_dir: str):
     conversation length (bounded by the distinct-length count), driver
     merges buckets x lengths rows. Output per n_turns: n_convs,
     prefill_nocache, prefill_cached, saving_ppm."""
-    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "role", "text"])
+    toks = _toks_ds(sf_dir)
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
@@ -152,12 +182,7 @@ def q201_prefix_cache_savings(sf_dir: str):
             prefill_cached=("cached", "sum"),
         )
 
-    parts = bucketed_combine(
-        ds.map_batches(_token_scan, batch_format="pyarrow", zero_copy_batch=True),
-        "conv_id",
-        combine,
-        num_buckets=16,
-    ).to_pandas()
+    parts = bucketed_combine(toks, "conv_id", combine, num_buckets=16).to_pandas()
     out = parts.groupby("n_turns", as_index=False).agg(
         n_convs=("n_convs", "sum"),
         prefill_nocache=("prefill_nocache", "sum"),
@@ -218,7 +243,7 @@ def q202_sft_pairs(sf_dir: str):
     (<= 64 rows each). Exact-integer bucketing on both engines:
     numpy frexp exponent here (exact for ints < 2^53), length(bin(x)) in
     the twin."""
-    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "role", "text"])
+    toks = _toks_ds(sf_dir)
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
@@ -235,12 +260,7 @@ def q202_sft_pairs(sf_dir: str):
             .agg(n_pairs=("pt", "size"), prompt_tokens=("pt", "sum"), completion_tokens=("ct", "sum"))
         )
 
-    parts = bucketed_combine(
-        ds.map_batches(_token_scan, batch_format="pyarrow", zero_copy_batch=True),
-        "conv_id",
-        combine,
-        num_buckets=16,
-    ).to_pandas()
+    parts = bucketed_combine(toks, "conv_id", combine, num_buckets=16).to_pandas()
     out = parts.groupby("len_bucket", as_index=False).agg(
         n_pairs=("n_pairs", "sum"),
         prompt_tokens=("prompt_tokens", "sum"),
@@ -288,13 +308,13 @@ def q203_loss_mask_mass(sf_dir: str):
     attention context but loss-masked)? The first number an SFT run
     budgets with — epochs are priced on trainable tokens, not corpus
     tokens. ZERO exchanges: per-batch (role -> n_turns, tokens) partials
-    (<= 3 rows each), driver merge; shares in exact integer ppm."""
-    ds = _turns_ds(sf_dir, ["role", "text"])
+    (<= 3 rows each) over the shared token table, driver merge; shares in
+    exact integer ppm."""
+    ds = _toks_ds(sf_dir)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        t = df.text.str.count(r"\S+").astype("int64")
         return (
-            pd.DataFrame({"role": df.role, "t": t})
+            pd.DataFrame({"role": df.role, "t": df.t})
             .groupby("role", as_index=False)
             .agg(n_turns=("t", "size"), tokens=("t", "sum"))
         )
@@ -346,7 +366,7 @@ def q204_context_overflow(sf_dir: str):
     the serving context length / decides what long-context finetuning
     would rescue. Reuses q201's plan: ONE token scan + ONE conv-keyed
     exchange; per-bucket partials are one row per window size."""
-    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "role", "text"])
+    toks = _toks_ds(sf_dir)
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
@@ -370,12 +390,7 @@ def q204_context_overflow(sf_dir: str):
             columns=["window_tokens", "n_turns_over", "n_convs_over", "tokens_over", "n_turns"],
         )
 
-    parts = bucketed_combine(
-        ds.map_batches(_token_scan, batch_format="pyarrow", zero_copy_batch=True),
-        "conv_id",
-        combine,
-        num_buckets=16,
-    ).to_pandas()
+    parts = bucketed_combine(toks, "conv_id", combine, num_buckets=16).to_pandas()
     out = parts.groupby("window_tokens", as_index=False).agg(
         n_turns_over=("n_turns_over", "sum"),
         n_convs_over=("n_convs_over", "sum"),
@@ -412,41 +427,51 @@ FROM w ORDER BY w.w
 """
 
 
-# -------------------------------------------------------------------- q205
+# q205/q206 share the per-(role, latency) value-count distribution: one
+# (conv_id, turn_idx, role, ts) scan + ONE conv-keyed exchange for the lag
+# adjacency, per-bucket (role, lat)->count partials, driver merge. The
+# merged table is bounded by roles x DISTINCT latency values (timestamp
+# deltas cluster on scheduler/clock granularity — q205's disclosure), so
+# caching it per (corpus, Ray session) is dashboard-sized state, and both
+# queries finish driver-side from it (q205: assistant percentiles; q206:
+# per-role wall sums in Python bigints).
+_LAG_CACHE: dict = {}
 
-def q205_assistant_latency(sf_dir: str):
-    """Assistant response-latency SLA: the time from the preceding turn's
-    timestamp to each assistant turn's timestamp, with EXACT nearest-rank
-    percentiles (p50/p90/p99 = smallest latency whose cumulative count
-    reaches ceil(q*n/100)) — computed from a value-count distribution, not
-    a sort: ONE conv-keyed exchange for the adjacency (vectorized lag),
-    per-bucket (latency -> count) partials, driver merges counts. Partial
-    size is bounded by the number of DISTINCT latency values (timestamp
-    deltas cluster on scheduler/clock granularity; here <=120 values —
-    disclosed: a corpus with fully continuous microsecond deltas would
-    need a quantile sketch instead, which q40 provides)."""
+
+def _lag_counts(sf_dir: str) -> pd.DataFrame:
+    import ray
+
+    from medical_ocr_service_ray.synth import ensure_transcripts_for_sf
+
+    corpus = str(ensure_transcripts_for_sf(sf_dir))
+    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
+    key = (corpus, job)
+    hit = _LAG_CACHE.get(key)
+    if hit is not None:
+        _turns_view_dir(sf_dir)  # oracle view side effect on cache hits too
+        return hit
     ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "role", "ts"])
 
     def project(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64())
         return pa.table(
             {
                 "conv_id": batch["conv_id"],
                 "turn_idx": batch["turn_idx"],
                 "role": batch["role"],
-                "us": us,
+                "us": batch["ts"].cast(pa.int64()),
             }
         )
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        lat = df.us - df.us.shift(1)
-        ok = df.conv_id.eq(df.conv_id.shift(1)) & df.role.eq("assistant")
-        v = lat[ok].astype("int64")
-        if not len(v):
-            return pd.DataFrame({"lat_us": pd.Series(dtype="int64"), "c": pd.Series(dtype="int64")})
-        vc = v.value_counts()
-        return pd.DataFrame({"lat_us": vc.index.to_numpy(), "c": vc.to_numpy()})
+        lat = (df.us - df.us.shift(1)).where(df.conv_id.eq(df.conv_id.shift(1)))
+        m = lat.notna()
+        return (
+            pd.DataFrame({"role": df.role[m], "lat_us": lat[m].astype("int64")})
+            .groupby(["role", "lat_us"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
 
     parts = bucketed_combine(
         ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True),
@@ -454,7 +479,31 @@ def q205_assistant_latency(sf_dir: str):
         combine,
         num_buckets=16,
     ).to_pandas()
-    d = parts.groupby("lat_us", as_index=False).agg(c=("c", "sum")).sort_values("lat_us")
+    out = parts.groupby(["role", "lat_us"], as_index=False).agg(c=("c", "sum"))
+    _LAG_CACHE[key] = out
+    return out
+
+
+# -------------------------------------------------------------------- q205
+
+def q205_assistant_latency(sf_dir: str):
+    """Assistant response-latency SLA: the time from the preceding turn's
+    timestamp to each assistant turn's timestamp, with EXACT nearest-rank
+    percentiles (p50/p90/p99 = smallest latency whose cumulative count
+    reaches ceil(q*n/100)) — computed from a value-count distribution, not
+    a sort: the shared _lag_counts table (ONE conv-keyed exchange for the
+    adjacency, vectorized lag; exchange shared with q206). Partial
+    size is bounded by the number of DISTINCT latency values (timestamp
+    deltas cluster on scheduler/clock granularity; here <=120 values —
+    disclosed: a corpus with fully continuous microsecond deltas would
+    need a quantile sketch instead, which q40 provides)."""
+    lc = _lag_counts(sf_dir)
+    d = (
+        lc[lc.role.eq("assistant")]
+        .groupby("lat_us", as_index=False)
+        .agg(c=("c", "sum"))
+        .sort_values("lat_us")
+    )
     lat = d.lat_us.to_numpy()
     cum = d.c.to_numpy().cumsum()
     n = int(cum[-1]) if len(cum) else 0
@@ -505,46 +554,23 @@ def q206_turn_time_attribution(sf_dir: str):
     """Per-role wall-time attribution: the gap (ts_k - ts_{k-1}) is the time
     spent PRODUCING turn k — charge it to turn k's role and report each
     role's share of total conversation wall time (which role is the
-    latency budget: the model, the human, or the tools?). ONE conv-keyed
-    exchange (lag adjacency), per-bucket per-role sums (<= 3 rows each),
-    driver merge with exact integer ppm shares."""
-    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "role", "ts"])
-
-    def project(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "conv_id": batch["conv_id"],
-                "turn_idx": batch["turn_idx"],
-                "role": batch["role"],
-                "us": batch["ts"].cast(pa.int64()),
-            }
-        )
-
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        lat = (df.us - df.us.shift(1)).where(df.conv_id.eq(df.conv_id.shift(1)))
-        m = lat.notna()
-        return (
-            pd.DataFrame({"role": df.role[m], "w": lat[m].astype("int64")})
-            .groupby("role", as_index=False)
-            .agg(n_turns_timed=("w", "size"), wall_us=("w", "sum"))
-        )
-
-    parts = bucketed_combine(
-        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True),
-        "conv_id",
-        combine,
-        num_buckets=16,
-    ).to_pandas()
-    out = parts.groupby("role", as_index=False).agg(
-        n_turns_timed=("n_turns_timed", "sum"), wall_us=("wall_us", "sum")
+    latency budget: the model, the human, or the tools?). Finishes
+    driver-side from the shared per-(role, latency) value-count table
+    (_lag_counts — one conv-keyed exchange, shared with q205); wall sums
+    run in Python bigints (per-role wall_us passes 1e13 µs at sf0.1, so
+    lat x count x 1e6 cross products exceed int64; the SQL twin's SUM is
+    HUGEINT) and the exported columns land back in int64."""
+    lc = _lag_counts(sf_dir)
+    rows = []
+    for role, g in lc.groupby("role"):
+        n = int(g.c.sum())
+        wall = sum(int(l) * int(c) for l, c in zip(g.lat_us, g.c))
+        rows.append((role, n, wall))
+    total = sum(w for _, _, w in rows) or 1
+    out = pd.DataFrame(
+        [(r, n, w, w * 1_000_000 // total) for r, n, w in sorted(rows)],
+        columns=["role", "n_turns_timed", "wall_us", "wall_share_ppm"],
     )
-    # Python-bigint ppm: per-role wall_us passes 1e13 µs at sf0.1, so the
-    # x1e6 cross product overflows int64 (the SQL twin's SUM is HUGEINT);
-    # the exported share is < 1e6 and lands back in int64.
-    total = int(out.wall_us.sum())
-    out["wall_share_ppm"] = [int(w) * 1_000_000 // max(total, 1) for w in out.wall_us]
-    out = out.sort_values("role").reset_index(drop=True)
     for c in out.columns[1:]:
         out[c] = out[c].astype("int64")
     return out
