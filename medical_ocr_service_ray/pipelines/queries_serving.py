@@ -427,14 +427,15 @@ FROM w ORDER BY w.w
 """
 
 
-# q205/q206 share the per-(role, latency) value-count distribution: one
-# (conv_id, turn_idx, role, ts) scan + ONE conv-keyed exchange for the lag
-# adjacency, per-bucket (role, lat)->count partials, driver merge. The
-# merged table is bounded by roles x DISTINCT latency values (timestamp
+# q205/q206/q207 share the per-(role, tool, latency) value-count
+# distribution: one (conv_id, turn_idx, role, tool, ts) scan + ONE
+# conv-keyed exchange for the lag adjacency, per-bucket
+# (role, tool, lat)->count partials, driver merge. The merged table is
+# bounded by (roles x tool names) x DISTINCT latency values (timestamp
 # deltas cluster on scheduler/clock granularity — q205's disclosure), so
-# caching it per (corpus, Ray session) is dashboard-sized state, and both
-# queries finish driver-side from it (q205: assistant percentiles; q206:
-# per-role wall sums in Python bigints).
+# caching it per (corpus, Ray session) is dashboard-sized state, and all
+# three queries finish driver-side from it (q205: assistant percentiles;
+# q206: per-role wall sums; q207: per-tool wall sums — Python bigints).
 _LAG_CACHE: dict = {}
 
 
@@ -450,7 +451,7 @@ def _lag_counts(sf_dir: str) -> pd.DataFrame:
     if hit is not None:
         _turns_view_dir(sf_dir)  # oracle view side effect on cache hits too
         return hit
-    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "role", "ts"])
+    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "role", "tool", "ts"])
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -458,6 +459,7 @@ def _lag_counts(sf_dir: str) -> pd.DataFrame:
                 "conv_id": batch["conv_id"],
                 "turn_idx": batch["turn_idx"],
                 "role": batch["role"],
+                "tool": batch["tool"],
                 "us": batch["ts"].cast(pa.int64()),
             }
         )
@@ -467,8 +469,10 @@ def _lag_counts(sf_dir: str) -> pd.DataFrame:
         lat = (df.us - df.us.shift(1)).where(df.conv_id.eq(df.conv_id.shift(1)))
         m = lat.notna()
         return (
-            pd.DataFrame({"role": df.role[m], "lat_us": lat[m].astype("int64")})
-            .groupby(["role", "lat_us"], as_index=False)
+            pd.DataFrame(
+                {"role": df.role[m], "tool": df.tool[m], "lat_us": lat[m].astype("int64")}
+            )
+            .groupby(["role", "tool", "lat_us"], as_index=False)
             .size()
             .rename(columns={"size": "c"})
         )
@@ -479,7 +483,7 @@ def _lag_counts(sf_dir: str) -> pd.DataFrame:
         combine,
         num_buckets=16,
     ).to_pandas()
-    out = parts.groupby(["role", "lat_us"], as_index=False).agg(c=("c", "sum"))
+    out = parts.groupby(["role", "tool", "lat_us"], as_index=False).agg(c=("c", "sum"))
     _LAG_CACHE[key] = out
     return out
 
@@ -594,4 +598,172 @@ SELECT role, CAST(n_turns_timed AS BIGINT) AS n_turns_timed,
        CAST(wall_us * 1000000 // GREATEST((SELECT SUM(wall_us) FROM g), 1) AS BIGINT)
          AS wall_share_ppm
 FROM g ORDER BY role
+"""
+
+# -------------------------------------------------------------------- q207
+
+def q207_tool_wall_time(sf_dir: str):
+    """Per-TOOL wall-time attribution — q206 sliced one level deeper: the
+    gap (ts_k - ts_{k-1}) before each tool turn is that tool invocation's
+    production time; report each tool's call count, total/mean wall and
+    share of the tool-role budget (which tool to cache, parallelize or cut
+    from the agent loop). Finishes driver-side from the shared
+    _lag_counts table (the ONE conv-keyed exchange shared with q205/q206);
+    wall sums in Python bigints, exports back in int64."""
+    lc = _lag_counts(sf_dir)
+    lc = lc[lc.role.eq("tool")]
+    rows = []
+    for tool, g in lc.groupby("tool"):
+        n = int(g.c.sum())
+        wall = sum(int(l) * int(c) for l, c in zip(g.lat_us, g.c))
+        rows.append((tool, n, wall))
+    total = sum(w for _, _, w in rows) or 1
+    out = pd.DataFrame(
+        [
+            (t, n, w, w // max(n, 1), w * 1_000_000 // total)
+            for t, n, w in sorted(rows)
+        ],
+        columns=["tool", "n_calls", "wall_us", "mean_us", "wall_share_ppm"],
+    )
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_Q207_SQL = f"""
+WITH v AS (
+  SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS us
+  FROM read_parquet('{_TURNS_VIEW}/*.parquet')
+),
+s AS (
+  SELECT role, tool,
+         us - lag(us) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS lat
+  FROM v
+),
+g AS (
+  SELECT tool, COUNT(*) AS n_calls, SUM(lat) AS wall_us
+  FROM s WHERE role = 'tool' AND lat IS NOT NULL GROUP BY tool
+)
+SELECT tool, CAST(n_calls AS BIGINT) AS n_calls,
+       CAST(wall_us AS BIGINT) AS wall_us,
+       CAST(wall_us // GREATEST(n_calls, 1) AS BIGINT) AS mean_us,
+       CAST(wall_us * 1000000 // GREATEST((SELECT SUM(wall_us) FROM g), 1) AS BIGINT)
+         AS wall_share_ppm
+FROM g ORDER BY tool
+"""
+
+
+# -------------------------------------------------------------------- q208
+
+def q208_depth_token_profile(sf_dir: str):
+    """Turn-depth token profile: mean tokens per (role, power-of-2
+    turn-position bucket) — do turns get longer or shorter as the
+    conversation deepens, and for which role? The curve that sizes
+    per-depth context budgets and validates truncation policy. ZERO
+    exchanges over the shared token table: bucket = bit_length(turn_idx+1)-1
+    is in-row, so per-batch (role, bucket) partials (<= 3 x ~12 rows)
+    merge on the driver; mean is exact floor division."""
+    ds = _toks_ds(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.frexp((df.turn_idx.to_numpy().astype("int64") + 1).astype("float64"))[1] - 1
+        return (
+            pd.DataFrame({"role": df.role, "idx_bucket": b, "t": df.t})
+            .groupby(["role", "idx_bucket"], as_index=False)
+            .agg(n_turns=("t", "size"), tokens=("t", "sum"))
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["role", "idx_bucket"], as_index=False).agg(
+            n_turns=("n_turns", "sum"), tokens=("tokens", "sum")
+        )
+        out["mean_tokens"] = out.tokens.to_numpy() // np.maximum(out.n_turns.to_numpy(), 1)
+        out = out.sort_values(["role", "idx_bucket"]).reset_index(drop=True)
+        for c in out.columns[1:]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return driver_combine(ds, partial, merge)
+
+
+_Q208_SQL = f"""
+WITH toks AS ({_SQL_TOKS}),
+b AS (
+  SELECT role, length(bin(CAST(turn_idx AS BIGINT) + 1)) - 1 AS idx_bucket, t
+  FROM toks
+)
+SELECT role, CAST(idx_bucket AS BIGINT) AS idx_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(t) AS BIGINT) AS tokens,
+       CAST(SUM(t) // COUNT(*) AS BIGINT) AS mean_tokens
+FROM b GROUP BY role, idx_bucket ORDER BY role, idx_bucket
+"""
+
+
+# -------------------------------------------------------------------- q209
+
+def q209_conversation_dedup(sf_dir: str):
+    """Conversation-level EXACT dedup census: two conversations are
+    duplicates iff their ordered turn texts are identical. Fingerprint =
+    md5 of the chr(31)-joined PER-TURN md5 hexes in turn_idx order — the
+    per-turn hashing happens in the corpus scan, so the conv-keyed
+    exchange ships 32-char digests instead of raw text (the corpus's
+    bytes never shuffle; at 100 TB that is the difference between an
+    all-to-all of the corpus and one of ~1%% of it). Second tiny exchange
+    keyed by fingerprint co-locates equal-content conversations (which a
+    conv_id-keyed bucket cannot — dup convs have different conv_ids),
+    emitting per-bucket frequency-of-frequencies partials; the driver
+    merges group-size rows, never the fingerprint table. Output: one row
+    per duplicate-group size (group_size, n_groups, n_convs)."""
+    import hashlib
+
+    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "text"])
+
+    def turn_hash(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"conv_id": batch["conv_id"], "turn_idx": batch["turn_idx"], "h": pa.array(h)}
+        )
+
+    def conv_fp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        fp = (
+            df.groupby("conv_id", sort=False)["h"]
+            .agg("\x1f".join)
+            .map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        )
+        return pd.DataFrame({"fp": fp.to_numpy()})
+
+    def fof(df: pd.DataFrame) -> pd.DataFrame:
+        sz = df.fp.value_counts()
+        fo = sz.value_counts()
+        return pd.DataFrame(
+            {"group_size": fo.index.to_numpy().astype("int64"), "n_groups": fo.to_numpy()}
+        )
+
+    fps = bucketed_combine(
+        ds.map_batches(turn_hash, batch_format="pyarrow", zero_copy_batch=True),
+        "conv_id",
+        conv_fp,
+        num_buckets=16,
+    )
+    parts = bucketed_combine(fps, "fp", fof, num_buckets=16).to_pandas()
+    out = parts.groupby("group_size", as_index=False).agg(n_groups=("n_groups", "sum"))
+    out["n_convs"] = out.group_size * out.n_groups
+    out = out.sort_values("group_size").reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_Q209_SQL = f"""
+WITH per AS (
+  SELECT conv_id, md5(string_agg(md5(text), chr(31) ORDER BY turn_idx)) AS fp
+  FROM read_parquet('{_TURNS_VIEW}/*.parquet') GROUP BY conv_id
+),
+g AS (SELECT fp, COUNT(*) AS sz FROM per GROUP BY fp)
+SELECT CAST(sz AS BIGINT) AS group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(sz * COUNT(*) AS BIGINT) AS n_convs
+FROM g GROUP BY sz ORDER BY sz
 """

@@ -157,6 +157,9 @@ GATED = [
     "q204_context_overflow",
     "q205_assistant_latency",
     "q206_turn_time_attribution",
+    "q207_tool_wall_time",
+    "q208_depth_token_profile",
+    "q209_conversation_dedup",
 ]
 
 

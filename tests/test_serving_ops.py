@@ -1,4 +1,4 @@
-"""Planted-fixture tests for the serving/SFT transcript family (q201-q206).
+"""Planted-fixture tests for the serving/SFT transcript family (q201-q209).
 
 A four-conversation hand-written turns table with every edge the kernels must
 get right — a conversation with NO assistant turn (dropped by q201), an
@@ -21,17 +21,33 @@ from medical_ocr_service_ray.schemas import TRANSCRIPT_SCHEMA
 
 # token counts:        ca: [2, 1, 3, 1]   cb: [2, 2]   cc: [2]   cd: [600, 10]
 _TURNS = [
-    # conv  idx  role         text                              ts (us)
-    ("ca", 0, "user", "hi there", 1_000_000),
-    ("ca", 1, "assistant", "hello", 1_400_000),
-    ("ca", 2, "user", "\ta b c\n", 2_000_000),  # tabs/newline: still 3 tokens
-    ("ca", 3, "assistant", "d", 2_100_000),
-    ("cb", 0, "user", "only user", 0),
-    ("cb", 1, "tool", "x y", 500_000),
-    ("cc", 0, "assistant", "first mover", 7_000_000),
-    ("cd", 0, "user", " ".join(["w"] * 600), 10_000_000),
-    ("cd", 1, "assistant", "ok then maybe yes no a b c d e", 13_000_000),
+    # conv  idx  role         text                    tool       ts (us)
+    ("ca", 0, "user", "hi there", "", 1_000_000),
+    ("ca", 1, "assistant", "hello", "", 1_400_000),
+    ("ca", 2, "user", "\ta b c\n", "", 2_000_000),  # tabs/newline: 3 tokens
+    ("ca", 3, "assistant", "d", "", 2_100_000),
+    ("cb", 0, "user", "only user", "", 0),
+    ("cb", 1, "tool", "x y", "lookup", 500_000),
+    ("cc", 0, "assistant", "first mover", "", 7_000_000),
+    ("cd", 0, "user", " ".join(["w"] * 600), "", 10_000_000),
+    ("cd", 1, "assistant", "ok then maybe yes no a b c d e", "", 13_000_000),
 ]
+
+
+def _write_corpus(dirpath, rows):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    table = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([r[4] for r in rows], pa.string()),
+            "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    pq.write_table(table, dirpath / "transcripts-00000.parquet")
 
 
 @pytest.fixture(scope="module")
@@ -40,19 +56,7 @@ def planted_sf_dir(tmp_path_factory):
     the duration of the module (module-scoped monkeypatch)."""
     root = tmp_path_factory.mktemp("serving_planted")
     corpus = root / "corpus"
-    corpus.mkdir()
-    table = pa.table(
-        {
-            "conv_id": pa.array([r[0] for r in _TURNS], pa.string()),
-            "turn_idx": pa.array([r[1] for r in _TURNS], pa.int32()),
-            "role": pa.array([r[2] for r in _TURNS], pa.string()),
-            "text": pa.array([r[3] for r in _TURNS], pa.string()),
-            "tool": pa.array([""] * len(_TURNS), pa.string()),
-            "ts": pa.array([r[4] for r in _TURNS], pa.timestamp("us")),
-        },
-        schema=TRANSCRIPT_SCHEMA,
-    )
-    pq.write_table(table, corpus / "transcripts-00000.parquet")
+    _write_corpus(corpus, _TURNS)
 
     import medical_ocr_service_ray.synth as synth
     from medical_ocr_service_ray.pipelines import queries_serving
@@ -172,3 +176,82 @@ class TestTurnTimeAttribution:
             ("tool", 1, 500_000, 500_000 * 10**6 // 4_600_000),
             ("user", 1, 600_000, 600_000 * 10**6 // 4_600_000),
         ]
+
+
+class TestToolWallTime:
+    def test_hand_computed(self, ray_session, planted_sf_dir):
+        from medical_ocr_service_ray.pipelines.queries_serving import q207_tool_wall_time
+
+        out = q207_tool_wall_time(planted_sf_dir)
+        # only tool turn with a predecessor: cb1 (tool=lookup, lat=500000)
+        assert _rows(out) == [("lookup", 1, 500_000, 500_000, 1_000_000)]
+
+
+class TestDepthTokenProfile:
+    def test_hand_computed(self, ray_session, planted_sf_dir):
+        from medical_ocr_service_ray.pipelines.queries_serving import (
+            q208_depth_token_profile,
+        )
+
+        out = q208_depth_token_profile(planted_sf_dir)
+        # bucket = bit_length(turn_idx+1)-1: idx0->0, idx1/idx2->1, idx3->2
+        # assistant: b0 cc0(2); b1 ca1(1)+cd1(10); b2 ca3(1)
+        # tool: b1 cb1(2); user: b0 ca0(2)+cb0(2)+cd0(600); b1 ca2(3)
+        assert _rows(out) == [
+            ("assistant", 0, 1, 2, 2),
+            ("assistant", 1, 2, 11, 5),
+            ("assistant", 2, 1, 1, 1),
+            ("tool", 1, 1, 2, 2),
+            ("user", 0, 3, 604, 201),
+            ("user", 1, 1, 3, 3),
+        ]
+
+
+class TestConversationDedup:
+    def test_all_unique_on_shared_fixture(self, ray_session, planted_sf_dir):
+        from medical_ocr_service_ray.pipelines.queries_serving import (
+            q209_conversation_dedup,
+        )
+
+        out = q209_conversation_dedup(planted_sf_dir)
+        assert _rows(out) == [(1, 4, 4)]
+
+    def test_duplicate_groups(self, ray_session, tmp_path):
+        """Dedicated corpus with known dup groups: x1==x2 (2 turns), y1==y2==y3
+        (1 turn), z unique, w1/w2 = same texts in OPPOSITE turn order (NOT
+        dups — the fingerprint is order-sensitive)."""
+        rows = [
+            ("x1", 0, "user", "same first", "", 1_000_000),
+            ("x1", 1, "assistant", "same second", "", 2_000_000),
+            ("x2", 0, "user", "same first", "", 5_000_000),
+            ("x2", 1, "assistant", "same second", "", 6_000_000),
+            ("y1", 0, "user", "solo", "", 0),
+            ("y2", 0, "user", "solo", "", 1),
+            ("y3", 0, "user", "solo", "", 2),
+            ("z", 0, "user", "one of a kind", "", 3),
+            ("w1", 0, "user", "alpha", "", 10),
+            ("w1", 1, "user", "beta", "", 20),
+            ("w2", 0, "user", "beta", "", 30),
+            ("w2", 1, "user", "alpha", "", 40),
+        ]
+        corpus = tmp_path / "dedup_corpus"
+        _write_corpus(corpus, rows)
+
+        import medical_ocr_service_ray.synth as synth
+        from medical_ocr_service_ray.pipelines import queries_serving
+        from medical_ocr_service_ray.pipelines.queries_serving import (
+            q209_conversation_dedup,
+        )
+
+        prev = synth.ensure_transcripts_for_sf
+        prev_key = queries_serving._TURNS_VIEW_KEY[0]
+        synth.ensure_transcripts_for_sf = lambda sf_dir, **kw: corpus
+        queries_serving._TURNS_VIEW_KEY[0] = None
+        try:
+            out = q209_conversation_dedup(str(tmp_path))
+            # sizes: 1 -> {z, w1, w2}; 2 -> {x}; 3 -> {y}
+            assert _rows(out) == [(1, 3, 3), (2, 1, 2), (3, 1, 3)]
+        finally:
+            synth.ensure_transcripts_for_sf = prev
+            queries_serving._TURNS_VIEW_KEY[0] = None
+            assert prev_key is None or True
