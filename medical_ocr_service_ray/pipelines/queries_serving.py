@@ -767,3 +767,214 @@ SELECT CAST(sz AS BIGINT) AS group_size,
        CAST(sz * COUNT(*) AS BIGINT) AS n_convs
 FROM g GROUP BY sz ORDER BY sz
 """
+
+# -------------------------------------------------------------------- q210
+
+def q210_abandonment_census(sf_dir: str):
+    """Conversation-abandonment census: the role of each conversation's
+    FINAL turn — a conversation ending on a user turn is an unanswered
+    (abandoned) session, ending on a tool turn is a broken agent loop,
+    ending on an assistant turn is a served session. The first funnel
+    number a serving dashboard shows. ONE conv-keyed exchange: per bucket,
+    the max-turn_idx row per conversation (vectorized idxmax), then
+    (role -> n_convs, plus that conversation's turn count via the same
+    max) partials (<= 3 rows each); driver merge with exact ppm shares."""
+    toks = _toks_ds(sf_dir)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        last = df.loc[df.groupby("conv_id")["turn_idx"].idxmax()]
+        n_turns = df.groupby("conv_id", sort=False).size()
+        return (
+            pd.DataFrame(
+                {
+                    "last_role": last.role.to_numpy(),
+                    "turns": n_turns.reindex(last.conv_id).to_numpy(),
+                }
+            )
+            .groupby("last_role", as_index=False)
+            .agg(n_convs=("turns", "size"), total_turns=("turns", "sum"))
+        )
+
+    parts = bucketed_combine(toks, "conv_id", combine, num_buckets=16).to_pandas()
+    out = parts.groupby("last_role", as_index=False).agg(
+        n_convs=("n_convs", "sum"), total_turns=("total_turns", "sum")
+    )
+    total = int(out.n_convs.sum())
+    out["conv_share_ppm"] = out.n_convs.to_numpy() * 1_000_000 // max(total, 1)
+    out = out.sort_values("last_role").reset_index(drop=True)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_Q210_SQL = f"""
+WITH v AS (
+  SELECT conv_id, turn_idx, role
+  FROM read_parquet('{_TURNS_VIEW}/*.parquet')
+),
+per AS (
+  SELECT conv_id, arg_max(role, turn_idx) AS last_role, COUNT(*) AS turns
+  FROM v GROUP BY conv_id
+),
+g AS (
+  SELECT last_role, COUNT(*) AS n_convs, SUM(turns) AS total_turns
+  FROM per GROUP BY last_role
+)
+SELECT last_role, CAST(n_convs AS BIGINT) AS n_convs,
+       CAST(total_turns AS BIGINT) AS total_turns,
+       CAST(n_convs * 1000000 // GREATEST((SELECT SUM(n_convs) FROM g), 1) AS BIGINT)
+         AS conv_share_ppm
+FROM g ORDER BY last_role
+"""
+
+
+# -------------------------------------------------------------------- q211
+
+def q211_tool_transitions(sf_dir: str):
+    """Tool-chain bigrams: for consecutive TOOL invocations within a
+    conversation (in turn order, skipping the user/assistant turns between
+    them), count (prev_tool -> next_tool) transitions — the agent-loop
+    structure miner (q54's event-transition analogue lifted onto the
+    transcript stream). ONE conv-keyed exchange; inside a bucket the tool
+    rows are filtered THEN shifted (vectorized), so partials are bounded
+    by tools^2 rows (<= 25)."""
+    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "role", "tool"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.role.eq("tool")].sort_values(
+            ["conv_id", "turn_idx"], kind="mergesort"
+        )
+        nxt = df.tool.shift(-1)
+        same = df.conv_id.eq(df.conv_id.shift(-1))
+        return (
+            pd.DataFrame({"tool_a": df.tool[same], "tool_b": nxt[same]})
+            .groupby(["tool_a", "tool_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    parts = bucketed_combine(ds, "conv_id", combine, num_buckets=16).to_pandas()
+    if "tool_a" not in parts.columns:  # every bucket empty: zero-col blocks
+        return pd.DataFrame(
+            {
+                "tool_a": pd.Series(dtype="object"),
+                "tool_b": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby(["tool_a", "tool_b"], as_index=False)
+        .agg(n=("n", "sum"))
+        .sort_values(["tool_a", "tool_b"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out.n.astype("int64")
+    return out
+
+
+_Q211_SQL = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, tool
+  FROM read_parquet('{_TURNS_VIEW}/*.parquet') WHERE role = 'tool'
+),
+s AS (
+  SELECT conv_id, tool AS tool_a,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS tool_b
+  FROM t
+)
+SELECT tool_a, tool_b, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE tool_b IS NOT NULL
+GROUP BY tool_a, tool_b ORDER BY tool_a, tool_b
+"""
+
+
+# -------------------------------------------------------------------- q212
+
+def q212_time_to_first_assistant(sf_dir: str):
+    """Time-to-first-assistant distribution: per conversation, the wall
+    time from the FIRST turn to the FIRST assistant turn (0 when the
+    conversation opens with the assistant; conversations with no assistant
+    turn are excluded) — the user-visible "time to first token" at
+    session granularity, with exact nearest-rank p50/p90/p99 via q205's
+    value-count mechanism (bounded by distinct deltas — same disclosure).
+    ONE conv-keyed exchange; per-bucket (delta -> count) partials."""
+    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "role", "ts"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "role": batch["role"],
+                "us": batch["ts"].cast(pa.int64()),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)
+        first_us = g["us"].transform("min")
+        d = (
+            pd.DataFrame(
+                {"conv_id": df.conv_id, "tt": df.us - first_us}
+            )[df.role.eq("assistant").to_numpy()]
+            .groupby("conv_id", sort=False)["tt"]
+            .min()
+        )
+        if not len(d):
+            return pd.DataFrame(
+                {"tt_us": pd.Series(dtype="int64"), "c": pd.Series(dtype="int64")}
+            )
+        vc = d.value_counts()
+        return pd.DataFrame({"tt_us": vc.index.to_numpy(), "c": vc.to_numpy()})
+
+    parts = bucketed_combine(
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True),
+        "conv_id",
+        combine,
+        num_buckets=16,
+    ).to_pandas()
+    d = parts.groupby("tt_us", as_index=False).agg(c=("c", "sum")).sort_values("tt_us")
+    tt = d.tt_us.to_numpy()
+    cum = d.c.to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+
+    def pct(q: int) -> int:
+        rank = (q * n + 99) // 100
+        return int(tt[np.searchsorted(cum, rank)])
+
+    total = sum(int(v) * int(c) for v, c in zip(d.tt_us, d.c))
+    return pd.DataFrame(
+        {
+            "n_convs": [n],
+            "p50_us": [pct(50)],
+            "p90_us": [pct(90)],
+            "p99_us": [pct(99)],
+            "mean_us": [total // max(n, 1)],
+            "max_us": [int(tt.max()) if len(tt) else 0],
+        }
+    ).astype("int64")
+
+
+_Q212_SQL = f"""
+WITH v AS (
+  SELECT conv_id, turn_idx, role, epoch_us(ts) AS us
+  FROM read_parquet('{_TURNS_VIEW}/*.parquet')
+),
+per AS (
+  SELECT conv_id,
+         MIN(us) FILTER (WHERE role = 'assistant') - MIN(us) AS tt
+  FROM v GROUP BY conv_id
+),
+l AS (SELECT tt FROM per WHERE tt IS NOT NULL),
+d AS (SELECT tt, COUNT(*) AS c FROM l GROUP BY tt),
+o AS (SELECT tt, SUM(c) OVER (ORDER BY tt) AS cum FROM d),
+n AS (SELECT COUNT(*) AS n, SUM(tt) AS s, MAX(tt) AS mx FROM l)
+SELECT CAST(n AS BIGINT) AS n_convs,
+       CAST((SELECT MIN(tt) FROM o WHERE cum >= (50 * n + 99) // 100) AS BIGINT) AS p50_us,
+       CAST((SELECT MIN(tt) FROM o WHERE cum >= (90 * n + 99) // 100) AS BIGINT) AS p90_us,
+       CAST((SELECT MIN(tt) FROM o WHERE cum >= (99 * n + 99) // 100) AS BIGINT) AS p99_us,
+       CAST(s // n AS BIGINT) AS mean_us,
+       CAST(mx AS BIGINT) AS max_us
+FROM n
+"""

@@ -160,6 +160,9 @@ GATED = [
     "q207_tool_wall_time",
     "q208_depth_token_profile",
     "q209_conversation_dedup",
+    "q210_abandonment_census",
+    "q211_tool_transitions",
+    "q212_time_to_first_assistant",
 ]
 
 

@@ -255,3 +255,79 @@ class TestConversationDedup:
             synth.ensure_transcripts_for_sf = prev
             queries_serving._TURNS_VIEW_KEY[0] = None
             assert prev_key is None or True
+
+
+class TestAbandonmentCensus:
+    def test_hand_computed(self, ray_session, planted_sf_dir):
+        from medical_ocr_service_ray.pipelines.queries_serving import (
+            q210_abandonment_census,
+        )
+
+        out = q210_abandonment_census(planted_sf_dir)
+        # final turns: ca3 assistant (conv of 4), cb1 tool (2), cc0 assistant
+        # (1), cd1 assistant (2) -> assistant 3 convs / 7 turns, tool 1 / 2.
+        assert _rows(out) == [
+            ("assistant", 3, 7, 750_000),
+            ("tool", 1, 2, 250_000),
+        ]
+
+
+class TestToolTransitions:
+    def test_no_consecutive_tools_is_empty(self, ray_session, planted_sf_dir):
+        from medical_ocr_service_ray.pipelines.queries_serving import (
+            q211_tool_transitions,
+        )
+
+        out = q211_tool_transitions(planted_sf_dir)
+        # only one tool turn in the fixture -> zero bigrams, schema intact
+        assert list(out.columns) == ["tool_a", "tool_b", "n"]
+        assert len(out) == 0
+
+    def test_chain_bigrams(self, ray_session, tmp_path):
+        """Two tool chains: conv t1 lookup->billing->lookup (two bigrams,
+        skipping the assistant turn between); conv t2 billing->billing."""
+        rows = [
+            ("t1", 0, "tool", "a", "lookup", 0),
+            ("t1", 1, "assistant", "b", "", 1_000_000),
+            ("t1", 2, "tool", "c", "billing", 2_000_000),
+            ("t1", 3, "tool", "d", "lookup", 3_000_000),
+            ("t2", 0, "tool", "e", "billing", 0),
+            ("t2", 1, "tool", "f", "billing", 1_000_000),
+        ]
+        corpus = tmp_path / "tool_corpus"
+        _write_corpus(corpus, rows)
+
+        import medical_ocr_service_ray.synth as synth
+        from medical_ocr_service_ray.pipelines import queries_serving
+        from medical_ocr_service_ray.pipelines.queries_serving import (
+            q211_tool_transitions,
+        )
+
+        prev = synth.ensure_transcripts_for_sf
+        synth.ensure_transcripts_for_sf = lambda sf_dir, **kw: corpus
+        queries_serving._TURNS_VIEW_KEY[0] = None
+        try:
+            out = q211_tool_transitions(str(tmp_path))
+            assert _rows(out) == [
+                ("billing", "billing", 1),
+                ("billing", "lookup", 1),
+                ("lookup", "billing", 1),
+            ]
+        finally:
+            synth.ensure_transcripts_for_sf = prev
+            queries_serving._TURNS_VIEW_KEY[0] = None
+
+
+class TestTimeToFirstAssistant:
+    def test_hand_computed(self, ray_session, planted_sf_dir):
+        from medical_ocr_service_ray.pipelines.queries_serving import (
+            q212_time_to_first_assistant,
+        )
+
+        out = q212_time_to_first_assistant(planted_sf_dir)
+        # ca: 1.4e6-1.0e6=400000; cb: no assistant (excluded); cc: 0
+        # (assistant-first); cd: 13e6-10e6=3000000. sorted [0,4e5,3e6]:
+        # p50 rank ceil(1.5)=2 -> 400000; p90/p99 rank 3 -> 3000000.
+        assert _rows(out) == [
+            (3, 400_000, 3_000_000, 3_000_000, 3_400_000 // 3, 3_000_000)
+        ]
