@@ -917,8 +917,15 @@ def _extraction_view_dir(sf_dir: str) -> str:
 
     out = "/tmp/mosr_extraction_view/current"
     key = _session_key(sf_dir)
+    # Fixed SHARED path: trust the memo only while the on-disk KEY marker
+    # still names this (sf_dir, session) — a concurrent harness process may
+    # have rewritten `current` (same contract as _golden_fixture_dir).
     if _EXTRACT_VIEW_KEY[0] == key:
-        return out
+        try:
+            if (Path(out) / "KEY").read_text() == repr(key):
+                return out
+        except OSError:
+            pass
 
     def project(t: pa.Table) -> pa.Table:
         conf = np.rint(
@@ -939,6 +946,7 @@ def _extraction_view_dir(sf_dir: str) -> str:
     q16_extract_transcripts(sf_dir).map_batches(
         project, batch_format="pyarrow", zero_copy_batch=True
     ).write_parquet(out)
+    (Path(out) / "KEY").write_text(repr(key))
     _EXTRACT_VIEW_KEY[0] = key
     return out
 

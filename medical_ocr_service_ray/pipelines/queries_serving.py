@@ -60,8 +60,19 @@ def _turns_view_dir(sf_dir: str) -> str | None:
     from medical_ocr_service_ray.synth import ensure_transcripts_for_sf
 
     corpus = str(ensure_transcripts_for_sf(sf_dir))
+    # `current` is a fixed SHARED path: a concurrent harness process (e.g.
+    # pytest at sf0.001 next to a sweep at sf0.01) may have re-linked it
+    # since our memo was set, so a memo hit is only trusted when the on-disk
+    # KEY marker still names THIS corpus (same contract as
+    # _golden_fixture_dir). The write-then-read race between two live
+    # processes remains inherent to the fixed-path oracle mechanism — run
+    # one harness per box (the driver does).
     if _TURNS_VIEW_KEY[0] == corpus:
-        return _TURNS_VIEW
+        try:
+            if (Path(_TURNS_VIEW) / "KEY").read_text() == corpus:
+                return _TURNS_VIEW
+        except OSError:
+            pass
     shutil.rmtree(_TURNS_VIEW, ignore_errors=True)
     os.makedirs(_TURNS_VIEW, exist_ok=True)
     for f in sorted(Path(corpus).glob("*.parquet")):
@@ -69,6 +80,7 @@ def _turns_view_dir(sf_dir: str) -> str | None:
             os.link(f, Path(_TURNS_VIEW) / f.name)
         except OSError:  # cross-device corpus (planted test fixtures)
             shutil.copy2(f, Path(_TURNS_VIEW) / f.name)
+    (Path(_TURNS_VIEW) / "KEY").write_text(corpus)
     _TURNS_VIEW_KEY[0] = corpus
     return _TURNS_VIEW
 

@@ -1110,8 +1110,15 @@ def _tool_view_dir(sf_dir: str) -> str:
 
     out = "/tmp/mosr_tool_view/current"
     key = _session_key(sf_dir)
+    # Fixed SHARED path: trust the memo only while the on-disk KEY marker
+    # still names this (sf_dir, session) — a concurrent harness process may
+    # have rewritten `current` (same contract as _golden_fixture_dir).
     if _TOOL_VIEW_KEY[0] == key:
-        return out
+        try:
+            if (Path(out) / "KEY").read_text() == repr(key):
+                return out
+        except OSError:
+            pass
     corpus = ensure_transcripts_for_sf(sf_dir)
     files = sorted(str(p) for p in Path(corpus).glob("*.parquet"))
     sch = pq.read_schema(files[0]).remove_metadata()
@@ -1124,6 +1131,7 @@ def _tool_view_dir(sf_dir: str) -> str:
 
     _shutil.rmtree(out, ignore_errors=True)
     ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True).write_parquet(out)
+    (Path(out) / "KEY").write_text(repr(key))
     _TOOL_VIEW_KEY[0] = key
     return out
 
