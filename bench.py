@@ -194,6 +194,14 @@ BENCH_QUERIES = [
     "q210_abandonment_census",
     "q211_tool_transitions",
     "q212_time_to_first_assistant",
+    "q213_sessionization",
+    "q214_tool_retry_census",
+    "q215_canned_response_census",
+    "q216_dialogue_shape_census",
+    "q217_turn_template_reuse",
+    "q218_token_gini",
+    "q219_wall_vs_turns_slope",
+    "q220_stuck_loop_census",
 ]
 
 

@@ -601,3 +601,103 @@ SELECT CAST(n AS BIGINT) AS n_convs,
                  ELSE 0 END AS BIGINT) AS r2_ppm
 FROM f
 """
+
+
+# -------------------------------------------------------------------- q220
+
+def q220_stuck_loop_census(sf_dir: str):
+    """WITHIN-conversation exact-repetition census per role — the
+    stuck-loop detector: a conversation where the assistant emits the
+    byte-identical text 2+ times is a model loop, an identical tool
+    output repeated is an idempotent retry, an identical user message
+    repeated is a human retrying. q217 measures reuse ACROSS
+    conversations (n_convs >= 2); this is its in-conversation complement
+    (same conv, same role, same text, count >= 2) — the reference's
+    queue retry budget (src/services/queue.service.js) is the analogous
+    per-item loop guard. Output per role: (conv, role) pairs seen,
+    conversations with a loop, turns inside loops (the wasted serving
+    mass), total turns, the single worst repeat count, and loop mass in
+    ppm. Plan: scan emits (conv_id, role, md5) pre-reduced per batch;
+    ONE conv-keyed exchange (conversations complete per bucket, so
+    per-(conv, role, text) counts are exact in-bucket); <=3-row partials
+    per bucket to a driver merge. The corpus text never shuffles — only
+    16-byte digests do (q209's rationale)."""
+    ds = _turns_ds(sf_dir, ["conv_id", "role", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"].to_pylist(),
+                "role": batch["role"].to_pylist(),
+                "h": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in batch["text"].to_pylist()
+                ],
+            }
+        )
+        g = (
+            df.groupby(["conv_id", "role", "h"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["conv_id", "role", "h"], as_index=False)["n"].sum()
+        g["loop_n"] = g.n.where(g.n.ge(2), 0)
+        conv = g.groupby(["conv_id", "role"], as_index=False).agg(
+            turns=("n", "sum"), loop_turns=("loop_n", "sum"), max_rep=("n", "max")
+        )
+        conv["looping"] = conv.loop_turns.gt(0).astype("int64")
+        return conv.groupby("role", as_index=False).agg(
+            n_convs=("conv_id", "size"),
+            n_looping_convs=("looping", "sum"),
+            loop_turns=("loop_turns", "sum"),
+            total_turns=("turns", "sum"),
+            max_repeat=("max_rep", "max"),
+        )
+
+    parts = bucketed_combine(
+        ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True),
+        "conv_id",
+        per_bucket,
+        num_buckets=16,
+    ).to_pandas()
+    out = parts.groupby("role", as_index=False).agg(
+        n_convs=("n_convs", "sum"),
+        n_looping_convs=("n_looping_convs", "sum"),
+        loop_turns=("loop_turns", "sum"),
+        total_turns=("total_turns", "sum"),
+        max_repeat=("max_repeat", "max"),
+    )
+    out["loop_ppm"] = out.loop_turns.to_numpy() * 1_000_000 // np.maximum(
+        out.total_turns.to_numpy(), 1
+    )
+    out = out.sort_values("role").reset_index(drop=True)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_Q220_SQL = f"""
+WITH per AS (
+  SELECT conv_id, role, md5(text) AS h, COUNT(*) AS n
+  FROM read_parquet('{_TURNS_VIEW}/*.parquet')
+  GROUP BY conv_id, role, md5(text)
+), conv AS (
+  SELECT conv_id, role, SUM(n) AS turns,
+         COALESCE(SUM(n) FILTER (WHERE n >= 2), 0) AS loop_turns,
+         MAX(n) AS max_rep
+  FROM per GROUP BY conv_id, role
+)
+SELECT role,
+       CAST(COUNT(*) AS BIGINT) AS n_convs,
+       CAST(COUNT(*) FILTER (WHERE loop_turns > 0) AS BIGINT)
+         AS n_looping_convs,
+       CAST(SUM(loop_turns) AS BIGINT) AS loop_turns,
+       CAST(SUM(turns) AS BIGINT) AS total_turns,
+       CAST(MAX(max_rep) AS BIGINT) AS max_repeat,
+       CAST(SUM(loop_turns) * 1000000 // GREATEST(SUM(turns), 1) AS BIGINT)
+         AS loop_ppm
+FROM conv GROUP BY role ORDER BY role
+"""

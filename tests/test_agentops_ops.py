@@ -204,3 +204,30 @@ class TestWallVsTurnsSlope:
         # r2=trunc(trunc(4e14/56)*400e6/17675e12)
         #   =trunc(7142857142857*4e8/1.7675e16)=161648.
         assert _rows(out) == [(4, 7_142_857, 12_678_572, 161_648)]
+
+
+class TestStuckLoopCensus:
+    def test_hand_computed(self, ray_session, planted_sf_dir):
+        from medical_ocr_service_ray.pipelines.queries_agentops import (
+            q220_stuck_loop_census,
+        )
+
+        out = q220_stuck_loop_census(planted_sf_dir)
+        # WITHIN-conv repeats only (q217's cross-conv "hello world" c1+c2
+        # and "hi" c1+c2 must NOT count here unless repeated in ONE conv):
+        # assistant: (conv,role) pairs c1/c2/c3 -> 3; c1 has "hello world"
+        #   x2 (the only loop) -> 1 looping conv, loop_turns 2, total
+        #   turns c1=2,c2=2,c3=1 -> 5, max_repeat 2, ppm 2*1e6//5=400000.
+        # tool: c2 (r1,r2) + c3 (a,b,c,d) all distinct -> 2 pairs, 0 loops,
+        #   total 6, max_repeat 1.
+        # user: c1 (hi,again), c2 (hi), c3 (q), c4 (solo) -> 4 pairs, 0
+        #   loops, total 5, max_repeat 1.
+        assert list(out.columns) == [
+            "role", "n_convs", "n_looping_convs", "loop_turns",
+            "total_turns", "max_repeat", "loop_ppm",
+        ]
+        assert _rows(out) == [
+            ("assistant", 3, 1, 2, 5, 2, 400_000),
+            ("tool", 2, 0, 0, 6, 1, 0),
+            ("user", 4, 0, 0, 5, 1, 0),
+        ]

@@ -170,6 +170,7 @@ GATED = [
     "q217_turn_template_reuse",
     "q218_token_gini",
     "q219_wall_vs_turns_slope",
+    "q220_stuck_loop_census",
 ]
 
 
